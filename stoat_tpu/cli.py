@@ -1,0 +1,317 @@
+"""stoat-compatible command-line interface.
+
+Subcommands mirror /root/reference/src/main.cpp:47-84:
+  vcf        — VCF-based GWAS (binary / quantitative / eQTL ± covariates)
+               and snarl-path decomposition
+  graph      — path-based association directly from graph haplotypes
+  BHcorrect  — standalone Benjamini–Hochberg correction of a results TSV
+  version    — print the version
+
+Flags, defaults, and valid argument combinations follow
+subcommand/vcf.cpp:53-261 (including the code default MAF 0.05 — the
+reference's help text says 0.01 but the code says 0.05, vcf.cpp:46,69).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+from typing import List, Optional
+
+__version__ = "0.1.0"
+
+logger = logging.getLogger("stoat")
+
+_LOG_LEVELS = {0: logging.ERROR, 1: logging.WARNING, 2: logging.INFO,
+               3: logging.DEBUG, 4: logging.DEBUG}
+
+
+def _setup_logging(verbosity: int) -> None:
+    logging.basicConfig(
+        level=_LOG_LEVELS.get(verbosity, logging.WARNING),
+        format="[%(levelname)s] %(message)s", force=True)
+
+
+def _check_file(path: str) -> str:
+    """arg_parser.cpp:421-442."""
+    if not os.path.isfile(path):
+        raise SystemExit(f"File {path} does not exist.")
+    return path
+
+
+def main_vcf(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="stoat vcf", add_help=True)
+    ap.add_argument("-p", "--graph", metavar="FILE")
+    ap.add_argument("-d", "--dist", metavar="FILE")
+    ap.add_argument("-v", "--vcf", metavar="FILE")
+    ap.add_argument("-s", "--snarl", metavar="FILE")
+    ap.add_argument("-r", "--chr", dest="chr_file", metavar="FILE")
+    ap.add_argument("-b", "--binary", metavar="FILE")
+    ap.add_argument("-q", "--quantitative", metavar="FILE")
+    ap.add_argument("-e", "--eqtl", metavar="FILE")
+    ap.add_argument("-m", "--make-bed", action="store_true")
+    ap.add_argument("-c", "--covariate", metavar="FILE")
+    ap.add_argument("-C", "--covar-name", metavar="NAME")
+    ap.add_argument("-k", "--kinship", metavar="FILE")
+    ap.add_argument("-g", "--gaf", action="store_true")
+    ap.add_argument("-I", "--min-individuals", type=int, default=3)
+    ap.add_argument("-H", "--min-haplotypes", type=int, default=5)
+    ap.add_argument("-i", "--children", type=int, default=50)
+    ap.add_argument("-y", "--cycle", type=int, default=1)
+    ap.add_argument("-l", "--path-length", type=int, default=10000)
+    ap.add_argument("-G", "--gene-position", metavar="FILE")
+    ap.add_argument("-w", "--windows-gene", type=int, default=1000000)
+    ap.add_argument("-T", "--table-threshold", type=float, default=-1)
+    ap.add_argument("-M", "--maf", type=float, default=0.05)
+    ap.add_argument("-t", "--thread", type=int, default=1)
+    ap.add_argument("-V", "--verbose", type=int, default=1)
+    ap.add_argument("-o", "--output", default="output")
+    args = ap.parse_args(argv)
+    _setup_logging(args.verbose)
+
+    # threshold validation (vcf.cpp:130-178)
+    if args.min_individuals < 2:
+        raise SystemExit("Error: [stoat vcf] min_individuals threshold must be > 1")
+    if args.min_haplotypes < 2:
+        raise SystemExit("Error: [stoat vcf] min_haplotypes threshold must be > 1")
+    if args.children < 2:
+        raise SystemExit("Error: [stoat vcf] Children threshold must be > 1")
+    if args.cycle < 1:
+        raise SystemExit("Error: [stoat vcf] Cycle threshold must be > 0")
+    if args.path_length < 2:
+        raise SystemExit("Error: [stoat vcf] Path length threshold must be > 1")
+    if args.windows_gene < 1:
+        raise SystemExit("Error: [stoat vcf] Windows gene threshold must be > 0")
+    if args.table_threshold != -1 and not (0 < args.table_threshold <= 1):
+        raise SystemExit("Error: [stoat vcf] Table threshold must be in (0,1]")
+    if not (0 <= args.maf <= 1):
+        raise SystemExit("Error: [stoat vcf] MAF must be in [0,1]")
+
+    for path in (args.graph, args.dist, args.vcf, args.snarl, args.chr_file,
+                 args.binary, args.quantitative, args.eqtl, args.covariate,
+                 args.kinship, args.gene_position):
+        if path:
+            _check_file(path)
+
+    covar_names = args.covar_name.split(",") if args.covar_name else []
+    if args.covariate and not covar_names:
+        logger.error("[stoat vcf] If --covariate path is provided you must "
+                     "add the column name(s), using --covar-name")
+        return 1
+    if bool(args.eqtl) != bool(args.gene_position):
+        logger.error("[stoat vcf] eqtl phenotype file and gene position "
+                     "file must be provided together")
+        return 1
+
+    phenotype_count = sum(bool(p) for p in
+                          (args.binary, args.quantitative, args.eqtl))
+    has_decomposition_inputs = bool(args.graph) and bool(args.dist)
+    only_snarl_parsing = False
+    if ((args.snarl or has_decomposition_inputs) and args.vcf
+            and phenotype_count == 1):
+        pass  # GWAS (cases 1 & 2, vcf.cpp:237-240)
+    elif (has_decomposition_inputs and not args.vcf and not args.snarl
+          and phenotype_count == 0):
+        only_snarl_parsing = True  # case 3
+    else:
+        logger.error(
+            "[stoat vcf] Invalid argument combination provided.\n"
+            "There are only 3 ways to launch stoat vcf:\n"
+            "Case 1 (GWAS only): snarl_path + vcf_path + phenotype (+ optional file)\n"
+            "Case 2 (GWAS + snarl path decomposition): graph_path + dist_path + vcf_path + phenotype (+ optional file)\n"
+            "Case 3 (snarl path decomposition): graph_path + dist_path")
+        return 1
+
+    if args.gaf and (not args.binary or not args.graph):
+        logger.error("[stoat vcf] GAF file can be generated only with binary "
+                     "phenotype AND with the graph graph")
+        return 1
+
+    os.makedirs(args.output, exist_ok=True)
+    regression_dir = os.path.join(args.output, "regression")
+    if args.table_threshold != -1:
+        os.makedirs(regression_dir, exist_ok=True)
+
+    t_start = time.time()
+
+    from stoat_tpu.io import (parse_binary_pheno, parse_chromosome_reference,
+                              parse_covariates, parse_kinship_matrix,
+                              parse_qtl_gene_file, parse_quantitative_pheno,
+                              parse_snarl_path)
+    from stoat_tpu.io.vcf import VcfReader
+
+    list_samples: List[str] = []
+    if not only_snarl_parsing:
+        header_reader = VcfReader(args.vcf)
+        list_samples = header_reader.samples
+        header_reader.close()
+
+    covariate = None
+    if args.covariate:
+        covariate = parse_covariates(args.covariate, covar_names, list_samples)
+
+    binary_phenotype = quantitative_phenotype = eqtl_phenotype = None
+    mode = None
+    if args.binary:
+        binary_phenotype, list_samples = parse_binary_pheno(
+            args.binary, list_samples)
+        mode = "binary_covar" if covariate is not None else "binary"
+    elif args.quantitative:
+        quantitative_phenotype = parse_quantitative_pheno(
+            args.quantitative, list_samples)
+        mode = "quantitative"
+    elif args.eqtl:
+        eqtl_phenotype = parse_qtl_gene_file(
+            args.eqtl, args.gene_position, list_samples)
+        mode = "eqtl"
+
+    if args.kinship:
+        parse_kinship_matrix(args.kinship)  # parsed; LMM not implemented
+        logger.warning("Kinship matrix parsed but the LMM is not "
+                       "implemented (parity with the reference stub).")
+
+    ref_chr = (parse_chromosome_reference(args.chr_file)
+               if args.chr_file else set())
+
+    # Load or compute the snarl decomposition
+    if args.snarl:
+        snarls_chr = parse_snarl_path(args.snarl)
+    else:
+        logger.info("Starting snarl decomposition... ")
+        t0 = time.time()
+        from stoat_tpu.graph import decompose_to_snarl_file
+        snarls_chr = decompose_to_snarl_file(
+            args.graph, args.dist, args.output, ref_chr,
+            children_threshold=args.children,
+            path_length_threshold=args.path_length,
+            cycle_threshold=args.cycle)
+        logger.info("Snarl time decomposition : %.3f s", time.time() - t0)
+        if only_snarl_parsing:
+            return 0
+
+    t_gwas = time.time()
+    logger.info("Starting GWAS analysis...")
+    output_tsv = os.path.join(
+        args.output,
+        "binary_table_vcf.tsv" if mode in ("binary", "binary_covar")
+        else ("quantitative_table_vcf.tsv" if mode == "quantitative"
+              else "eqtl_table_vcf.tsv"))
+
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+    run_vcf_analysis(
+        args.vcf, snarls_chr, output_tsv, mode,
+        binary_phenotype=binary_phenotype,
+        quantitative_phenotype=quantitative_phenotype,
+        eqtl_map=eqtl_phenotype,
+        covariate=covariate,
+        maf_threshold=args.maf,
+        table_threshold=args.table_threshold,
+        min_individuals=args.min_individuals,
+        min_haplotypes=args.min_haplotypes,
+        windows_gene_threshold=args.windows_gene,
+        regression_dir=regression_dir,
+        sample_names=list_samples,
+    )
+
+    if mode == "binary" and args.gaf:
+        from stoat_tpu.gaf import gaf_creation
+        output_gaf = os.path.join(args.output, "binary_table_vcf.gaf")
+        gaf_creation(output_tsv, snarls_chr, args.graph, output_gaf)
+
+    t_end = time.time()
+    logger.info("GWAS time analysis : %.3f s", t_end - t_gwas)
+    logger.info("Total time : %.3f s", t_end - t_start)
+    return 0
+
+
+def main_bh_correct(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="stoat BHcorrect")
+    ap.add_argument("-t", "--tsv", required=True)
+    ap.add_argument("-p", "--p-col", type=int, required=True,
+                    help="1-indexed p-value column")
+    ap.add_argument("-a", "--adjusted-col", type=int, required=True,
+                    help="1-indexed adjusted-p column")
+    ap.add_argument("-v", "--top-variant",
+                    default="top_variant.tsv")
+    ap.add_argument("-o", "--output", default="output")
+    ap.add_argument("-V", "--verbose", type=int, default=1)
+    args = ap.parse_args(argv)
+    _setup_logging(args.verbose)
+    _check_file(args.tsv)
+    os.makedirs(args.output, exist_ok=True)
+
+    from stoat_tpu.post import add_bh_adjusted_column
+    add_bh_adjusted_column(
+        args.tsv, args.output,
+        os.path.join(args.output, args.top_variant),
+        args.p_col - 1, args.adjusted_col - 1)
+    return 0
+
+
+def main_graph(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="stoat graph")
+    ap.add_argument("-p", "--graph", required=True)
+    ap.add_argument("-d", "--dist", required=True)
+    ap.add_argument("-b", "--binary", required=True)
+    ap.add_argument("-T", "--test", dest="test_method", default="chi2",
+                    choices=["exact", "chi2"])
+    ap.add_argument("-O", "--output-format", default="tsv",
+                    choices=["tsv", "fasta"])
+    ap.add_argument("-l", "--allele-size-limit", type=int, default=0)
+    ap.add_argument("-r", "--reference-sample", default="")
+    ap.add_argument("-t", "--thread", type=int, default=1)
+    ap.add_argument("-V", "--verbose", type=int, default=1)
+    ap.add_argument("-o", "--output", default="output")
+    args = ap.parse_args(argv)
+    _setup_logging(args.verbose)
+    for path in (args.graph, args.dist, args.binary):
+        _check_file(path)
+    os.makedirs(args.output, exist_ok=True)
+
+    from stoat_tpu.graph import run_graph_association
+    return run_graph_association(
+        graph_path=args.graph, dist_path=args.dist,
+        binary_path=args.binary, test_method=args.test_method,
+        output_format=args.output_format,
+        allele_size_limit=args.allele_size_limit,
+        reference_sample=args.reference_sample, output_dir=args.output)
+
+
+def print_help() -> None:
+    sys.stderr.write(
+        "usage: stoat <command> [options]\n\n"
+        "commands:\n"
+        "  vcf        run VCF-based GWAS / snarl decomposition\n"
+        "  graph      run graph-path-based association\n"
+        "  BHcorrect  Benjamini-Hochberg correction of a results TSV\n"
+        "  version    print version\n")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print_help()
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "vcf":
+        return main_vcf(rest)
+    if cmd == "graph":
+        return main_graph(rest)
+    if cmd == "BHcorrect":
+        return main_bh_correct(rest)
+    if cmd == "version":
+        print(f"stoat-tpu {__version__}")
+        return 0
+    if cmd in ("-h", "--help", "help"):
+        print_help()
+        return 0
+    sys.stderr.write(f"unknown command: {cmd}\n")
+    print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Snarl decomposition file parsing (the cacheable preprocessing artifact).
+
+Format contract (snarl_data_t.cpp:114-116 writer, :8-112 reader):
+
+    CHR  START_POS  END_POS  SNARL_HANDLEGRAPH  SNARL  PATHS  TYPE  REF  DEPTH
+
+- SNARL is ``startNode_endNode``
+- PATHS is a comma-separated list of oriented node walks ``>123<456``;
+  node id 0 renders the ``*`` placeholder for collapsed nested chains
+- TYPE is a comma-separated per-path variant-type string
+- The header must match exactly or parsing aborts (snarl_data_t.cpp:27-46)
+
+Path strings are parsed into (node_id, is_reverse) tuples and then into
+consecutive-node edges, matching ``decompose_path_str_to_edge``
+(snarl_analyzer.cpp:277-303).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+from stoat_tpu.formatting import string_to_pair
+
+__all__ = ["SnarlData", "parse_snarl_path", "parse_path_string",
+           "path_to_edges", "EXPECTED_HEADER"]
+
+EXPECTED_HEADER = [
+    "CHR", "START_POS", "END_POS", "SNARL_HANDLEGRAPH",
+    "SNARL", "PATHS", "TYPE", "REF", "DEPTH",
+]
+
+# (node_id, is_reverse)
+NodeTraversal = Tuple[int, bool]
+# ((id1, rev1), (id2, rev2))
+Edge = Tuple[NodeTraversal, NodeTraversal]
+
+
+def parse_path_string(path_str: str) -> List[NodeTraversal]:
+    """Parse ``>123<456`` into [(123, False), (456, True)].
+
+    Mirrors stringToVectorPath (snarl_data_t.cpp:211-240): a ``>``/``<``
+    prefix sets the orientation of the following node id.
+    """
+    nodes: List[NodeTraversal] = []
+    i = 0
+    n = len(path_str)
+    while i < n:
+        ch = path_str[i]
+        if ch == ">" or ch == "<":
+            rev = ch == "<"
+            i += 1
+            start = i
+            while i < n and path_str[i].isdigit():
+                i += 1
+            nodes.append((int(path_str[start:i] or "0"), rev))
+        else:
+            i += 1
+    return nodes
+
+
+def node_traversal_to_string(node: NodeTraversal) -> str:
+    return ("<" if node[1] else ">") + str(node[0])
+
+
+def path_to_string(nodes: List[NodeTraversal]) -> str:
+    return "".join(node_traversal_to_string(n) for n in nodes)
+
+
+def path_to_edges(nodes: List[NodeTraversal]) -> List[Edge]:
+    """Consecutive node-traversal pairs (snarl_analyzer.cpp:263-274)."""
+    return [(nodes[i], nodes[i + 1]) for i in range(len(nodes) - 1)]
+
+
+@dataclass
+class SnarlData:
+    """One snarl's decomposition record (snarl_data_t.hpp:98-116)."""
+
+    net_handle: int
+    snarl_ids: Tuple[int, int]
+    paths: List[List[NodeTraversal]]
+    start_pos: int
+    end_pos: int
+    type_variants: List[str]
+    depth: int
+    path_strings: List[str] = field(default_factory=list)
+
+    @property
+    def snarl_id_str(self) -> str:
+        return f"{self.snarl_ids[0]}_{self.snarl_ids[1]}"
+
+    @property
+    def type_var_str(self) -> str:
+        return ",".join(self.type_variants)
+
+
+def parse_snarl_path(file_path: str) -> Dict[str, List[SnarlData]]:
+    """Load a snarl decomposition TSV into {chr: [SnarlData...]}.
+
+    Keeps file order within each chromosome (the reference's per-chromosome
+    vectors, snarl_data_t.cpp:49-99).  Note the reference reassigns
+    ``chr_snarl_matrix[chr]`` on every chromosome *change*, so a chromosome
+    split into non-contiguous blocks keeps only its last block — we
+    replicate that quirk for parity.
+    """
+    chr_map: Dict[str, List[SnarlData]] = {}
+    current: List[SnarlData] = []
+    save_chr = ""
+
+    with open(file_path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        if header != EXPECTED_HEADER:
+            raise RuntimeError(
+                f"Error: Invalid header format in file: {file_path}\n"
+                f" > Expected: {chr(9).join(EXPECTED_HEADER)}\n"
+                f" > Got:      {chr(9).join(header)}"
+            )
+        for line in fh:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            cols = line.split("\t")
+            chrom, start_s, end_s, handle_s, snarl_id_s, paths_s, type_s, _ref, depth_s = cols[:9]
+
+            if chrom != save_chr and save_chr != "":
+                chr_map[save_chr] = current
+                current = []
+            save_chr = chrom
+
+            path_strings = paths_s.split(",")
+            current.append(SnarlData(
+                net_handle=int(handle_s),
+                snarl_ids=string_to_pair(snarl_id_s),
+                paths=[parse_path_string(p) for p in path_strings],
+                start_pos=int(start_s),
+                end_pos=int(end_s),
+                type_variants=type_s.split(","),
+                depth=int(depth_s),
+                path_strings=path_strings,
+            ))
+
+    if save_chr != "":
+        chr_map[save_chr] = current
+    return chr_map
+
+
+def write_snarl_file_header(fh) -> None:
+    fh.write("\t".join(EXPECTED_HEADER) + "\n")
+
+
+def write_snarl_fail_header(fh) -> None:
+    fh.write("SNARL\tREASON\n")

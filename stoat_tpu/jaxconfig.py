@@ -10,3 +10,16 @@ cannot represent.  The FLOPs-heavy genotype-membership matmuls remain float32
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+
+def ensure_backend() -> None:
+    """Fall back to an auto-selected backend if the configured platform
+    (e.g. the experimental ``axon`` TPU tunnel) failed to register."""
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "")
+        jax.devices()
+
+
+ensure_backend()

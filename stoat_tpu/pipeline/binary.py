@@ -1,0 +1,133 @@
+"""Binary-trait association pipeline (chi² + Fisher exact).
+
+Batched equivalent of BinarySnarlAnalyzer::analyze_and_write_snarl
+(/root/reference/src/snarl_analyzer.cpp:358-390) plus the table helpers
+(binary_table.cpp:19-44, snarl_analyzer.cpp:686-732):
+
+  per snarl:
+    g0/g1[path]   = control/case carrier counts over haplotypes
+    total_sum     = sum of all counts (over ALL paths, pre-filter)
+    drop columns with g0+g1 == 0
+    filter if  total_sum//2 < min_individuals  (integer division!)
+            or total_sum < min_haplotypes
+            or kept columns < 2
+            or fewer than 2 columns with maf > maf_threshold,
+               where maf = min(g1/colsum, 1 - g1/colsum)
+    kept == 2 -> chi2_2x2 + Fisher exact; kept > 2 -> chi2_2xN, Fisher NA
+
+Everything from carrier counting to the p-values runs in one jitted batch
+over all snarls of a chromosome.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+from stoat_tpu import jaxconfig  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stoat_tpu.pipeline.membership import path_membership
+from stoat_tpu.stats.chi2 import chi2_2x2, chi2_2xn
+from stoat_tpu.stats.fisher import fisher_exact_2x2
+from stoat_tpu.tables import PackedChromosome
+
+__all__ = ["binary_tables_device", "binary_analyze_chromosome"]
+
+
+@partial(jax.jit, static_argnames=("num_paths",))
+def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
+                         path_valid, snarl_path_idx, pheno_hap,
+                         min_individuals, min_haplotypes, maf_threshold,
+                         num_paths: int):
+    """Device graph: membership -> per-path g0/g1 -> per-snarl tables ->
+    filtration -> chi2/Fisher p-values.
+
+    Returns dict of per-snarl arrays (see keys below).
+    """
+    membership = path_membership(
+        matrix_f32, coo_path, coo_row, n_edges_per_path, path_valid,
+        num_paths).astype(jnp.float32)                       # [P, H]
+
+    # Carrier counts per path: one matmul against the phenotype one-hot.
+    g1_path = membership @ pheno_hap                          # [P]
+    g0_path = membership @ (1.0 - pheno_hap)                  # [P]
+
+    idx = snarl_path_idx                                      # [S, Pmax]
+    col_mask = idx >= 0
+    safe_idx = jnp.where(col_mask, idx, 0)
+    g0 = jnp.where(col_mask, jnp.take(g0_path, safe_idx), 0.0)
+    g1 = jnp.where(col_mask, jnp.take(g1_path, safe_idx), 0.0)
+    g0 = g0.astype(jnp.float64)
+    g1 = g1.astype(jnp.float64)
+
+    total_sum = jnp.sum(g0 + g1, axis=-1)                     # [S]
+
+    keep = col_mask & ((g0 + g1) != 0)                        # kept columns
+    k = jnp.sum(keep, axis=-1)                                # [S]
+
+    # MAF filter over kept columns (snarl_analyzer.cpp:705-732): the
+    # per-column frequency is group1's share of the column.
+    colsum = g0 + g1
+    safe_colsum = jnp.where(colsum == 0, 1.0, colsum)
+    freq1 = g1 / safe_colsum
+    maf = jnp.minimum(freq1, 1.0 - freq1)
+    maf_count = jnp.sum(keep & (maf > maf_threshold), axis=-1)
+
+    filtered = (
+        (jnp.floor_divide(total_sum, 2) < min_individuals)
+        | (total_sum < min_haplotypes)
+        | (k < 2)
+        | (maf_count < 2)
+    )
+
+    # Order kept columns first (stable, preserving original order) so the
+    # first two kept columns feed the 2x2 tests.
+    order = jnp.argsort(~keep, axis=-1, stable=True)          # [S, Pmax]
+    g0_sorted = jnp.take_along_axis(g0, order, axis=-1)
+    g1_sorted = jnp.take_along_axis(g1, order, axis=-1)
+    a, b = g0_sorted[:, 0], g0_sorted[:, 1]
+    c, d = g1_sorted[:, 0], g1_sorted[:, 1]
+
+    p_chi2_2x2 = chi2_2x2(a, b, c, d)
+    p_fisher = fisher_exact_2x2(a, b, c, d)
+    p_chi2_n = chi2_2xn(g0, g1, keep)
+
+    is_2x2 = k == 2
+    p_chi2 = jnp.where(is_2x2, p_chi2_2x2, p_chi2_n)
+    p_fisher = jnp.where(is_2x2, p_fisher, jnp.nan)
+
+    return {
+        "filtered": filtered,
+        "keep": keep,
+        "g0": g0,
+        "g1": g1,
+        "k": k,
+        "p_chi2": p_chi2,
+        "p_fisher": p_fisher,
+    }
+
+
+def binary_analyze_chromosome(packed: PackedChromosome,
+                              binary_phenotype: np.ndarray,
+                              min_individuals: int, min_haplotypes: int,
+                              maf_threshold: float) -> Dict[str, np.ndarray]:
+    """Host wrapper: build the phenotype one-hot and run the device graph."""
+    pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
+    out = binary_tables_device(
+        jnp.asarray(packed.matrix, jnp.float32),
+        jnp.asarray(packed.coo_path),
+        jnp.asarray(packed.coo_row),
+        jnp.asarray(packed.n_edges_per_path),
+        jnp.asarray(packed.path_valid),
+        jnp.asarray(packed.snarl_path_idx),
+        jnp.asarray(pheno_hap),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+        num_paths=int(packed.n_edges_per_path.shape[0]),
+    )
+    return {key: np.asarray(value) for key, value in out.items()}

@@ -1,0 +1,292 @@
+"""Quantitative / binary+covariate / eQTL table pipeline.
+
+Batched equivalent of create_quantitative_table + filtration + column
+merging + the regression dispatch (/root/reference/src/quantitative_table.cpp,
+snarl_analyzer.cpp:392-539,541-684):
+
+  per snarl:
+    dosage[sample, path] = # haplotypes of the sample taking the path
+    drop empty columns (no carriers)
+    rows = samples carrying any kept path; dosages normalized to fractions
+           of the row sum (quantitative_table.cpp:87-101)
+    filter if kept cols < 2, used rows < min_individuals, total normalized
+           mass < min_haplotypes, or < 2 columns with maf > threshold
+    merge identical columns by summation when >= 3 kept columns
+           (snarl_analyzer.cpp:620-674)
+    drop the last merged column (intercept collinearity guard, :676-684)
+    OLS [1 | dosages | covariates]  (quantitative mode, eQTL)
+    IRLS [1 | dosages]              (binary+covariate mode — the reference
+           never adds covariates to the logistic design, see
+           stoat_tpu.stats.logreg docstring)
+
+Reference edge case: if merging collapses everything to a single column,
+``remove_last_columns`` leaves an empty design and the C++ reads
+``p_values[0]`` of an empty vector (undefined behaviour,
+stats_test.cpp:487).  We return NA for those snarls instead.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+from stoat_tpu import jaxconfig  # noqa: F401
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stoat_tpu.pipeline.membership import path_membership
+from stoat_tpu.stats.linreg import linear_regression_batch
+from stoat_tpu.stats.logreg import logistic_regression_batch
+from stoat_tpu.tables import PackedChromosome
+
+__all__ = [
+    "quantitative_design_device",
+    "quantitative_analyze_chromosome",
+    "binary_covar_analyze_chromosome",
+    "eqtl_design_for_chromosome",
+]
+
+
+@partial(jax.jit, static_argnames=("num_paths", "with_covar"))
+def quantitative_design_device(matrix_f32, coo_path, coo_row,
+                               n_edges_per_path, path_valid, snarl_path_idx,
+                               covar, min_individuals, min_haplotypes,
+                               maf_threshold, num_paths: int,
+                               with_covar: bool):
+    """Build per-snarl padded design matrices + filtration flags on device.
+
+    Returns dict with:
+      X:            [S, N, PT] float64 padded design (rows zeroed if unused)
+      used:         [S, N] bool
+      ncols:        [S] int32 actual design width
+      filtered:     [S] bool
+      degenerate:   [S] bool (no variant columns survive — reference UB)
+      allele_paths: [S, Pmax] int32 carrier counts per original path
+    """
+    membership = path_membership(
+        matrix_f32, coo_path, coo_row, n_edges_per_path, path_valid,
+        num_paths)                                            # [P, H] bool
+
+    counts_path = jnp.sum(membership, axis=1).astype(jnp.int32)   # [P]
+    m_f32 = membership.astype(jnp.float32)
+    # haplotypes (2i, 2i+1) collapse to a per-sample dosage count
+    dosage = m_f32[:, 0::2] + m_f32[:, 1::2]                  # [P, N]
+
+    idx = snarl_path_idx                                      # [S, Pmax]
+    S, Pmax = idx.shape
+    N = dosage.shape[1]
+    col_exists = idx >= 0
+    safe_idx = jnp.where(col_exists, idx, 0)
+
+    allele_paths = jnp.where(col_exists, jnp.take(counts_path, safe_idx), 0)
+    D = jnp.take(dosage, safe_idx, axis=0)                    # [S, Pmax, N]
+    D = jnp.where(col_exists[:, :, None], D, 0.0)
+    D = jnp.transpose(D, (0, 2, 1)).astype(jnp.float64)       # [S, N, Pmax]
+
+    kept = col_exists & (allele_paths > 0)                    # [S, Pmax]
+    Dk = jnp.where(kept[:, None, :], D, 0.0)
+
+    used = jnp.any(Dk > 0, axis=-1)                           # [S, N]
+    row_sum = jnp.sum(Dk, axis=-1)
+    safe_row_sum = jnp.where(row_sum == 0, 1.0, row_sum)
+    norm = jnp.where(Dk > 0, Dk / safe_row_sum[:, :, None], 0.0)
+
+    n_used = jnp.sum(used, axis=-1)
+    total_sum = jnp.sum(norm, axis=(1, 2))
+    colsum = jnp.sum(norm, axis=1)                            # [S, Pmax]
+    kept_count = jnp.sum(kept, axis=-1)
+
+    safe_total = jnp.where(total_sum == 0, 1.0, total_sum)
+    freq = colsum / safe_total[:, None]
+    maf = jnp.minimum(freq, 1.0 - freq)
+    maf_count = jnp.sum(kept & (maf > maf_threshold), axis=-1)
+
+    filtered = (
+        (kept_count < 2)
+        | (n_used < min_individuals)
+        | (total_sum < min_haplotypes)
+        | (maf_count < 2)
+    )
+
+    # ---- identical-column merge (>= 3 kept columns) --------------------
+    # eq[s,i,j]: columns i and j agree on every used row
+    same = norm[:, :, :, None] == norm[:, :, None, :]         # [S, N, P, P]
+    eq = jnp.all(same | ~used[:, :, None, None], axis=1)      # [S, P, P]
+    eq = eq & kept[:, :, None] & kept[:, None, :]
+    arange = jnp.arange(Pmax)
+    big = Pmax + 1
+    rep = jnp.min(jnp.where(eq, arange[:, None], big), axis=1)  # [S, Pmax]
+    do_merge = (kept_count >= 3)[:, None]
+    rep = jnp.where(do_merge, rep, jnp.where(kept, arange[None, :], big))
+
+    # merged[:, :, i] = sum of norm columns whose representative is i
+    group = (rep[:, None, :] == arange[None, :, None])        # [S, Pi, Pj]
+    merged = jnp.einsum("snj,sij->sni", norm, group.astype(norm.dtype))
+    is_rep = kept & (rep == arange[None, :])
+
+    # ---- drop the last (merged) column ---------------------------------
+    rev_last = jnp.argmax(jnp.flip(is_rep, axis=-1), axis=-1)
+    last_rep = Pmax - 1 - rev_last                            # [S]
+    any_rep = jnp.any(is_rep, axis=-1)
+    var_cols = is_rep & (arange[None, :] != last_rep[:, None])
+    k3 = jnp.sum(var_cols, axis=-1)                           # [S]
+    degenerate = any_rep & (k3 == 0)
+
+    # ---- assemble X = [1 | variant cols | covariates] ------------------
+    C = covar.shape[1] if with_covar else 0
+    PT = 1 + Pmax + C
+    order = jnp.argsort(~var_cols, axis=-1, stable=True)      # [S, Pmax]
+
+    ones_col = jnp.ones((S, N, 1), jnp.float64)
+    zeros_col = jnp.zeros((S, N, 1), jnp.float64)
+    if with_covar:
+        covar_b = jnp.broadcast_to(covar[None], (S, N, C)).astype(jnp.float64)
+        srcs = jnp.concatenate([merged, covar_b, ones_col, zeros_col], axis=-1)
+    else:
+        srcs = jnp.concatenate([merged, ones_col, zeros_col], axis=-1)
+    ones_src = Pmax + C
+    zeros_src = Pmax + C + 1
+
+    t = jnp.arange(PT)[None, :]                               # [1, PT]
+    k3b = k3[:, None]
+    var_slot = jnp.clip(t - 1, 0, Pmax - 1)
+    var_src = jnp.take_along_axis(order, var_slot, axis=-1)   # [S, PT]
+    src = jnp.where(
+        t == 0, ones_src,
+        jnp.where(t - 1 < k3b, var_src,
+                  jnp.where(t - 1 - k3b < C, Pmax + (t - 1 - k3b),
+                            zeros_src)))
+    X = jnp.take_along_axis(srcs, src[:, None, :].repeat(N, axis=1), axis=-1)
+    X = jnp.where(used[:, :, None], X, 0.0)
+    ncols = (1 + k3 + C).astype(jnp.int32)
+
+    return {
+        "X": X,
+        "used": used,
+        "ncols": ncols,
+        "filtered": filtered,
+        "degenerate": degenerate,
+        "allele_paths": allele_paths,
+        "norm": norm,
+        "kept": kept,
+    }
+
+
+def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
+                min_individuals: int, min_haplotypes: int,
+                maf_threshold: float, with_covar: bool):
+    C = 0 if covar is None else covar.shape[1]
+    covar_in = (np.zeros((packed.matrix.shape[1] // 2, 0))
+                if covar is None else covar)
+    return quantitative_design_device(
+        jnp.asarray(packed.matrix, jnp.float32),
+        jnp.asarray(packed.coo_path),
+        jnp.asarray(packed.coo_row),
+        jnp.asarray(packed.n_edges_per_path),
+        jnp.asarray(packed.path_valid),
+        jnp.asarray(packed.snarl_path_idx),
+        jnp.asarray(covar_in, jnp.float64),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+        num_paths=int(packed.n_edges_per_path.shape[0]),
+        with_covar=with_covar and C > 0,
+    )
+
+
+def quantitative_analyze_chromosome(packed: PackedChromosome,
+                                    phenotype: np.ndarray,
+                                    covar: Optional[np.ndarray],
+                                    min_individuals: int,
+                                    min_haplotypes: int,
+                                    maf_threshold: float) -> Dict[str, np.ndarray]:
+    """OLS per snarl.  Returns per-snarl arrays incl. formatted inputs."""
+    design = _design_for(packed, covar, min_individuals, min_haplotypes,
+                         maf_threshold, with_covar=True)
+    used = design["used"]
+    y = jnp.asarray(phenotype, jnp.float64)[None, :] * used
+    p, beta, se, r2 = linear_regression_batch(
+        design["X"], y, used, design["ncols"])
+    nan = jnp.nan
+    degenerate = design["degenerate"]
+    out = {
+        "filtered": design["filtered"],
+        "allele_paths": design["allele_paths"],
+        "p": jnp.where(degenerate, nan, p),
+        "beta": jnp.where(degenerate, nan, beta),
+        "se": jnp.where(degenerate, nan, se),
+        "r2": jnp.where(degenerate, nan, r2),
+        "norm": design["norm"],
+        "used": used,
+        "kept": design["kept"],
+    }
+    return {key: np.asarray(value) for key, value in out.items()}
+
+
+def binary_covar_analyze_chromosome(packed: PackedChromosome,
+                                    binary_phenotype: np.ndarray,
+                                    covar: Optional[np.ndarray],
+                                    min_individuals: int,
+                                    min_haplotypes: int,
+                                    maf_threshold: float) -> Dict[str, np.ndarray]:
+    """IRLS logistic per snarl (covariates ignored in the model, as in the
+    reference — see module docstring)."""
+    design = _design_for(packed, covar, min_individuals, min_haplotypes,
+                         maf_threshold, with_covar=False)
+    used = design["used"]
+    y = jnp.asarray(binary_phenotype.astype(np.float64))[None, :] * used
+    p, beta, se = logistic_regression_batch(
+        design["X"], y, used, design["ncols"])
+    nan = jnp.nan
+    degenerate = design["degenerate"]
+    out = {
+        "filtered": design["filtered"],
+        "allele_paths": design["allele_paths"],
+        "p": jnp.where(degenerate, nan, p),
+        "beta": jnp.where(degenerate, nan, beta),
+        "se": jnp.where(degenerate, nan, se),
+        "norm": design["norm"],
+        "used": used,
+        "kept": design["kept"],
+    }
+    return {key: np.asarray(value) for key, value in out.items()}
+
+
+def eqtl_design_for_chromosome(packed: PackedChromosome,
+                               covar: Optional[np.ndarray],
+                               min_individuals: int, min_haplotypes: int,
+                               maf_threshold: float):
+    """Shared design for the eQTL mode; the caller pairs snarls with genes
+    and runs OLS per (snarl, gene)."""
+    design = _design_for(packed, covar, min_individuals, min_haplotypes,
+                         maf_threshold, with_covar=True)
+    return design
+
+
+def eqtl_regress_pairs(design, pair_snarl: np.ndarray,
+                       expr: np.ndarray) -> Dict[str, np.ndarray]:
+    """OLS for (snarl, gene) pairs.
+
+    Args:
+      design: output of eqtl_design_for_chromosome (device arrays).
+      pair_snarl: [B] snarl row per pair.
+      expr: [B, N] expression phenotype per pair (gene rows already
+        gathered on host).
+    """
+    ps = jnp.asarray(pair_snarl)
+    X = design["X"][ps]
+    used = design["used"][ps]
+    ncols = design["ncols"][ps]
+    degenerate = design["degenerate"][ps]
+    y = jnp.asarray(expr, jnp.float64) * used
+    p, beta, se, r2 = linear_regression_batch(X, y, used, ncols)
+    nan = jnp.nan
+    out = {
+        "p": jnp.where(degenerate, nan, p),
+        "beta": jnp.where(degenerate, nan, beta),
+        "se": jnp.where(degenerate, nan, se),
+        "r2": jnp.where(degenerate, nan, r2),
+    }
+    return {key: np.asarray(value) for key, value in out.items()}

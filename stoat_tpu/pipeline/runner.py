@@ -1,0 +1,253 @@
+"""VCF-mode orchestration: stream → pack → device batch → TSV.
+
+Equivalent of SnarlAnalyzer::process_snarls_by_chromosome_chunk
+(/root/reference/src/snarl_analyzer.cpp:110-188): the VCF is read one
+chromosome at a time (only that chromosome's edge matrix is resident),
+every snarl of the chromosome is analyzed in one batched device dispatch,
+and rows stream to the output TSV in snarl-file order (deterministic —
+the reference's OpenMP ordering is nondeterministic, but its own system
+tests compare order-insensitively keyed by SNARL,
+tests/system/compare_files_utils.cpp:226-252).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from stoat_tpu.formatting import is_pvalue_significant, pair_to_string
+from stoat_tpu.io.phenotype import QtlData
+from stoat_tpu.io.snarl_file import SnarlData
+from stoat_tpu.io.vcf import VcfReader
+from stoat_tpu.matrix import EdgeHaplotypeMatrix
+from stoat_tpu.pipeline.binary import binary_analyze_chromosome
+from stoat_tpu.pipeline.quantitative import (
+    binary_covar_analyze_chromosome,
+    eqtl_design_for_chromosome,
+    eqtl_regress_pairs,
+    quantitative_analyze_chromosome,
+)
+from stoat_tpu.tables import pack_chromosome
+from stoat_tpu import writer as W
+
+logger = logging.getLogger("stoat")
+
+__all__ = ["run_vcf_analysis", "found_gene_snarl"]
+
+
+def found_gene_snarl(gene_position: List[QtlData], start_pos: int,
+                     end_pos: int, window: int) -> List[int]:
+    """Genes overlapping [start-window, end+window]
+    (snarl_analyzer.cpp:471-491)."""
+    lo = start_pos - window if start_pos > window else 0
+    hi = end_pos + window
+    return [i for i, g in enumerate(gene_position)
+            if not (g.end_pos < lo or g.start_pos > hi)]
+
+
+def run_vcf_analysis(
+    vcf_path: str,
+    snarls_chr: Dict[str, List[SnarlData]],
+    output_tsv: str,
+    mode: str,                       # binary | binary_covar | quantitative | eqtl
+    binary_phenotype: Optional[np.ndarray] = None,
+    quantitative_phenotype: Optional[np.ndarray] = None,
+    eqtl_map: Optional[Dict[str, List[QtlData]]] = None,
+    covariate: Optional[np.ndarray] = None,
+    maf_threshold: float = 0.05,
+    table_threshold: float = -1,
+    min_individuals: int = 3,
+    min_haplotypes: int = 5,
+    windows_gene_threshold: int = 1000000,
+    regression_dir: str = "",
+    sample_names: Optional[List[str]] = None,
+) -> int:
+    """Run the full GWAS over a VCF.  Returns total snarls filtered."""
+    reader = VcfReader(vcf_path)
+    samples = sample_names or reader.samples
+    n_hap = 2 * len(samples)
+
+    total_filtered = 0
+    with open(output_tsv, "w", newline="") as outf:
+        if mode == "binary":
+            W.write_binary_header(outf)
+        elif mode == "binary_covar":
+            W.write_binary_covar_header(outf)
+        elif mode == "quantitative":
+            W.write_quantitative_header(outf)
+        elif mode == "eqtl":
+            W.write_eqtl_header(outf)
+        else:
+            raise ValueError(f"unknown mode {mode}")
+
+        for chrom, records in reader.chromosome_chunks():
+            if chrom not in snarls_chr:
+                logger.warning("Chromosome %s not found in snarl paths "
+                               "file. Skipping.", chrom)
+                continue
+            t0 = time.time()
+            logger.info("Analysing chr : %s", chrom)
+
+            matrix = EdgeHaplotypeMatrix(
+                n_hap, initial_rows=max(4 * len(snarls_chr[chrom]), 64))
+            for rec in records:
+                matrix.add_record(rec)
+            t1 = time.time()
+            logger.info("Matrix time construction in chr %s : %.3f s",
+                        chrom, t1 - t0)
+
+            snarls = snarls_chr[chrom]
+            packed = pack_chromosome(snarls, matrix)
+
+            if mode == "binary":
+                filtered = _write_binary(outf, chrom, packed,
+                                         binary_phenotype, min_individuals,
+                                         min_haplotypes, maf_threshold)
+            elif mode == "binary_covar":
+                filtered = _write_binary_covar(
+                    outf, chrom, packed, binary_phenotype, covariate,
+                    min_individuals, min_haplotypes, maf_threshold,
+                    table_threshold, regression_dir, samples)
+            elif mode == "quantitative":
+                filtered = _write_quantitative(
+                    outf, chrom, packed, quantitative_phenotype, covariate,
+                    min_individuals, min_haplotypes, maf_threshold,
+                    table_threshold, regression_dir, samples)
+            else:
+                filtered = _write_eqtl(
+                    outf, chrom, packed, eqtl_map.get(chrom, []), covariate,
+                    min_individuals, min_haplotypes, maf_threshold,
+                    windows_gene_threshold, table_threshold, regression_dir,
+                    samples)
+
+            total_filtered += filtered
+            t2 = time.time()
+            logger.info("Number of snarl filtered in chr %s : %d",
+                        chrom, filtered)
+            logger.info("Snarl time analysis in chr %s : %.3f s",
+                        chrom, t2 - t1)
+            logger.info("Total time for chr %s : %.3f s", chrom, t2 - t0)
+
+    reader.close()
+    logger.info("Total number of snarl filtered : %d", total_filtered)
+    return total_filtered
+
+
+def _write_binary(outf, chrom, packed, phenotype, min_individuals,
+                  min_haplotypes, maf_threshold) -> int:
+    res = binary_analyze_chromosome(packed, phenotype, min_individuals,
+                                    min_haplotypes, maf_threshold)
+    filtered = 0
+    for s, snarl in enumerate(packed.snarls):
+        if res["filtered"][s]:
+            filtered += 1
+            continue
+        keep = res["keep"][s]
+        g0 = res["g0"][s][keep].astype(np.int64)
+        g1 = res["g1"][s][keep].astype(np.int64)
+        W.write_binary_row(
+            outf, chrom, snarl, snarl.type_var_str,
+            W.format_p(res["p_fisher"][s]), W.format_p(res["p_chi2"][s]),
+            W.format_group_paths(g0, g1))
+    return filtered
+
+
+def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,
+                       samples) -> None:
+    """Dump the per-snarl sample×path table for significant hits
+    (snarl_analyzer.cpp:418-421; writer.cpp:181-208)."""
+    if table_threshold == -1 or not is_pvalue_significant(table_threshold,
+                                                          p_str):
+        return
+    used = res["used"][s]
+    kept = res["kept"][s]
+    table = res["norm"][s][used][:, kept]
+    used_samples = [name for name, u in zip(samples, used) if u]
+    out_path = os.path.join(regression_dir,
+                            pair_to_string(snarl.snarl_ids) + ".tsv")
+    W.write_significant_table(out_path, table, snarl.path_strings,
+                              used_samples)
+
+
+def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, regression_dir, samples) -> int:
+    res = binary_covar_analyze_chromosome(
+        packed, phenotype, covariate, min_individuals, min_haplotypes,
+        maf_threshold)
+    filtered = 0
+    for s, snarl in enumerate(packed.snarls):
+        if res["filtered"][s]:
+            filtered += 1
+            continue
+        p_str = W.format_p(res["p"][s])
+        _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                           regression_dir, samples)
+        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+        W.write_binary_covar_row(
+            outf, chrom, snarl, snarl.type_var_str, p_str,
+            W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
+            allele_paths)
+    return filtered
+
+
+def _write_quantitative(outf, chrom, packed, phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, regression_dir, samples) -> int:
+    res = quantitative_analyze_chromosome(
+        packed, phenotype, covariate, min_individuals, min_haplotypes,
+        maf_threshold)
+    filtered = 0
+    for s, snarl in enumerate(packed.snarls):
+        if res["filtered"][s]:
+            filtered += 1
+            continue
+        p_str = W.format_p(res["p"][s])
+        _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                           regression_dir, samples)
+        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+        W.write_quantitative_row(
+            outf, chrom, snarl, snarl.type_var_str, p_str,
+            W.format_p(res["r2"][s]), W.format_p(res["beta"][s]),
+            W.format_p(res["se"][s]), allele_paths)
+    return filtered
+
+
+def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
+                min_haplotypes, maf_threshold, window, table_threshold,
+                regression_dir, samples) -> int:
+    design = eqtl_design_for_chromosome(
+        packed, covariate, min_individuals, min_haplotypes, maf_threshold)
+    filtered_arr = np.asarray(design["filtered"])
+    used_arr = np.asarray(design["used"])
+    allele_arr = np.asarray(design["allele_paths"])
+
+    pair_snarl: List[int] = []
+    pair_gene: List[int] = []
+    filtered = 0
+    for s, snarl in enumerate(packed.snarls):
+        if filtered_arr[s]:
+            filtered += 1
+            continue
+        for g in found_gene_snarl(gene_list, snarl.start_pos, snarl.end_pos,
+                                  window):
+            pair_snarl.append(s)
+            pair_gene.append(g)
+
+    if pair_snarl:
+        expr = np.stack([gene_list[g].sample_expression for g in pair_gene])
+        res = eqtl_regress_pairs(design, np.array(pair_snarl), expr)
+        for b, (s, g) in enumerate(zip(pair_snarl, pair_gene)):
+            snarl = packed.snarls[s]
+            p_str = W.format_p(res["p"][b])
+            allele_paths = allele_arr[s][: len(snarl.paths)]
+            W.write_eqtl_row(
+                outf, chrom, snarl, snarl.type_var_str,
+                gene_list[g].gene_name, p_str, W.format_p(res["r2"][b]),
+                W.format_p(res["beta"][b]), W.format_p(res["se"][b]),
+                allele_paths)
+    return filtered

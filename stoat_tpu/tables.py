@@ -1,0 +1,148 @@
+"""Ragged→dense packing of snarl paths for the batched device pipeline.
+
+The reference tests snarls one at a time (identify_path bit scans per path,
+snarl_analyzer.cpp:315-356).  Here a whole chromosome's snarls are packed
+into padded tensors once:
+
+  - every snarl path becomes a row in a flat path table; its graph edges
+    (skipping ``*``/node-0 edges, snarl_analyzer.cpp:328-330) are resolved
+    against the chromosome's edge matrix into a COO (path, edge-row) list;
+  - haplotype membership for ALL paths is then a single segment-sum +
+    compare on device: a haplotype takes a path iff it has every edge
+    (counts == n_edges), with zero-edge paths matching every haplotype and
+    paths with unresolved edges matching none (identify_path's early-abort,
+    snarl_analyzer.cpp:334-336);
+  - per-snarl tables are padded [n_snarls, max_paths] gathers over the flat
+    path axis.
+
+Shapes are padded to powers of two to bound XLA recompilation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stoat_tpu.io.snarl_file import SnarlData, path_to_edges
+from stoat_tpu.matrix import EdgeHaplotypeMatrix
+
+__all__ = ["PackedChromosome", "pack_chromosome", "next_pow2"]
+
+
+def next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+@dataclass
+class PackedChromosome:
+    """Dense batch of one chromosome's snarls against its edge matrix."""
+
+    matrix: np.ndarray          # [E, H] bool
+    coo_path: np.ndarray        # [nnz] int32 — flat path index per edge ref
+    coo_row: np.ndarray         # [nnz] int32 — edge matrix row per edge ref
+    n_edges_per_path: np.ndarray  # [P] int32 (star edges excluded)
+    path_valid: np.ndarray      # [P] bool — False if any edge unresolved
+    snarl_path_idx: np.ndarray  # [S, Pmax] int32, -1 padding
+    snarl_mask: np.ndarray      # [S] bool — False for padded snarl slots
+    n_paths: int                # real flat path count (pre-padding)
+    n_snarls: int               # real snarl count
+    snarls: List[SnarlData]     # host-side metadata, real snarls only
+
+    @property
+    def n_haplotypes(self) -> int:
+        return self.matrix.shape[1]
+
+
+def pack_chromosome(snarls: Sequence[SnarlData],
+                    edge_matrix: EdgeHaplotypeMatrix,
+                    pad_snarls: bool = True) -> PackedChromosome:
+    """Resolve snarl paths against the chromosome edge matrix and pack."""
+    coo_path: List[int] = []
+    coo_row: List[int] = []
+    n_edges: List[int] = []
+    valid: List[bool] = []
+
+    max_paths = 2
+    flat_index = 0
+    snarl_rows: List[List[int]] = []
+
+    for snarl in snarls:
+        row: List[int] = []
+        for path in snarl.paths:
+            edges = path_to_edges(path)
+            ok = True
+            count = 0
+            for e in edges:
+                # '*' edges (node id 0) are skipped, not resolved
+                if e[0][0] == 0 or e[1][0] == 0:
+                    continue
+                r = edge_matrix.find_edge(e)
+                if r < 0:
+                    ok = False
+                    break
+                coo_path.append(flat_index)
+                coo_row.append(r)
+                count += 1
+            if not ok:
+                # Drop this path's partial edge refs; it matches nothing.
+                while coo_path and coo_path[-1] == flat_index:
+                    coo_path.pop()
+                    coo_row.pop()
+                count = 0
+            n_edges.append(count)
+            valid.append(ok)
+            row.append(flat_index)
+            flat_index += 1
+        snarl_rows.append(row)
+        max_paths = max(max_paths, len(row))
+
+    P = next_pow2(max(flat_index, 1))
+    Pmax = next_pow2(max_paths)
+    S_real = len(snarls)
+    S = next_pow2(max(S_real, 1)) if pad_snarls else max(S_real, 1)
+
+    n_edges_arr = np.zeros(P, np.int32)
+    n_edges_arr[:flat_index] = n_edges
+    valid_arr = np.zeros(P, bool)
+    valid_arr[:flat_index] = valid
+    # Padded path slots are invalid: they match no haplotype.
+
+    idx = np.full((S, Pmax), -1, np.int32)
+    for s, row in enumerate(snarl_rows):
+        idx[s, : len(row)] = row
+    mask = np.zeros(S, bool)
+    mask[:S_real] = True
+
+    nnz = len(coo_path)
+    nnz_pad = next_pow2(max(nnz, 1))
+    coo_path_arr = np.full(nnz_pad, P - 1, np.int32)
+    coo_row_arr = np.zeros(nnz_pad, np.int32)
+    coo_path_arr[:nnz] = coo_path
+    coo_row_arr[:nnz] = coo_row
+    # Padding COO entries point at the last (padded, invalid) path slot and
+    # edge row 0; they inflate that slot's count but it is already invalid.
+    # Guard: if P-1 is a real path (flat_index == P), add a scratch row.
+    if flat_index == P and nnz_pad > nnz:
+        # extend path axis by one padded slot
+        P += 1
+        n_edges_arr = np.append(n_edges_arr, np.int32(0))
+        valid_arr = np.append(valid_arr, False)
+        coo_path_arr[nnz:] = P - 1
+
+    return PackedChromosome(
+        matrix=edge_matrix.shrink(),
+        coo_path=coo_path_arr,
+        coo_row=coo_row_arr,
+        n_edges_per_path=n_edges_arr,
+        path_valid=valid_arr,
+        snarl_path_idx=idx,
+        snarl_mask=mask,
+        n_paths=flat_index,
+        n_snarls=S_real,
+        snarls=list(snarls),
+    )

@@ -1,0 +1,115 @@
+"""Output TSV writers — byte-parity with /root/reference/src/writer.cpp.
+
+Column layouts (writer.cpp:7-21):
+  binary:       #CHR START_POS END_POS SNARL PATH_LENGTHS P_FISHER P_CHI2 GROUP_PATHS DEPTH
+  binary+covar: #CHR START_POS END_POS SNARL PATH_LENGTHS P BETA SE ALLELE_PATHS DEPTH
+  quantitative: #CHR START_POS END_POS SNARL PATH_LENGTHS P RSQUARE BETA SE ALLELE_PATHS DEPTH
+  eQTL:         #CHR START_POS END_POS SNARL PATH_LENGTHS GENE P RSQUARE BETA SE ALLELE_PATHS DEPTH
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from stoat_tpu.formatting import set_precision
+from stoat_tpu.io.snarl_file import SnarlData
+
+__all__ = [
+    "format_p",
+    "format_group_paths",
+    "write_binary_header", "write_binary_row",
+    "write_binary_covar_header", "write_binary_covar_row",
+    "write_quantitative_header", "write_quantitative_row",
+    "write_eqtl_header", "write_eqtl_row",
+    "write_significant_table",
+]
+
+BINARY_HEADER = ("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tP_FISHER\t"
+                 "P_CHI2\tGROUP_PATHS\tDEPTH\n")
+BINARY_COVAR_HEADER = ("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tP\t"
+                       "BETA\tSE\tALLELE_PATHS\tDEPTH\n")
+QUANTITATIVE_HEADER = ("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tP\t"
+                       "RSQUARE\tBETA\tSE\tALLELE_PATHS\tDEPTH\n")
+EQTL_HEADER = ("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tGENE\tP\t"
+               "RSQUARE\tBETA\tSE\tALLELE_PATHS\tDEPTH\n")
+
+
+def format_p(value: float) -> str:
+    """Render a kernel p-value/statistic: NaN becomes "NA"."""
+    if value != value:
+        return "NA"
+    return set_precision(value)
+
+
+def format_group_paths(g0: Sequence[int], g1: Sequence[int]) -> str:
+    """``g0:g1,g0:g1,...`` (binary_table.cpp:6-17)."""
+    return ",".join(f"{int(a)}:{int(b)}" for a, b in zip(g0, g1))
+
+
+def write_binary_header(fh) -> None:
+    fh.write(BINARY_HEADER)
+
+
+def write_binary_row(fh, chrom: str, snarl: SnarlData, type_var_str: str,
+                     p_fisher: str, p_chi2: str, group_paths: str) -> None:
+    fh.write(f"{chrom}\t{snarl.start_pos}\t{snarl.end_pos}\t"
+             f"{snarl.snarl_id_str}\t{type_var_str}\t{p_fisher}\t{p_chi2}\t"
+             f"{group_paths}\t{snarl.depth}\n")
+
+
+def write_binary_covar_header(fh) -> None:
+    fh.write(BINARY_COVAR_HEADER)
+
+
+def write_binary_covar_row(fh, chrom: str, snarl: SnarlData,
+                           type_var_str: str, p: str, beta: str, se: str,
+                           allele_paths: Sequence[int]) -> None:
+    ap = ",".join(str(int(x)) for x in allele_paths)
+    fh.write(f"{chrom}\t{snarl.start_pos}\t{snarl.end_pos}\t"
+             f"{snarl.snarl_id_str}\t{type_var_str}\t{p}\t{beta}\t{se}\t"
+             f"{ap}\t{snarl.depth}\n")
+
+
+def write_quantitative_header(fh) -> None:
+    fh.write(QUANTITATIVE_HEADER)
+
+
+def write_quantitative_row(fh, chrom: str, snarl: SnarlData,
+                           type_var_str: str, p: str, r2: str, beta: str,
+                           se: str, allele_paths: Sequence[int]) -> None:
+    ap = ",".join(str(int(x)) for x in allele_paths)
+    fh.write(f"{chrom}\t{snarl.start_pos}\t{snarl.end_pos}\t"
+             f"{snarl.snarl_id_str}\t{type_var_str}\t{p}\t{r2}\t{beta}\t{se}\t"
+             f"{ap}\t{snarl.depth}\n")
+
+
+def write_eqtl_header(fh) -> None:
+    fh.write(EQTL_HEADER)
+
+
+def write_eqtl_row(fh, chrom: str, snarl: SnarlData, type_var_str: str,
+                   gene: str, p: str, r2: str, beta: str, se: str,
+                   allele_paths: Sequence[int]) -> None:
+    ap = ",".join(str(int(x)) for x in allele_paths)
+    fh.write(f"{chrom}\t{snarl.start_pos}\t{snarl.end_pos}\t"
+             f"{snarl.snarl_id_str}\t{type_var_str}\t{gene}\t{p}\t{r2}\t"
+             f"{beta}\t{se}\t{ap}\t{snarl.depth}\n")
+
+
+def write_significant_table(path: str, table: np.ndarray,
+                            path_names: List[str],
+                            sample_names: List[str]) -> None:
+    """Per-snarl sample×path dosage dump for significant hits
+    (writer.cpp:181-208)."""
+    with open(path, "w") as fh:
+        fh.write("sample_name")
+        for name in path_names:
+            fh.write("\t" + name)
+        fh.write("\n")
+        for sample, row in zip(sample_names, table):
+            fh.write(sample)
+            for value in row:
+                fh.write(f"\t{value:g}")
+            fh.write("\n")
