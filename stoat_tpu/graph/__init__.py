@@ -1,0 +1,25 @@
+"""Graph layer: GFA loading, snarl decomposition, graph-mode association.
+
+The reference consumes vg's binary formats (.pg/.hg/.gbz + .dist
+SnarlDistanceIndex) through the vendored libbdsg/libhandlegraph stack
+(/root/reference/src/snarl_data_t.cpp:346-379).  stoat-tpu is built around
+the open GFA interchange format instead (every vg format converts with
+``vg convert -f``), and computes its own snarl decomposition from the graph
+structure — no .dist file needed:
+
+  - ``stoat_tpu.graph.gfa``: GFA v1 parser (S/L/P/W lines) into a
+    bidirected graph with embedded paths
+  - ``stoat_tpu.graph.snarls``: superbubble-based snarl tree construction
+    (SCC condensation + minimal separable pairs, nested into chains)
+  - ``stoat_tpu.graph.decompose``: per-snarl path enumeration to the
+    ``snarl_analyse.tsv`` schema (snarl_data_t.cpp:645-773)
+  - ``stoat_tpu.graph.association``: graph-mode sample partitioning and
+    association tests (partitioner.cpp, graph_path_association_finder.cpp)
+"""
+
+from stoat_tpu.graph.gfa import GfaGraph, load_gfa
+from stoat_tpu.graph.decompose import decompose_to_snarl_file
+from stoat_tpu.graph.association import run_graph_association
+
+__all__ = ["GfaGraph", "load_gfa", "decompose_to_snarl_file",
+           "run_graph_association"]

@@ -49,7 +49,11 @@ def _fisher_single(m11, m12, m21, m22):
     m21, m22 = jnp.where(swap_cols, m22, m21), jnp.where(swap_cols, m21, m22)
 
     f = jnp.float64
-    tprob0 = (1.0 - _EPS2) * _BIAS
+    # Derive "constants" from the (possibly shard-varying) inputs so that
+    # while_loop carries keep consistent varying-axis types under shard_map.
+    zero = m11 * 0.0
+    izero = zero.astype(jnp.int32)
+    tprob0 = zero + (1.0 - _EPS2) * _BIAS
 
     # ---- Phase 1: scan right tail until prob drops below bias ----------
     # state: (cur11, cur12, cur21, cur22, cur_prob, cprob, tprob, status)
@@ -73,8 +77,7 @@ def _fisher_single(m11, m12, m21, m22):
                             jnp.where(under, jnp.int32(1), jnp.int32(0)))
         return (c11n, c12n, c21n, c22n, probn, cprobn, tprobn, statusn)
 
-    s = (f(m11), f(m12), f(m21), f(m22), jnp.float64(tprob0), jnp.float64(0.0),
-         jnp.float64(tprob0), jnp.int32(0))
+    s = (f(m11), f(m12), f(m21), f(m22), tprob0, zero, tprob0, izero)
     s = lax.while_loop(p1_cond, p1_body, s)
     c11, c12, c21, c22, prob, cprob, tprob, status = s
 
@@ -126,13 +129,13 @@ def _fisher_single(m11, m12, m21, m22):
         tprobn = tprob + probn
         stalled = tprobn <= pre
         return (c11n, c12n, c21n, c22n, probn, tprobn,
-                jnp.where(stalled, jnp.int32(1), jnp.int32(0)),
-                jnp.int32(0), jnp.where(stalled, pre, preaddp))
+                jnp.where(stalled, izero + 1, izero),
+                izero, jnp.where(stalled, pre, preaddp))
 
     run_p3 = m11 > 0
-    s3 = (f(m11), f(m12), f(m21), f(m22), jnp.float64(tprob0), tprob,
-          jnp.where(run_p3, jnp.int32(0), jnp.int32(1)),
-          jnp.int32(1), jnp.float64(0.0))
+    s3 = (f(m11), f(m12), f(m21), f(m22), tprob0, tprob,
+          jnp.where(run_p3, izero, izero + 1),
+          izero + 1, zero)
     s3 = lax.while_loop(p3_cond, p3_body, s3)
     tprob3, stalled3, preaddp3 = s3[5], s3[6] == 1, s3[8]
 

@@ -28,48 +28,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from stoat_tpu.stats.special import student_t_sf2
+from stoat_tpu.stats.linalg import (ldlt_factor, ldlt_solve, sym_pinv)
 
-__all__ = ["linear_regression_batch", "ldlt_unpivoted", "masked_pinv_inverse"]
+__all__ = ["linear_regression_batch"]
 
 _LDLT_TOL = 1e-10  # stats_test.cpp:401
 _PINV_TOL = 1e-6   # stats_test.cpp:386
-
-
-def ldlt_unpivoted(A):
-    """Unpivoted LDL^T decomposition of batched symmetric matrices.
-
-    Returns the D vector only (the rank-deficiency probe).  A: [B, P, P].
-    """
-    B, P, _ = A.shape
-
-    def body(j, carry):
-        L, D = carry
-        # D_j = A_jj - sum_{k<j} L_jk^2 D_k
-        mask_k = jnp.arange(P) < j
-        Lj = L[:, j, :]  # [B, P]
-        dj = A[:, j, j] - jnp.sum(jnp.where(mask_k, Lj * Lj * D, 0.0), axis=-1)
-        D = D.at[:, j].set(dj)
-        # L_ij = (A_ij - sum_{k<j} L_ik L_jk D_k) / D_j   for i > j
-        cross = jnp.einsum("bik,bk->bi", jnp.where(mask_k[None, None, :], L, 0.0),
-                           jnp.where(mask_k[None, :], Lj * D, 0.0))
-        dj_safe = jnp.where(dj == 0.0, 1.0, dj)
-        col = (A[:, :, j] - cross) / dj_safe[:, None]
-        rows_below = jnp.arange(P) > j
-        L = L.at[:, :, j].set(jnp.where(rows_below[None, :], col, L[:, :, j]))
-        L = L.at[:, j, j].set(1.0)
-        return L, D
-
-    L0 = jnp.zeros_like(A)
-    D0 = jnp.zeros(A.shape[:2], A.dtype)
-    _, D = lax.fori_loop(0, P, body, (L0, D0))
-    return D
-
-
-def masked_pinv_inverse(A, tol=_PINV_TOL):
-    """SVD pseudo-inverse with absolute tolerance (stats_test.cpp:383-396)."""
-    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
-    sinv = jnp.where(s > tol, 1.0 / jnp.where(s > tol, s, 1.0), 0.0)
-    return jnp.einsum("bij,bj,bkj->bik", Vt.transpose(0, 2, 1), sinv, U)
 
 
 @jax.jit
@@ -98,14 +62,16 @@ def linear_regression_batch(X, y, row_mask, ncols):
     XtX = jnp.einsum("bnp,bnq->bpq", X, X)
     XtX = XtX + pad_diag[:, :, None] * jnp.eye(P)[None]
 
-    D = ldlt_unpivoted(XtX)
+    # Pure-arithmetic LDLT + Jacobi pinv: XLA:TPU has no f64 LU/SVD
+    # primitives, and LDLT-against-identity is exactly what Eigen does.
+    L, D = ldlt_factor(XtX)
     bad_d = real_col & ((jnp.abs(D) < _LDLT_TOL) | ~jnp.isfinite(D))
     rank_deficient = jnp.any(bad_d, axis=-1)
 
     eye = jnp.broadcast_to(jnp.eye(P, dtype=X.dtype), (B, P, P))
-    inv_direct = jnp.linalg.solve(XtX, eye)
-    inv_pinv = masked_pinv_inverse(XtX)
-    XtXinv = jnp.where(rank_deficient[:, None, None], inv_pinv, inv_direct)
+    Z = ldlt_solve(XtX, eye)
+    inv_pinv = sym_pinv(XtX, tol=_PINV_TOL)
+    XtXinv = jnp.where(rank_deficient[:, None, None], inv_pinv, Z)
 
     Xty = jnp.einsum("bnp,bn->bp", X, y)
     beta = jnp.einsum("bpq,bq->bp", XtXinv, Xty)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from stoat_tpu.stats.special import normal_sf2
+from stoat_tpu.stats.linalg import ldlt_inverse, ldlt_solve
 
 __all__ = ["logistic_regression_batch"]
 
@@ -75,7 +76,7 @@ def logistic_regression_batch(X, y, row_mask, ncols):
         H, prob = hessian_of(beta)
         grad = jnp.einsum("bnp,bn->bp", X, jnp.where(row_mask, y - prob, 0.0))
         grad = grad - _L2 * beta
-        delta = jnp.linalg.solve(H, grad[..., None])[..., 0]
+        delta = ldlt_solve(H, grad[..., None])[..., 0]
         bad = ~jnp.all(jnp.isfinite(delta), axis=-1)
         step = jnp.where(active[:, None] & ~bad[:, None], delta, 0.0)
         new_beta = beta + step
@@ -97,7 +98,7 @@ def logistic_regression_batch(X, y, row_mask, ncols):
 
     # Final covariance from the converged beta (stats_test.cpp:122-136)
     H, _ = hessian_of(beta)
-    cov = jnp.linalg.solve(H, jnp.broadcast_to(jnp.eye(P, dtype=X.dtype), (B, P, P)))
+    cov = ldlt_inverse(H)
     se = jnp.sqrt(jnp.diagonal(cov, axis1=1, axis2=2))
 
     # Wald two-sided p per variant column (skip intercept)
