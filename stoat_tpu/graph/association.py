@@ -1,0 +1,383 @@
+"""Graph-mode association: partition samples by their walks through each
+snarl and test partitions against the phenotype.
+
+Re-implementation of the reference's graph pipeline on GFA-embedded paths:
+  - PathPartitioner::get_walk_sets (partitioner.cpp:36-268): iteratively
+    refine sample sets by the ordered multiset of outgoing edges each
+    sample#haplotype path takes from the snarl start bound and — for
+    irregular snarls — from every child in both directions.
+  - AssociationFinder::test_snarls (graph_path_association_finder.cpp:
+    29-199): walk the snarl tree top-down; ``exact`` writes only snarls
+    whose partition equals a phenotype set (and stops descending);
+    ``chi2`` always writes, testing per-partition case/control counts
+    with the batched chi²/Fisher kernels.
+  - TSV rows reuse the binary writer with "min,max" snarl lengths as
+    PATH_LENGTHS; ``fasta`` mode emits one representative sample sequence
+    per partition (writer.cpp:89-178).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from stoat_tpu.graph.gfa import GfaGraph, GfaPath, Handle, flip, load_gfa
+from stoat_tpu.graph.snarls import Snarl, SnarlForest, find_snarls
+from stoat_tpu.io.phenotype import parse_binary_pheno
+from stoat_tpu import writer as W
+
+logger = logging.getLogger("stoat")
+
+__all__ = ["PathPartitioner", "run_graph_association", "test_snarls"]
+
+
+class PathPartitioner:
+    """Walk-set sample partitioning over GFA paths."""
+
+    def __init__(self, g: GfaGraph, paths: Sequence[GfaPath]):
+        self.g = g
+        # (sample, haplotype) -> list of step lists (one per path)
+        self.sample_paths: List[Tuple[Tuple[str, int], List[Handle],
+                                      List[int]]] = []
+        for p in paths:
+            offsets = []
+            pos = 0
+            for step in p.steps:
+                offsets.append(pos)
+                pos += g.node_length(step[0])
+            self.sample_paths.append(((p.sample, p.haplotype), p.steps,
+                                      offsets))
+
+    def _outgoing_edge_lists(self, handle: Handle) -> List[Optional[tuple]]:
+        """Per sample path: the ordered tuple of edges leaving ``handle``
+        (partitioner.cpp:91-198), or None if the path avoids this node."""
+        out: List[Optional[tuple]] = []
+        for _key, steps, offsets in self.sample_paths:
+            crossings: List[Tuple[int, Tuple[int, bool]]] = []
+            for i, st in enumerate(steps):
+                if st[0] != handle[0]:
+                    continue
+                go_forwards = st[1] == handle[1]
+                j = i + 1 if go_forwards else i - 1
+                if j < 0 or j >= len(steps):
+                    continue
+                nxt = steps[j]
+                crossings.append((offsets[i], (nxt[0], nxt[1])))
+            if crossings:
+                crossings.sort(key=lambda x: x[0])
+                out.append(tuple(e for _off, e in crossings))
+            else:
+                out.append(None)
+        return out
+
+    def partition_samples_in_snarl(self, forest: SnarlForest,
+                                   snarl_idx: int,
+                                   regular: bool) -> List[Set[str]]:
+        snarl = forest.snarls[snarl_idx]
+        n = len(self.sample_paths)
+        old_sets = [0] * n
+        set_count = 1
+
+        def refine(handle: Handle) -> None:
+            nonlocal old_sets, set_count
+            edge_lists = self._outgoing_edge_lists(handle)
+            inter: Dict[tuple, int] = {}
+            inter_sets = [0] * n
+            next_inter = 1
+            for i, el in enumerate(edge_lists):
+                if el is None:
+                    continue
+                if el not in inter:
+                    inter[el] = next_inter
+                    next_inter += 1
+                inter_sets[i] = inter[el]
+            mapping: Dict[Tuple[int, int], int] = {(0, 0): 0}
+            new_count = 1
+            new_sets = [0] * n
+            for i in range(n):
+                key = (old_sets[i], inter_sets[i])
+                if key not in mapping:
+                    mapping[key] = new_count
+                    new_count += 1
+                new_sets[i] = mapping[key]
+            old_sets = new_sets
+            set_count = new_count
+
+        refine(snarl.start)
+
+        if not regular:
+            # every child unit, both directions
+            view_children = self._child_handles(forest, snarl_idx)
+            for h in view_children:
+                refine(h)
+
+        sets: List[Set[str]] = [set() for _ in range(set_count - 1)]
+        for i, (key, _steps, _off) in enumerate(self.sample_paths):
+            if old_sets[i] != 0:
+                sets[old_sets[i] - 1].add(key[0])
+        return [s for s in sets if s]
+
+    def _child_handles(self, forest: SnarlForest,
+                       snarl_idx: int) -> List[Handle]:
+        snarl = forest.snarls[snarl_idx]
+        hidden: Set[int] = set()
+        chain_handles: List[Handle] = []
+        for chain in forest.chains:
+            if forest.snarls[chain[0]].parent != snarl_idx:
+                continue
+            first = forest.snarls[chain[0]]
+            last = forest.snarls[chain[-1]]
+            for si in chain:
+                s = forest.snarls[si]
+                hidden |= set(s.interior_nodes)
+                hidden.add(s.start_node)
+                hidden.add(s.end_node)
+            chain_handles.append(last.end)            # rightward
+            chain_handles.append(flip(first.start))   # leftward
+        handles: List[Handle] = []
+        for nid in sorted(set(snarl.interior_nodes) - hidden):
+            handles.append((nid, False))
+            handles.append((nid, True))
+        handles.extend(chain_handles)
+        return handles
+
+
+def _is_regular_snarl(g: GfaGraph, forest: SnarlForest,
+                      snarl_idx: int) -> bool:
+    """Heuristic mirror of bdsg's is_regular_snarl: every interior node
+    connects only the start bound to the end bound, forward-only."""
+    snarl = forest.snarls[snarl_idx]
+    if any(forest.snarls[c].parent == snarl_idx
+           for c in range(len(forest.snarls))):
+        return False
+    bounds = {snarl.start_node, snarl.end_node}
+    for nid in snarl.interior_nodes:
+        for orient in (False, True):
+            for nxt in g.successors((nid, orient)):
+                if nxt[0] not in bounds and nxt[0] not in snarl.interior_nodes:
+                    return False
+                if nxt[0] in snarl.interior_nodes:
+                    return False  # child-child edge -> irregular
+    # reversals at the bounds make a snarl irregular
+    for h in (snarl.start, flip(snarl.end)):
+        for nxt in g.successors(h):
+            if nxt[0] == h[0]:
+                return False
+    return True
+
+
+def _snarl_min_max_len(g: GfaGraph, forest: SnarlForest,
+                       snarl_idx: int) -> Tuple[int, int]:
+    from stoat_tpu.graph.decompose import enumerate_snarl_paths
+    try:
+        _p, _t, lens = enumerate_snarl_paths(
+            g, forest, snarl_idx, children_threshold=10**9,
+            path_length_threshold=10**5, cycle_threshold=1)
+    except Exception:
+        return 0, 0
+    if not lens:
+        return 0, 0
+    return min(l[0] for l in lens), max(l[1] for l in lens)
+
+
+def test_snarls(g: GfaGraph, forest: SnarlForest,
+                partitioner: PathPartitioner,
+                case_set: Set[str], control_set: Set[str],
+                test_method: str, output_format: str,
+                allele_size_limit: int, reference_sample: str,
+                out_fh) -> int:
+    """Walk the snarl tree and run the association tests.  Returns the
+    number of snarls written."""
+    from stoat_tpu.stats import chi2_2x2, chi2_2xn, fisher_exact_2x2
+    from stoat_tpu.io.snarl_file import SnarlData
+    from stoat_tpu.graph.decompose import _reference_offsets
+
+    if output_format == "tsv":
+        W.write_binary_header(out_fh)
+
+    ref_names = {reference_sample} if reference_sample else set()
+    ref_offsets = _reference_offsets(g, ref_names)
+
+    def coordinates(snarl: Snarl) -> Tuple[str, int, int]:
+        for chrom, offs in ref_offsets.items():
+            if snarl.start_node in offs and snarl.end_node in offs:
+                a = offs[snarl.start_node]
+                b = offs[snarl.end_node]
+                if a > b:
+                    a, b = b, a
+                    first, last = snarl.end_node, snarl.start_node
+                else:
+                    first, last = snarl.start_node, snarl.end_node
+                return chrom, a + g.node_length(first), b
+        return "NA", 0, 0
+
+    # Collect candidate snarls in tree order (stack of top-levels and
+    # conditional descent, graph_path_association_finder.cpp:37-50).
+    pending: List[Tuple[str, object]] = []  # ("write_test", data)
+    n_written = 0
+    stack = sorted(forest.top_level(), reverse=True)
+    rows = []
+    while stack:
+        i = stack.pop()
+        snarl = forest.snarls[i]
+        mn, mx = _snarl_min_max_len(g, forest, i)
+        if mx < allele_size_limit:
+            continue
+        path_lengths = f"{mn},{mx}"
+        regular = _is_regular_snarl(g, forest, i)
+        partitions = partitioner.partition_samples_in_snarl(
+            forest, i, regular)
+        descend = True
+        if len(partitions) > 1:
+            if test_method == "exact":
+                samples_to_write: Dict[str, bool] = {}
+                matched = False
+                for part in partitions:
+                    if part == case_set or part == control_set:
+                        matched = True
+                        descend = False
+                        if output_format == "fasta":
+                            samples_to_write[sorted(part)[0]] = True
+                    elif output_format == "fasta":
+                        samples_to_write[sorted(part)[0]] = False
+                if matched:
+                    if output_format == "tsv":
+                        chrom, a, b = coordinates(snarl)
+                        rows.append((chrom, a, b, snarl.id_str,
+                                     path_lengths, None, None, "NA",
+                                     snarl.depth))
+                    else:
+                        _write_fasta_partitions(
+                            g, forest, i, samples_to_write, out_fh,
+                            partitioner)
+                    n_written += 1
+            else:
+                g0 = []
+                g1 = []
+                for part in partitions:
+                    g0.append(sum(1 for s in part if s in case_set))
+                    g1.append(sum(1 for s in part if s in control_set))
+                chrom, a, b = coordinates(snarl)
+                group_paths = W.format_group_paths(g0, g1)
+                rows.append((chrom, a, b, snarl.id_str, path_lengths,
+                             (tuple(g0), tuple(g1)), None, group_paths,
+                             snarl.depth))
+                n_written += 1
+                if output_format == "fasta":
+                    samples_to_write = {sorted(p)[0]: True
+                                        for p in partitions}
+                    _write_fasta_partitions(g, forest, i, samples_to_write,
+                                            out_fh, partitioner)
+        if descend:
+            for c in sorted(snarl.children, reverse=True):
+                stack.append(c)
+
+    # Batch the statistical tests on device (chi2/Fisher kernels).
+    if output_format == "tsv":
+        tested = [r for r in rows if r[5] is not None]
+        if tested:
+            Pmax = max(len(r[5][0]) for r in tested)
+            Pmax = max(Pmax, 2)
+            B = len(tested)
+            G0 = np.zeros((B, Pmax))
+            G1 = np.zeros((B, Pmax))
+            mask = np.zeros((B, Pmax), bool)
+            for bi, r in enumerate(tested):
+                k = len(r[5][0])
+                G0[bi, :k] = r[5][0]
+                G1[bi, :k] = r[5][1]
+                mask[bi, :k] = True
+            k_arr = mask.sum(axis=1)
+            p22 = np.asarray(chi2_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
+                                      G1[:, 1]))
+            pf = np.asarray(fisher_exact_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
+                                             G1[:, 1]))
+            pn = np.asarray(chi2_2xn(G0, G1, mask))
+            ti = 0
+            for r in rows:
+                chrom, a, b, sid, pl, counts, _pf, gp, depth = r
+                if counts is None:
+                    out_fh.write(f"{chrom}\t{a}\t{b}\t{sid}\t{pl}\tNA\tNA\t"
+                                 f"{gp}\t{depth}\n")
+                    continue
+                if k_arr[ti] == 2:
+                    chi_s, fis_s = W.format_p(p22[ti]), W.format_p(pf[ti])
+                else:
+                    chi_s, fis_s = W.format_p(pn[ti]), "NA"
+                out_fh.write(f"{chrom}\t{a}\t{b}\t{sid}\t{pl}\t{fis_s}\t"
+                             f"{chi_s}\t{gp}\t{depth}\n")
+                ti += 1
+        else:
+            for r in rows:
+                chrom, a, b, sid, pl, _c, _f, gp, depth = r
+                out_fh.write(f"{chrom}\t{a}\t{b}\t{sid}\t{pl}\tNA\tNA\t"
+                             f"{gp}\t{depth}\n")
+    return n_written
+
+
+def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
+                            samples_to_write: Dict[str, bool], out_fh,
+                            partitioner: PathPartitioner) -> None:
+    """FASTA output: the sequence each chosen sample takes through the
+    snarl (writer.cpp:89-178, simplified to our path model)."""
+    snarl = forest.snarls[snarl_idx]
+    name = f"snarl:{snarl.start_node}-{snarl.end_node}"
+    for key, steps, offsets in partitioner.sample_paths:
+        sample = key[0]
+        if samples_to_write and sample not in samples_to_write:
+            continue
+        # find a traversal start->...->end within the path
+        try:
+            si = next(i for i, st in enumerate(steps)
+                      if st[0] == snarl.start_node)
+            ei = next(i for i in range(si + 1, len(steps))
+                      if steps[i][0] == snarl.end_node)
+        except StopIteration:
+            continue
+        seq = "".join(g.node_seq(steps[i]) for i in range(si + 1, ei))
+        start_off = offsets[si] + g.node_length(steps[si][0])
+        end_off = offsets[ei]
+        out_fh.write(f">{name}|ref|{sample}:{start_off}-{end_off}\n")
+        for i in range(0, len(seq), 80):
+            out_fh.write(seq[i:i + 80] + "\n")
+        if len(seq) == 0:
+            out_fh.write("\n")
+
+
+def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
+                          test_method: str, output_format: str,
+                          allele_size_limit: int, reference_sample: str,
+                          output_dir: str) -> int:
+    """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
+    if not graph_path.endswith((".gfa", ".gfa.gz")):
+        raise SystemExit(
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA; "
+            "convert vg formats with `vg convert -f`.")
+    g = load_gfa(graph_path,
+                 {reference_sample} if reference_sample else None)
+    forest = find_snarls(g)
+
+    samples: List[str] = []
+    pheno, samples = parse_binary_pheno(binary_path, samples)
+    case_set = {s for s, v in zip(samples, pheno) if v}
+    control_set = {s for s, v in zip(samples, pheno) if not v}
+
+    wanted = case_set | control_set
+    sample_paths = [p for p in g.paths if p.sample in wanted]
+    if not sample_paths:
+        logger.error("No graph paths match the phenotype samples")
+        return 1
+    partitioner = PathPartitioner(g, sample_paths)
+
+    out_name = ("associated_snarls.tsv" if output_format == "tsv"
+                else "associated_snarls.fasta")
+    out_path = os.path.join(output_dir, out_name)
+    with open(out_path, "w") as fh:
+        n = test_snarls(g, forest, partitioner, case_set, control_set,
+                        test_method, output_format, allele_size_limit,
+                        reference_sample, fh)
+    logger.info("Wrote %d snarls to %s", n, out_path)
+    return 0

@@ -1,0 +1,508 @@
+"""Per-snarl path enumeration → ``snarl_analyse.tsv``.
+
+Replicates loop_over_snarls_write + fill_pretty_paths semantics
+(/root/reference/src/snarl_data_t.cpp:534-773) on our GFA-derived snarl
+forest:
+
+  - DFS through the snarl's netgraph from the start bound; nested child
+    chains collapse to ``nodl * nodr`` (node id 0 == ``*``) unless the
+    chain is exactly two plain nodes (then both render; :594-610)
+  - cycle capping per path element (:699-722), path-count iteration cap,
+    children-count cap; rejects stream to ``snarl_not_analyse.tsv``
+  - variant types from per-path min/max interior lengths
+    (calcul_pos_type_variant, :318-344)
+  - positions from the reference-path offsets of the boundary nodes
+    (save_snarls, :430-498): start = pos+len of the earlier bound,
+    end = pos of the later bound; off-reference snarls inherit the
+    parent's position (REF column "0")
+
+Snarl id orientation note: the reference emits ids in the .dist index's
+internal orientation (sometimes reversed w.r.t. the reference path, e.g.
+``4271_4260`` with paths starting at 4260); we canonically orient along
+the reference path.  Ids differ in those cases but content is equivalent;
+the pipeline is self-consistent because both the TSV and the VCF ``AT``
+fields come from the same decomposition.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from stoat_tpu.graph.gfa import GfaGraph, GfaPath, Handle, flip
+from stoat_tpu.graph.snarls import Snarl, SnarlForest, find_snarls
+from stoat_tpu.io.snarl_file import (SnarlData, parse_path_string,
+                                     write_snarl_fail_header,
+                                     write_snarl_file_header)
+
+logger = logging.getLogger("stoat")
+
+__all__ = ["decompose_graph", "decompose_to_snarl_file", "enumerate_snarl_paths"]
+
+
+def _handle_str(h: Handle) -> str:
+    return ("<" if h[1] else ">") + str(h[0])
+
+
+class _ChainUnit:
+    """A child chain of a snarl's netgraph: nodes and nested snarls in
+    series, entered at ``left`` or (flipped) at ``right``."""
+
+    __slots__ = ("snarl_ids", "node_ids", "left", "right", "n_children")
+
+    def __init__(self, snarl_ids: List[int], node_ids: List[int],
+                 left: Handle, right: Handle, n_children: int):
+        self.snarl_ids = snarl_ids
+        self.node_ids = node_ids       # every node in the chain, in order
+        self.left = left               # entry handle at the left end
+        self.right = right             # exit handle at the right end
+        self.n_children = n_children   # bdsg chain child count
+
+    @property
+    def two_plain_nodes(self) -> bool:
+        return not self.snarl_ids and self.n_children == 2
+
+
+class _NetView:
+    """Netgraph view of one snarl: chain-unit lookup and lengths."""
+
+    def __init__(self, g: GfaGraph, forest: SnarlForest, snarl_idx: int):
+        self.g = g
+        self.forest = forest
+        self.snarl = forest.snarls[snarl_idx]
+        self.idx = snarl_idx
+        interior = set(self.snarl.interior_nodes)
+        bounds = {self.snarl.start_node, self.snarl.end_node}
+
+        # hidden: nodes inside child snarls (incl. their bounds)
+        child_snarl_bound_left: Dict[Handle, int] = {}
+        self.hidden: Set[int] = set()
+        base_chains: List[_ChainUnit] = []
+        for chain in forest.chains:
+            if not chain or forest.snarls[chain[0]].parent != snarl_idx:
+                continue
+            node_ids: List[int] = []
+            for k, si in enumerate(chain):
+                s = forest.snarls[si]
+                self.hidden |= set(s.interior_nodes)
+                self.hidden.add(s.start_node)
+                self.hidden.add(s.end_node)
+                if k == 0:
+                    node_ids.append(s.start_node)
+                node_ids.append(s.end_node)
+            first = forest.snarls[chain[0]]
+            last = forest.snarls[chain[-1]]
+            n_children = len(chain) + len(node_ids)
+            base_chains.append(_ChainUnit(list(chain), node_ids,
+                                          first.start, last.end, n_children))
+
+        consumed: Set[int] = set()
+
+        def series_next(h: Handle) -> Optional[Handle]:
+            """The unique series continuation from exit handle h, staying
+            strictly inside this snarl on plain nodes."""
+            succs = g.successors(h)
+            if len(succs) != 1:
+                return None
+            v = succs[0]
+            m = v[0]
+            if m in bounds or m not in interior or m in self.hidden \
+                    or m in consumed:
+                return None
+            entry_side = (m, not v[1])
+            if len(g.successors(entry_side)) != 1:
+                return None
+            return v
+
+        # extend snarl chains through series plain nodes, merging chains
+        changed = True
+        while changed:
+            changed = False
+            for unit in base_chains:
+                v = series_next(unit.right)
+                if v is not None:
+                    unit.node_ids.append(v[0])
+                    unit.right = v
+                    unit.n_children += 1
+                    consumed.add(v[0])
+                    changed = True
+                # extend left: series_prev == series_next on flipped unit
+                vl = series_next(flip(unit.left))
+                if vl is not None:
+                    unit.node_ids.insert(0, vl[0])
+                    unit.left = flip(vl)
+                    unit.n_children += 1
+                    consumed.add(vl[0])
+                    changed = True
+            # merge chains that became adjacent (right end feeds the next
+            # chain's left entry directly)
+            merged_any = True
+            while merged_any:
+                merged_any = False
+                for i1, u1 in enumerate(base_chains):
+                    nxts = g.successors(u1.right)
+                    if len(nxts) != 1:
+                        continue
+                    for i2, u2 in enumerate(base_chains):
+                        if i1 == i2 or nxts[0] != u2.left:
+                            continue
+                        entry_side = (u2.left[0], not u2.left[1])
+                        if len(g.successors(entry_side)) != 1:
+                            continue
+                        u1.snarl_ids += u2.snarl_ids
+                        u1.node_ids += u2.node_ids
+                        u1.right = u2.right
+                        u1.n_children += u2.n_children
+                        base_chains.pop(i2)
+                        merged_any = True
+                        changed = True
+                        break
+                    if merged_any:
+                        break
+
+        # pure-node chains: series runs of >= 2 plain nodes
+        plain = sorted(interior - self.hidden - consumed)
+        for m in plain:
+            if m in consumed:
+                continue
+            for o in (False, True):
+                h = (m, o)
+                # only start a run at a node whose backward side is NOT a
+                # series continuation (run leftmost element)
+                back = series_next(flip(h))
+                if back is not None:
+                    continue
+                run = [m]
+                consumed.add(m)
+                cur = h
+                while True:
+                    v = series_next(cur)
+                    if v is None:
+                        break
+                    run.append(v[0])
+                    consumed.add(v[0])
+                    cur = v
+                if len(run) >= 2:
+                    base_chains.append(_ChainUnit(
+                        [], run, h, cur, len(run)))
+                else:
+                    consumed.discard(m)
+                break
+
+        self.units = base_chains
+        self.chain_entry: Dict[Handle, Tuple[_ChainUnit, bool]] = {}
+        for unit in base_chains:
+            self.chain_entry[unit.left] = (unit, False)
+            self.chain_entry[flip(unit.right)] = (unit, True)
+            for nid in unit.node_ids:
+                self.hidden.add(nid)
+
+    # ---- lengths -------------------------------------------------------
+
+    def snarl_min_max(self, si: int) -> Tuple[int, int]:
+        """Min/max interior length of child snarl si (excluding bounds)."""
+        paths, _types, lens = enumerate_snarl_paths(
+            self.g, self.forest, si, children_threshold=10**9,
+            path_length_threshold=10**6, cycle_threshold=1)
+        if not lens:
+            return 0, 0
+        mins = [l[0] for l in lens]
+        maxs = [l[1] for l in lens]
+        return min(mins), max(maxs)
+
+    def chain_min_max(self, unit: _ChainUnit) -> Tuple[int, int]:
+        """Chain length including ALL its nodes."""
+        mn = mx = 0
+        for si in unit.snarl_ids:
+            a, b = self.snarl_min_max(si)
+            mn += a
+            mx += b
+        for n in unit.node_ids:
+            mn += self.g.node_length(n)
+            mx += self.g.node_length(n)
+        return mn, mx
+
+
+def enumerate_snarl_paths(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
+                          children_threshold: int,
+                          path_length_threshold: int,
+                          cycle_threshold: int):
+    """Enumerate start→end paths through a snarl's netgraph.
+
+    Returns (pretty_paths: list[str], types: list[str],
+    lens: list[(min,max)]) or raises _SnarlReject.
+    """
+    view = _NetView(g, forest, snarl_idx)
+    snarl = view.snarl
+    start = snarl.start
+    end = snarl.end
+    allowed: Set[int] = set(snarl.interior_nodes) | {start[0], end[0]}
+
+    # children count (netgraph children ≈ chains + visible plain nodes)
+    visible_nodes = set(snarl.interior_nodes) - view.hidden
+    n_children = len(visible_nodes) + len(view.units)
+    if n_children > children_threshold:
+        raise _SnarlReject(f"too_many_children = {n_children} children")
+
+    # Each path is a list of elements:
+    #   ("node", handle) | ("chain", unit, reverse, entry_handle,
+    #                        exit_handle)
+    finished: List[List] = []
+    stack: List[List] = [[("node", start)]]
+    itr = 0
+    while stack:
+        path = stack.pop()
+        # cycle detection: count occurrences of elements
+        occ: Dict = {}
+        cycle = False
+        for el in path:
+            key = el[1] if el[0] == "node" else ("chain", id(el[1]), el[2])
+            occ[key] = occ.get(key, 0) + 1
+            if occ[key] > cycle_threshold + 1:
+                cycle = True
+                break
+        itr += 1
+        if itr > path_length_threshold:
+            raise _SnarlReject(
+                f"iteration_calculation_out = {n_children} children")
+
+        last = path[-1]
+        cur_handle = last[1] if last[0] == "node" else last[4]
+        for nxt in g.successors(cur_handle):
+            if nxt[0] == end[0] and nxt == end:
+                if nxt[0] != start[0] or len(path) > 1:
+                    finished.append(path + [("node", nxt)])
+                continue
+            if nxt[0] not in allowed or nxt[0] == end[0] or nxt[0] == start[0]:
+                continue
+            if cycle:
+                continue
+            entry = view.chain_entry.get(nxt)
+            if entry is not None:
+                unit, rev = entry
+                if not rev:
+                    entry_h, exit_h = unit.left, unit.right
+                else:
+                    entry_h, exit_h = flip(unit.right), flip(unit.left)
+                stack.append(path + [("chain", unit, rev, entry_h, exit_h)])
+            elif nxt[0] in view.hidden:
+                continue  # interior of a child chain: only via the chain
+            else:
+                stack.append(path + [("node", nxt)])
+
+    # ---- render pretty paths + lengths ---------------------------------
+    pretty: List[str] = []
+    lens: List[Tuple[int, int]] = []
+    sizes: List[int] = []
+    for path in finished:
+        parts: List[str] = []
+        mn = mx = 0
+        inner_nodes: List[int] = []
+        for i, el in enumerate(path):
+            if el[0] == "node":
+                parts.append(_handle_str(el[1]))
+                if 0 < i < len(path) - 1:
+                    inner_nodes.append(g.node_length(el[1][0]))
+            else:
+                unit, rev = el[1], el[2]
+                entry_h, exit_h = el[3], el[4]
+                cmn, cmx = view.chain_min_max(unit)
+                parts.append(_handle_str(entry_h))
+                if unit.two_plain_nodes:
+                    # chain of exactly two plain nodes renders both
+                    # (snarl_data_t.cpp:605-609)
+                    pass
+                else:
+                    parts.append(">0")  # '*' (snarl_data_t.cpp:605-607)
+                parts.append(_handle_str(exit_h))
+                mn += cmn
+                mx += cmx
+        mn += sum(inner_nodes)
+        mx += sum(inner_nodes)
+        pretty.append("".join(parts))
+        lens.append((mn, mx))
+        # the reference counts rendered traversals (ppath.size())
+        sizes.append(len(parts))
+
+    types = []
+    for (mn, mx), n in zip(lens, sizes):
+        if n >= 3:
+            types.append(f"{mn}/{mx}" if mn != mx else str(mn))
+        elif n == 2:
+            types.append("0")
+        else:
+            types.append("NA")
+
+    # Deterministic path order: sort jointly by the rendered walk (the
+    # reference's order is an artifact of bdsg edge iteration).
+    order = sorted(range(len(pretty)),
+                   key=lambda k: _walk_sort_key(pretty[k]))
+    pretty = [pretty[k] for k in order]
+    types = [types[k] for k in order]
+    lens = [lens[k] for k in order]
+    return pretty, types, lens
+
+
+def _walk_sort_key(walk: str):
+    return [(h[0], h[1]) for h in parse_path_string(walk)], walk
+
+
+class _SnarlReject(Exception):
+    pass
+
+
+def _reference_offsets(g: GfaGraph,
+                       ref_chr: Set[str]) -> Dict[str, Dict[int, int]]:
+    """{path_name: {node_id: offset of first step}} for reference paths."""
+    offsets: Dict[str, Dict[int, int]] = {}
+    for path in g.paths:
+        is_candidate = (path.name in ref_chr or path.sample in ref_chr
+                        if ref_chr else path.is_reference)
+        if not is_candidate:
+            continue
+        node_off: Dict[int, int] = {}
+        pos = 0
+        for step in path.steps:
+            node_off.setdefault(step[0], pos)
+            pos += g.node_length(step[0])
+        offsets[path.name] = node_off
+    return offsets
+
+
+def decompose_graph(g: GfaGraph, ref_chr: Optional[Set[str]] = None,
+                    children_threshold: int = 50,
+                    path_length_threshold: int = 10000,
+                    cycle_threshold: int = 1,
+                    out_snarl=None, out_fail=None
+                    ) -> Dict[str, List[SnarlData]]:
+    """Full decomposition: snarl forest -> per-chromosome SnarlData lists
+    (+ optional TSV streams)."""
+    forest = find_snarls(g)
+    ref_offsets = _reference_offsets(g, ref_chr or set())
+
+    def node_position(nid: int) -> Optional[Tuple[str, int, int]]:
+        for chrom, offs in ref_offsets.items():
+            if nid in offs:
+                pos = offs[nid]
+                return chrom, pos + g.node_length(nid), pos + 1
+        return None
+
+    # tree order: top-level snarls by reference position, DFS pre-order
+    def snarl_sort_key(i: int):
+        s = forest.snarls[i]
+        p1 = node_position(s.start_node)
+        return p1[1] if p1 else 1 << 60
+
+    chr_map: Dict[str, List[SnarlData]] = {}
+    n_fail = 0
+    n_paths_total = 0
+
+    # positions inherited down the tree
+    positions: Dict[int, Tuple[str, int, int, bool]] = {}
+
+    def resolve_position(i: int) -> Tuple[str, int, int, bool]:
+        if i in positions:
+            return positions[i]
+        s = forest.snarls[i]
+        p1 = node_position(s.end_node)
+        p2 = node_position(s.start_node)
+        ref = True
+        if p1 is None and p2 is None:
+            if s.parent is not None:
+                chrom, a, b, _ = resolve_position(s.parent)
+                res = (chrom, a, b, False)
+            else:
+                res = ("", 0, 0, False)
+        elif p1 is None or p2 is None:
+            p = p1 or p2
+            res = (p[0], p[1], p[2], True)
+        else:
+            if p1[1] < p2[1]:
+                res = (p1[0], p1[1], p2[2], True)
+            else:
+                res = (p1[0], p2[1], p1[2], True)
+        positions[i] = res
+        return res
+
+    order: List[int] = []
+
+    def visit(i: int) -> None:
+        order.append(i)
+        for c in sorted(forest.snarls[i].children, key=snarl_sort_key):
+            visit(c)
+
+    for i in sorted(forest.top_level(), key=snarl_sort_key):
+        visit(i)
+
+    for i in order:
+        s = forest.snarls[i]
+        sid = s.id_str
+        try:
+            pretty, types, _lens = enumerate_snarl_paths(
+                g, forest, i, children_threshold, path_length_threshold,
+                cycle_threshold)
+        except _SnarlReject as e:
+            if out_fail is not None:
+                out_fail.write(f"{sid}\t{e.args[0]}\n")
+            n_fail += 1
+            continue
+        if len(pretty) < 2:
+            n_fail += 1
+            continue
+        chrom, start_pos, end_pos_plus1, on_ref = resolve_position(i)
+        if not chrom:
+            continue
+        end_pos = end_pos_plus1 - 1
+        if out_snarl is not None:
+            out_snarl.write("\t".join([
+                chrom, str(start_pos), str(end_pos), str(i), sid,
+                ",".join(pretty), ",".join(types),
+                "1" if on_ref else "0", str(s.depth)]) + "\n")
+        chr_map.setdefault(chrom, []).append(SnarlData(
+            net_handle=i, snarl_ids=(s.start_node, s.end_node),
+            paths=[parse_path_string(p) for p in pretty],
+            start_pos=start_pos, end_pos=end_pos,
+            type_variants=types, depth=s.depth, path_strings=pretty))
+        n_paths_total += len(pretty)
+
+    logger.info("Total number of snarl filtered : %d", n_fail)
+    logger.info("Total number of paths : %d", n_paths_total)
+    if n_paths_total == 0:
+        raise RuntimeError(
+            "Total number of paths = 0. This may indicate that the graph "
+            "does not contain a flagged reference path. Please use "
+            "-r/--chr to specify the reference paths.")
+    for chrom, snarls in chr_map.items():
+        logger.info("chr : %s, number of snarl : %d", chrom, len(snarls))
+    return chr_map
+
+
+def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
+                            output_dir: str, ref_chr: Set[str],
+                            children_threshold: int = 50,
+                            path_length_threshold: int = 10000,
+                            cycle_threshold: int = 1
+                            ) -> Dict[str, List[SnarlData]]:
+    """CLI entry: load graph (GFA), decompose, write the two TSVs.
+
+    ``dist_path`` is accepted for interface parity but unused — the snarl
+    tree is computed from the graph itself.  Binary vg formats (.pg/.hg/
+    .gbz) are not parsed natively; convert with ``vg convert -f`` to GFA.
+    """
+    from stoat_tpu.graph.gfa import load_gfa
+    if not graph_path.endswith((".gfa", ".gfa.gz")):
+        raise RuntimeError(
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA; "
+            "convert vg formats with `vg convert -f graph.pg > graph.gfa`.")
+    g = load_gfa(graph_path, ref_chr or None)
+    os.makedirs(output_dir, exist_ok=True)
+    out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
+    out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")
+    with open(out_snarl_path, "w") as out_snarl, \
+            open(out_fail_path, "w") as out_fail:
+        write_snarl_file_header(out_snarl)
+        write_snarl_fail_header(out_fail)
+        return decompose_graph(
+            g, ref_chr, children_threshold, path_length_threshold,
+            cycle_threshold, out_snarl=out_snarl, out_fail=out_fail)

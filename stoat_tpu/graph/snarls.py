@@ -1,0 +1,340 @@
+"""Snarl decomposition from the graph structure (no .dist file needed).
+
+The reference walks a precomputed bdsg::SnarlDistanceIndex
+(snarl_data_t.cpp:417-532).  Here snarls are computed directly from the
+bidirected graph using the ultrabubble separation criterion: a snarl is a
+pair of node *sides* (a_in, b_in) such that the interior node set U touches
+the rest of the graph only through those two sides.  For every candidate
+entrance (a branching handle, or one leading into locally-cyclic/inverting
+structure) we grow the closure reachable from the entrance side and test
+successive exit candidates in BFS order; the first separable pair is the
+minimal snarl at that entrance.
+
+This is orientation-aware (a side-based, not flow-based, test), so it
+handles inversion bubbles, deletion edges, cyclic interiors, and tips —
+the cases where classic directed-superbubble flooding breaks down on
+bidirected graphs.
+
+Snarls nest by interior containment into a tree; sibling snarls sharing a
+boundary node link into chains (the bdsg chain structure that the path
+renderer collapses to ``*``).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Dict, FrozenSet, List, Optional, Set, Tuple
+
+from stoat_tpu.graph.gfa import GfaGraph, Handle, flip
+
+__all__ = ["Snarl", "SnarlForest", "find_snarls"]
+
+# A "side" of node m is identified by the handle that EXITS through it:
+# (m, False) exits the right side, (m, True) exits the left side.  An entry
+# handle (m, o) enters through the side keyed (m, not o).
+
+
+def _entry_side(entry: Handle) -> Handle:
+    return (entry[0], not entry[1])
+
+
+def _side_endpoints(g: GfaGraph, side: Handle) -> List[Handle]:
+    """All far-end entry handles of edges attached to this side."""
+    return g.successors(side)
+
+
+@dataclass
+class Snarl:
+    """A snarl: start handle faces into the snarl; end handle is the
+    orientation in which a traversal leaves the snarl."""
+
+    start: Handle
+    end: Handle
+    interior_nodes: FrozenSet[int]
+    parent: Optional[int] = None
+    children: List[int] = field(default_factory=list)
+    depth: int = 1
+    chain_id: int = -1
+
+    @property
+    def start_node(self) -> int:
+        return self.start[0]
+
+    @property
+    def end_node(self) -> int:
+        return self.end[0]
+
+    @property
+    def id_str(self) -> str:
+        return f"{self.start_node}_{self.end_node}"
+
+
+@dataclass
+class SnarlForest:
+    snarls: List[Snarl]
+    chains: List[List[int]]
+
+    def top_level(self) -> List[int]:
+        return [i for i, s in enumerate(self.snarls) if s.parent is None]
+
+
+def _test_pair(g: GfaGraph, a: Handle, b_node: int
+               ) -> Optional[Tuple[FrozenSet[int], Handle]]:
+    """Test whether (a, b_node) bounds a snarl.  ``a`` is the entrance
+    handle (facing in); its inside side is the side it exits through.
+
+    Returns (interior U, end_handle) or None.
+    """
+    a_node = a[0]
+    a_inside = (a_node, a[1])          # side key of the entrance side
+    if b_node == a_node:
+        return None
+
+    U: Set[int] = set()
+    b_faces: Set[Handle] = set()       # side keys of b touched from inside
+    queue = deque()
+    for v in g.successors(a):
+        m = v[0]
+        if m == a_node:
+            # cycle straight back into the entrance: only legal if it
+            # re-enters through the inside side
+            if _entry_side(v) != a_inside:
+                return None
+            continue
+        if m == b_node:
+            b_faces.add(_entry_side(v))
+            continue
+        queue.append(m)
+
+    while queue:
+        u = queue.popleft()
+        if u in U:
+            continue
+        U.add(u)
+        for side_o in (False, True):
+            side = (u, side_o)
+            for v in _side_endpoints(g, side):
+                m = v[0]
+                if m == a_node:
+                    if _entry_side(v) != a_inside:
+                        return None     # touches the entrance's outside
+                    continue
+                if m == b_node:
+                    b_faces.add(_entry_side(v))
+                    continue
+                if m not in U:
+                    queue.append(m)
+
+    if len(b_faces) != 1:
+        return None
+    b_inside = next(iter(b_faces))
+
+    def ok_inside_side(side: Handle, own_inside: Handle,
+                       other_node: int, other_inside: Handle) -> bool:
+        for v in _side_endpoints(g, side):
+            m = v[0]
+            es = _entry_side(v)
+            if m in U:
+                continue
+            if m == side[0] and es == own_inside:
+                continue                 # self-loop on the inside side
+            if m == other_node and es == other_inside:
+                continue
+            return False
+        return True
+
+    def ok_outside_side(side: Handle, other_node: int,
+                        other_inside: Handle) -> bool:
+        for v in _side_endpoints(g, side):
+            m = v[0]
+            es = _entry_side(v)
+            if m in U:
+                return False
+            if m == other_node and es == other_inside:
+                return False
+        return True
+
+    a_outside = (a_node, not a[1])
+    b_outside = (b_inside[0], not b_inside[1])
+    if not ok_inside_side(a_inside, a_inside, b_node, b_inside):
+        return None
+    if not ok_inside_side(b_inside, b_inside, a_node, a_inside):
+        return None
+    if not ok_outside_side(a_outside, b_node, b_inside):
+        return None
+    if not ok_outside_side(b_outside, a_node, a_inside):
+        return None
+    if not U and len(g.successors(a)) < 2:
+        return None                      # trivial single edge
+
+    # end handle: traversal leaves b through its outside side; the handle
+    # exiting that side is (b, not b_inside_orientation) flipped... the
+    # side key (b, o) is exited by handle (b, o); leaving through the
+    # outside side uses handle b_outside.
+    end_handle = b_outside
+    return frozenset(U), end_handle
+
+
+_MAX_EXIT_TRIES = 64
+
+
+def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int]
+                     ) -> Optional[Tuple[int, FrozenSet[int], Handle]]:
+    """BFS exit candidates from entrance ``a``; first separable pair wins.
+
+    ``forbidden`` holds reference-path terminal nodes: a pair whose
+    interior swallows a path terminus is the *complement* of a real snarl
+    (the graph boundary makes complements separable too) and is rejected —
+    this roots the decomposition the way vg's cactus rooting does.
+    """
+    order: List[int] = []
+    seen: Set[int] = {a[0]}
+    queue = deque()
+    for v in g.successors(a):
+        if v[0] not in seen:
+            seen.add(v[0])
+            order.append(v[0])
+            queue.append(v)
+    tried = 0
+    qi = 0
+    while qi < len(order) and tried < _MAX_EXIT_TRIES:
+        b = order[qi]
+        qi += 1
+        tried += 1
+        res = _test_pair(g, a, b)
+        if res is not None:
+            U, end_handle = res
+            if not (U & forbidden):
+                return b, U, end_handle
+        # expand BFS one layer from b
+        for side_o in (False, True):
+            for v in _side_endpoints(g, (b, side_o)):
+                if v[0] not in seen:
+                    seen.add(v[0])
+                    order.append(v[0])
+    return None
+
+
+def find_snarls(g: GfaGraph) -> SnarlForest:
+    # ---- candidate entrances -------------------------------------------
+    candidates: List[Handle] = []
+    for nid in g.node_ids():
+        for o in (False, True):
+            h = (nid, o)
+            succs = g.successors(h)
+            if len(succs) >= 2:
+                candidates.append(h)
+            elif len(succs) == 1:
+                v = succs[0]
+                entered = _entry_side(v)
+                if len(_side_endpoints(g, entered)) >= 2:
+                    candidates.append(h)
+
+    ref_order: Dict[int, int] = {}
+    for path in g.paths:
+        if path.is_reference:
+            for rank, step in enumerate(path.steps):
+                ref_order.setdefault(step[0], rank)
+            break
+    if not ref_order and g.paths:
+        for rank, step in enumerate(g.paths[0].steps):
+            ref_order.setdefault(step[0], rank)
+
+    # Path termini root the decomposition (see _find_snarl_from).
+    forbidden: Set[int] = set()
+    for path in g.paths:
+        if path.steps:
+            forbidden.add(path.steps[0][0])
+            forbidden.add(path.steps[-1][0])
+
+    chosen: Dict[Tuple[FrozenSet[int], FrozenSet[int]],
+                 Tuple[Handle, Handle, FrozenSet[int]]] = {}
+    for a in candidates:
+        res = _find_snarl_from(g, a, forbidden)
+        if res is None:
+            continue
+        b, U, end_handle = res
+        key = (frozenset((a[0], b)), U)
+        if key in chosen:
+            s0 = chosen[key][0]
+            # prefer the orientation following the reference path
+            rs, rt = ref_order.get(a[0]), ref_order.get(b)
+            r0 = ref_order.get(s0[0])
+            if rs is not None and rt is not None and rs <= rt and \
+                    (r0 is None or r0 > rs or s0[0] != a[0]):
+                chosen[key] = (a, end_handle, U)
+            continue
+        chosen[key] = (a, end_handle, U)
+
+    snarls: List[Snarl] = []
+    for a, end_handle, U in chosen.values():
+        rs, rt = ref_order.get(a[0]), ref_order.get(end_handle[0])
+        if rs is not None and rt is not None and rs > rt:
+            a, end_handle = flip(end_handle), flip(a)
+        snarls.append(Snarl(start=a, end=end_handle, interior_nodes=U))
+
+    # ---- nesting --------------------------------------------------------
+    order = sorted(range(len(snarls)),
+                   key=lambda i: len(snarls[i].interior_nodes))
+    for ii, i in enumerate(order):
+        si = snarls[i]
+        best = None
+        best_size = None
+        for j in order[ii + 1:]:
+            sj = snarls[j]
+            if si.start_node in sj.interior_nodes and \
+               si.end_node in sj.interior_nodes:
+                size = len(sj.interior_nodes)
+                if best is None or size < best_size:
+                    best, best_size = j, size
+        if best is not None:
+            si.parent = best
+            snarls[best].children.append(i)
+
+    def set_depth(i: int, d: int) -> None:
+        snarls[i].depth = d
+        for c in snarls[i].children:
+            set_depth(c, d + 1)
+
+    for i, s in enumerate(snarls):
+        if s.parent is None:
+            set_depth(i, 1)
+
+    # ---- chains ---------------------------------------------------------
+    chains: List[List[int]] = []
+    by_parent: Dict[Optional[int], List[int]] = {}
+    for i, s in enumerate(snarls):
+        by_parent.setdefault(s.parent, []).append(i)
+
+    for parent, sibs in by_parent.items():
+        by_start = {snarls[i].start_node: i for i in sibs}
+        by_end = {snarls[i].end_node: i for i in sibs}
+        used: Set[int] = set()
+        for i in sibs:
+            if i in used:
+                continue
+            chain = [i]
+            used.add(i)
+            cur = i
+            while True:
+                nxt = by_start.get(snarls[cur].end_node)
+                if nxt is None or nxt in used:
+                    break
+                chain.append(nxt)
+                used.add(nxt)
+                cur = nxt
+            cur = i
+            while True:
+                prv = by_end.get(snarls[cur].start_node)
+                if prv is None or prv in used:
+                    break
+                chain.insert(0, prv)
+                used.add(prv)
+                cur = prv
+            cid = len(chains)
+            chains.append(chain)
+            for j in chain:
+                snarls[j].chain_id = cid
+
+    return SnarlForest(snarls=snarls, chains=chains)
