@@ -218,8 +218,12 @@ def main_vcf(argv: List[str]) -> int:
 
     if mode == "binary" and args.gaf:
         from stoat_tpu.gaf import gaf_creation
+        from stoat_tpu.graph.gfa import load_gfa
         output_gaf = os.path.join(args.output, "binary_table_vcf.gaf")
-        gaf_creation(output_tsv, snarls_chr, args.graph, output_gaf)
+        gfa = load_gfa(args.graph, ref_chr or None)
+        node_lengths = {nid: gfa.node_length(nid)
+                        for nid in gfa.node_ids()}
+        gaf_creation(output_tsv, snarls_chr, node_lengths, output_gaf)
 
     t_end = time.time()
     logger.info("GWAS time analysis : %.3f s", t_end - t_gwas)

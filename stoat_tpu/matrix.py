@@ -97,3 +97,22 @@ class EdgeHaplotypeMatrix:
         for rec in records:
             m.add_record(rec)
         return m
+
+
+class PrebuiltEdgeMatrix:
+    """Adapter over a matrix + edge map built by the native C++ core."""
+
+    def __init__(self, matrix: np.ndarray, edge_to_row: Dict[Edge, int]):
+        self._matrix = matrix
+        self.edge_to_row = edge_to_row
+        self.n_haplotypes = matrix.shape[1]
+
+    @property
+    def n_rows(self) -> int:
+        return self._matrix.shape[0]
+
+    def find_edge(self, edge: Edge) -> int:
+        return self.edge_to_row.get(edge, -1)
+
+    def shrink(self) -> np.ndarray:
+        return self._matrix

@@ -36,7 +36,40 @@ from stoat_tpu import writer as W
 
 logger = logging.getLogger("stoat")
 
-__all__ = ["run_vcf_analysis", "found_gene_snarl"]
+__all__ = ["run_vcf_analysis", "found_gene_snarl", "iter_chromosome_matrices"]
+
+
+def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
+                             snarls_chr: Dict[str, List[SnarlData]],
+                             use_native: bool = True):
+    """Yield (chrom, edge-matrix object) per chromosome.
+
+    Prefers the native C++ core (stoat_tpu.native) — the reference's
+    [native-critical] ingestion path — and falls back to the pure-Python
+    reader when the toolchain is unavailable.
+    """
+    if use_native:
+        try:
+            from stoat_tpu.native import NativeVcfMatrixReader
+            from stoat_tpu.matrix import PrebuiltEdgeMatrix
+            reader = NativeVcfMatrixReader(vcf_path)
+            for chrom, mat, edge_to_row in reader.chunks():
+                yield chrom, PrebuiltEdgeMatrix(mat, edge_to_row)
+            reader.close()
+            return
+        except (RuntimeError, OSError) as e:
+            logger.warning("native VCF core unavailable (%s); using the "
+                           "Python reader", e)
+
+    reader = VcfReader(vcf_path)
+    for chrom, records in reader.chromosome_chunks():
+        matrix = EdgeHaplotypeMatrix(
+            n_haplotypes,
+            initial_rows=max(4 * len(snarls_chr.get(chrom, [])), 64))
+        for rec in records:
+            matrix.add_record(rec)
+        yield chrom, matrix
+    reader.close()
 
 
 def found_gene_snarl(gene_position: List[QtlData], start_pos: int,
@@ -67,8 +100,9 @@ def run_vcf_analysis(
     sample_names: Optional[List[str]] = None,
 ) -> int:
     """Run the full GWAS over a VCF.  Returns total snarls filtered."""
-    reader = VcfReader(vcf_path)
-    samples = sample_names or reader.samples
+    header_reader = VcfReader(vcf_path)
+    samples = sample_names or header_reader.samples
+    header_reader.close()
     n_hap = 2 * len(samples)
 
     total_filtered = 0
@@ -84,18 +118,14 @@ def run_vcf_analysis(
         else:
             raise ValueError(f"unknown mode {mode}")
 
-        for chrom, records in reader.chromosome_chunks():
+        for chrom, matrix in iter_chromosome_matrices(vcf_path, n_hap,
+                                                      snarls_chr):
             if chrom not in snarls_chr:
                 logger.warning("Chromosome %s not found in snarl paths "
                                "file. Skipping.", chrom)
                 continue
             t0 = time.time()
             logger.info("Analysing chr : %s", chrom)
-
-            matrix = EdgeHaplotypeMatrix(
-                n_hap, initial_rows=max(4 * len(snarls_chr[chrom]), 64))
-            for rec in records:
-                matrix.add_record(rec)
             t1 = time.time()
             logger.info("Matrix time construction in chr %s : %.3f s",
                         chrom, t1 - t0)
@@ -132,7 +162,6 @@ def run_vcf_analysis(
                         chrom, t2 - t1)
             logger.info("Total time for chr %s : %.3f s", chrom, t2 - t0)
 
-    reader.close()
     logger.info("Total number of snarl filtered : %d", total_filtered)
     return total_filtered
 

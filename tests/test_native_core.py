@@ -1,0 +1,97 @@
+"""Native C++ VCF-ingestion core: parity with the Python reader."""
+
+import gzip
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from stoat_tpu.io.vcf import VcfReader
+from stoat_tpu.matrix import EdgeHaplotypeMatrix
+
+from fixtures import make_fixture
+
+native = pytest.importorskip("stoat_tpu.native")
+
+
+@pytest.fixture(scope="module")
+def lib_available():
+    if native.get_lib() is None:
+        pytest.skip("native core toolchain unavailable")
+
+
+@pytest.fixture(scope="module")
+def fixture(tmp_path_factory):
+    tmpdir = tmp_path_factory.mktemp("native")
+    return make_fixture(str(tmpdir), n_samples=30, n_snarls=15, seed=9)
+
+
+def python_matrix(vcf_path, n_samples):
+    reader = VcfReader(vcf_path)
+    out = []
+    for chrom, records in reader.chromosome_chunks():
+        m = EdgeHaplotypeMatrix(2 * n_samples)
+        for rec in records:
+            m.add_record(rec)
+        out.append((chrom, m.shrink(), dict(m.edge_to_row)))
+    reader.close()
+    return out
+
+
+def test_native_matches_python(lib_available, fixture):
+    n_samples = len(fixture["samples"])
+    py = python_matrix(fixture["vcf"], n_samples)
+
+    reader = native.NativeVcfMatrixReader(fixture["vcf"])
+    assert reader.samples == fixture["samples"]
+    native_chunks = list(reader.chunks())
+    reader.close()
+
+    assert len(native_chunks) == len(py)
+    for (pc, pm, pe), (nc, nm, ne) in zip(py, native_chunks):
+        assert pc == nc
+        assert pe.keys() == ne.keys()
+        assert pm.shape == nm.shape
+        # row order may differ between implementations: compare per edge
+        for edge, prow in pe.items():
+            nrow = ne[edge]
+            np.testing.assert_array_equal(pm[prow], nm[nrow], err_msg=str(edge))
+
+
+def test_native_reads_gzip(lib_available, fixture, tmp_path):
+    gz = str(tmp_path / "test.vcf.gz")
+    with open(fixture["vcf"], "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    reader = native.NativeVcfMatrixReader(gz)
+    chunks = list(reader.chunks())
+    reader.close()
+    assert len(chunks) == 1
+    assert chunks[0][1].any()
+
+
+def test_pipeline_uses_native(lib_available, fixture, tmp_path):
+    """End-to-end: results identical whether ingestion is native or Python."""
+    import filecmp
+    from stoat_tpu.cli import main as cli_main
+    out1 = str(tmp_path / "o_native")
+    cli_main(["vcf", "-s", fixture["snarl"], "-v", fixture["vcf"],
+              "-b", fixture["binary"], "-o", out1])
+
+    import stoat_tpu.pipeline.runner as runner_mod
+    out2 = str(tmp_path / "o_python")
+    orig = runner_mod.iter_chromosome_matrices
+
+    def no_native(vcf_path, n_hap, snarls_chr, use_native=True):
+        return orig(vcf_path, n_hap, snarls_chr, use_native=False)
+
+    runner_mod.iter_chromosome_matrices = no_native
+    try:
+        cli_main(["vcf", "-s", fixture["snarl"], "-v", fixture["vcf"],
+                  "-b", fixture["binary"], "-o", out2])
+    finally:
+        runner_mod.iter_chromosome_matrices = orig
+
+    f1 = os.path.join(out1, "binary_table_vcf.tsv")
+    f2 = os.path.join(out2, "binary_table_vcf.tsv")
+    assert filecmp.cmp(f1, f2, shallow=False), "native vs python TSVs differ"
