@@ -12,11 +12,13 @@ from stoat_tpu.parallel.mesh import (
     shard_packed_chromosome,
     ShardedChromosome,
 )
-from stoat_tpu.parallel.sharded import binary_analyze_sharded
+from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
+                                        quantitative_analyze_sharded)
 
 __all__ = [
     "make_snarl_mesh",
     "shard_packed_chromosome",
     "ShardedChromosome",
     "binary_analyze_sharded",
+    "quantitative_analyze_sharded",
 ]

@@ -19,9 +19,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stoat_tpu.pipeline.binary import binary_tables_device
+from stoat_tpu.pipeline.quantitative import quantitative_design_device
+from stoat_tpu.stats.linreg import (finish_linear_pvalues,
+                                    linear_regression_stats_batch)
 from stoat_tpu.parallel.mesh import ShardedChromosome
 
-__all__ = ["binary_analyze_sharded"]
+__all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded"]
 
 
 def binary_analyze_sharded(sharded: ShardedChromosome,
@@ -68,12 +71,85 @@ def binary_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(maf_threshold),
     )
 
-    # Flatten [D, S_local, ...] back to the global snarl order, dropping
-    # per-shard padding.
+    return _unshard(out, sharded.shard_sizes)
+
+
+def _unshard(out: Dict[str, jnp.ndarray],
+             sizes) -> Dict[str, np.ndarray]:
+    """Flatten [D, S_local, ...] back to global snarl order, dropping
+    per-shard padding."""
     result: Dict[str, np.ndarray] = {}
-    sizes = sharded.shard_sizes
     for key, value in out.items():
         arr = np.asarray(value)
         parts = [arr[d, :sizes[d]] for d in range(len(sizes))]
         result[key] = np.concatenate(parts, axis=0)
     return result
+
+
+def quantitative_analyze_sharded(sharded: ShardedChromosome,
+                                 phenotype: np.ndarray,
+                                 covar, mesh: Mesh,
+                                 min_individuals: int, min_haplotypes: int,
+                                 maf_threshold: float) -> Dict[str, np.ndarray]:
+    """Snarl-sharded quantitative OLS: design assembly + regression run
+    per shard, phenotype/covariates replicated."""
+    num_paths = sharded.paths_per_shard
+    n_samples = sharded.matrix.shape[1] // 2
+    C = 0 if covar is None else covar.shape[1]
+    covar_in = np.zeros((n_samples, 0)) if covar is None else covar
+    with_covar = C > 0
+
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+                 pheno, min_ind, min_hap, maf):
+        d = quantitative_design_device(
+            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
+            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
+            with_covar=with_covar)
+        used = d["used"]
+        y = pheno[None, :] * used
+        t1, df_res, beta, se, r2 = linear_regression_stats_batch(
+            d["X"], y, used, d["ncols"])
+        nan = jnp.nan
+        deg = d["degenerate"]
+        out = {
+            "filtered": d["filtered"],
+            "allele_paths": d["allele_paths"],
+            "t1": t1,
+            "df_res": df_res,
+            "degenerate": deg,
+            "beta": jnp.where(deg, nan, beta),
+            "se": jnp.where(deg, nan, se),
+            "r2": jnp.where(deg, nan, r2),
+        }
+        return {k: v[None] for k, v in out.items()}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+                  P("snarls"), P(), P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    out = fn(
+        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
+        jax.device_put(jnp.asarray(sharded.coo_path), shard),
+        jax.device_put(jnp.asarray(sharded.coo_row), shard),
+        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        jax.device_put(jnp.asarray(phenotype, jnp.float64), repl),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+    )
+    # betainc evaluation happens outside shard_map (see linreg docstring)
+    p = finish_linear_pvalues(out["t1"], out["df_res"])
+    out = dict(out)
+    out["p"] = jnp.where(out["degenerate"], jnp.nan, p)
+    for key in ("t1", "df_res", "degenerate"):
+        out.pop(key)
+    return _unshard(out, sharded.shard_sizes)

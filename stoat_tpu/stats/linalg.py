@@ -53,8 +53,9 @@ def ldlt_factor(A):
         L = L.at[:, j, j].set(1.0)
         return L, D
 
-    L0 = jnp.zeros_like(A)
-    D0 = jnp.zeros(A.shape[:2], A.dtype)
+    # initial carries derive from A so shard_map varying types match
+    L0 = A * 0.0
+    D0 = A[:, :, 0] * 0.0
     return lax.fori_loop(0, P, body, (L0, D0))
 
 
@@ -67,7 +68,7 @@ def _forward_sub_unit(L, B):
                          jnp.where(jnp.arange(P) < i, L[:, i, :], 0.0), Z)
         return Z.at[:, i, :].set(B[:, i, :] - acc)
 
-    Z0 = jnp.zeros_like(B)
+    Z0 = B * 0.0
     return lax.fori_loop(0, P, body, Z0)
 
 
@@ -82,7 +83,7 @@ def _backward_sub_unitT(L, B):
                          jnp.where(jnp.arange(P) > i, L[:, :, i], 0.0), X)
         return X.at[:, i, :].set(B[:, i, :] - acc)
 
-    X0 = jnp.zeros_like(B)
+    X0 = B * 0.0
     return lax.fori_loop(0, P, body, X0)
 
 
@@ -91,6 +92,9 @@ def ldlt_solve(A, B):
 
     A: [Bn, P, P]; B: [Bn, P, M].  Returns X [Bn, P, M].
     """
+    # tie the RHS to A's sharding (an unvarying identity RHS under
+    # shard_map would mismatch the varying loop carries)
+    B = B + A[:, :, :1] * 0.0
     L, D = ldlt_factor(A)
     Z = _forward_sub_unit(L, B)
     D_safe = jnp.where(D == 0.0, 1.0, D)
@@ -157,8 +161,8 @@ def jacobi_eigh(A, sweeps: int = 12):
               .at[:, :, q].set(s[:, None] * vp + c[:, None] * vq))
         return Amat, V
 
-    V0 = jnp.broadcast_to(jnp.eye(P, dtype=A.dtype), (B, P, P))
-    Amat, V = lax.fori_loop(0, sweeps * n_pairs, rotate, (A, V0 + 0.0))
+    V0 = jnp.broadcast_to(jnp.eye(P, dtype=A.dtype), (B, P, P)) + A * 0.0
+    Amat, V = lax.fori_loop(0, sweeps * n_pairs, rotate, (A, V0))
     w = jnp.diagonal(Amat, axis1=1, axis2=2)
     return w, V
 

@@ -30,25 +30,22 @@ from jax import lax
 from stoat_tpu.stats.special import student_t_sf2
 from stoat_tpu.stats.linalg import (ldlt_factor, ldlt_solve, sym_pinv)
 
-__all__ = ["linear_regression_batch"]
+__all__ = ["linear_regression_batch", "linear_regression_stats_batch",
+           "finish_linear_pvalues"]
 
 _LDLT_TOL = 1e-10  # stats_test.cpp:401
 _PINV_TOL = 1e-6   # stats_test.cpp:386
 
 
 @jax.jit
-def linear_regression_batch(X, y, row_mask, ncols):
-    """Batched OLS over padded design matrices.
+def linear_regression_stats_batch(X, y, row_mask, ncols):
+    """Batched OLS returning (t1, df_res, beta1, se1, r2) — everything but
+    the t-tail evaluation.
 
-    Args:
-      X: [B, N, P] float64 — rows for excluded samples must be all-zero
-         (including the intercept column); padded columns all-zero.
-      y: [B, N] float64 — 0 for excluded rows.
-      row_mask: [B, N] bool — True for included samples.
-      ncols: [B] int — actual number of design columns (incl. intercept).
-
-    Returns (p, beta1, se1, r2): each [B] float64.  The caller is responsible
-    for NA-masking snarls that were filtered out entirely.
+    Split out because ``lax.betainc``'s internal continued-fraction
+    while_loop cannot run inside ``shard_map`` (its carry initialisation is
+    not varying-aware); the sharded pipeline computes these statistics per
+    shard and applies :func:`finish_linear_pvalues` on the gathered result.
     """
     X = jnp.asarray(X, jnp.float64)
     y = jnp.asarray(y, jnp.float64)
@@ -93,7 +90,30 @@ def linear_regression_batch(X, y, row_mask, ncols):
     beta1 = beta[:, 1]
     se1 = se[:, 1]
     t1 = beta1 / se1
+    return t1, df_res, beta1, se1, r2
 
+
+@jax.jit
+def finish_linear_pvalues(t1, df_res):
+    """Two-tailed Student-t p with NaN/inf -> 1.0 (stats_test.cpp:479-485)."""
     p = student_t_sf2(jnp.abs(t1), df_res)
-    p = jnp.where(jnp.isfinite(t1), p, 1.0)  # stats_test.cpp:480-482
-    return p, beta1, se1, r2
+    return jnp.where(jnp.isfinite(t1), p, 1.0)
+
+
+@jax.jit
+def linear_regression_batch(X, y, row_mask, ncols):
+    """Batched OLS over padded design matrices.
+
+    Args:
+      X: [B, N, P] float64 — rows for excluded samples must be all-zero
+         (including the intercept column); padded columns all-zero.
+      y: [B, N] float64 — 0 for excluded rows.
+      row_mask: [B, N] bool — True for included samples.
+      ncols: [B] int — actual number of design columns (incl. intercept).
+
+    Returns (p, beta1, se1, r2): each [B] float64.  The caller is
+    responsible for NA-masking snarls that were filtered out entirely.
+    """
+    t1, df_res, beta1, se1, r2 = linear_regression_stats_batch(
+        X, y, row_mask, ncols)
+    return finish_linear_pvalues(t1, df_res), beta1, se1, r2
