@@ -111,10 +111,15 @@ def quantitative_design_device(matrix_f32, coo_path, coo_row,
     )
 
     # ---- identical-column merge (>= 3 kept columns) --------------------
-    # eq[s,i,j]: columns i and j agree on every used row
-    same = norm[:, :, :, None] == norm[:, :, None, :]         # [S, N, P, P]
-    eq = jnp.all(same | ~used[:, :, None, None], axis=1)      # [S, P, P]
-    eq = eq & kept[:, :, None] & kept[:, None, :]
+    # eq[s,i,j]: columns i and j agree on every used row.  Normalized
+    # columns are equal iff the integer dosage-count columns are equal
+    # (rows share their row_sum), so the test is an exact small-integer
+    # matmul: ||d_i - d_j||^2 == 0, MXU-friendly and O(S·P^2) memory
+    # instead of an [S,N,P,P] broadcast.
+    G = jnp.einsum("snp,snq->spq", Dk, Dk)                    # exact ints
+    gd = jnp.diagonal(G, axis1=1, axis2=2)
+    dist2 = gd[:, :, None] + gd[:, None, :] - 2.0 * G
+    eq = (dist2 == 0.0) & kept[:, :, None] & kept[:, None, :]
     arange = jnp.arange(Pmax)
     big = Pmax + 1
     rep = jnp.min(jnp.where(eq, arange[:, None], big), axis=1)  # [S, Pmax]

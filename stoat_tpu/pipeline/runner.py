@@ -98,6 +98,7 @@ def run_vcf_analysis(
     windows_gene_threshold: int = 1000000,
     regression_dir: str = "",
     sample_names: Optional[List[str]] = None,
+    snarl_chunk_size: int = 8192,
 ) -> int:
     """Run the full GWAS over a VCF.  Returns total snarls filtered."""
     header_reader = VcfReader(vcf_path)
@@ -131,28 +132,35 @@ def run_vcf_analysis(
                         chrom, t1 - t0)
 
             snarls = snarls_chr[chrom]
-            packed = pack_chromosome(snarls, matrix)
+            # Chunk the snarl axis so one chromosome's batch stays within
+            # device memory regardless of scale (SURVEY.md §5.7: the
+            # reference's analog is per-chromosome matrix residency).
+            filtered = 0
+            for lo in range(0, len(snarls), snarl_chunk_size):
+                chunk = snarls[lo:lo + snarl_chunk_size]
+                packed = pack_chromosome(chunk, matrix)
 
-            if mode == "binary":
-                filtered = _write_binary(outf, chrom, packed,
-                                         binary_phenotype, min_individuals,
-                                         min_haplotypes, maf_threshold)
-            elif mode == "binary_covar":
-                filtered = _write_binary_covar(
-                    outf, chrom, packed, binary_phenotype, covariate,
-                    min_individuals, min_haplotypes, maf_threshold,
-                    table_threshold, regression_dir, samples)
-            elif mode == "quantitative":
-                filtered = _write_quantitative(
-                    outf, chrom, packed, quantitative_phenotype, covariate,
-                    min_individuals, min_haplotypes, maf_threshold,
-                    table_threshold, regression_dir, samples)
-            else:
-                filtered = _write_eqtl(
-                    outf, chrom, packed, eqtl_map.get(chrom, []), covariate,
-                    min_individuals, min_haplotypes, maf_threshold,
-                    windows_gene_threshold, table_threshold, regression_dir,
-                    samples)
+                if mode == "binary":
+                    filtered += _write_binary(
+                        outf, chrom, packed, binary_phenotype,
+                        min_individuals, min_haplotypes, maf_threshold)
+                elif mode == "binary_covar":
+                    filtered += _write_binary_covar(
+                        outf, chrom, packed, binary_phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, regression_dir, samples)
+                elif mode == "quantitative":
+                    filtered += _write_quantitative(
+                        outf, chrom, packed, quantitative_phenotype,
+                        covariate, min_individuals, min_haplotypes,
+                        maf_threshold, table_threshold, regression_dir,
+                        samples)
+                else:
+                    filtered += _write_eqtl(
+                        outf, chrom, packed, eqtl_map.get(chrom, []),
+                        covariate, min_individuals, min_haplotypes,
+                        maf_threshold, windows_gene_threshold,
+                        table_threshold, regression_dir, samples)
 
             total_filtered += filtered
             t2 = time.time()
