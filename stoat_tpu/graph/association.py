@@ -125,9 +125,7 @@ class PathPartitioner:
         snarl = forest.snarls[snarl_idx]
         hidden: Set[int] = set()
         chain_handles: List[Handle] = []
-        for chain in forest.chains:
-            if forest.snarls[chain[0]].parent != snarl_idx:
-                continue
+        for chain in forest.chains_of_parent(snarl_idx):
             first = forest.snarls[chain[0]]
             last = forest.snarls[chain[-1]]
             for si in chain:
@@ -150,8 +148,7 @@ def _is_regular_snarl(g: GfaGraph, forest: SnarlForest,
     """Heuristic mirror of bdsg's is_regular_snarl: every interior node
     connects only the start bound to the end bound, forward-only."""
     snarl = forest.snarls[snarl_idx]
-    if any(forest.snarls[c].parent == snarl_idx
-           for c in range(len(forest.snarls))):
+    if forest.snarls[snarl_idx].children:
         return False
     bounds = {snarl.start_node, snarl.end_node}
     for nid in snarl.interior_nodes:

@@ -79,9 +79,7 @@ class _NetView:
         child_snarl_bound_left: Dict[Handle, int] = {}
         self.hidden: Set[int] = set()
         base_chains: List[_ChainUnit] = []
-        for chain in forest.chains:
-            if not chain or forest.snarls[chain[0]].parent != snarl_idx:
-                continue
+        for chain in forest.chains_of_parent(snarl_idx):
             node_ids: List[int] = []
             for k, si in enumerate(chain):
                 s = forest.snarls[si]
@@ -201,15 +199,23 @@ class _NetView:
     # ---- lengths -------------------------------------------------------
 
     def snarl_min_max(self, si: int) -> Tuple[int, int]:
-        """Min/max interior length of child snarl si (excluding bounds)."""
+        """Min/max interior length of child snarl si (excluding bounds).
+        Memoized on the forest (nested snarls re-render per parent path)."""
+        cache = getattr(self.forest, "_min_max_cache", None)
+        if cache is None:
+            cache = {}
+            self.forest._min_max_cache = cache
+        if si in cache:
+            return cache[si]
         paths, _types, lens = enumerate_snarl_paths(
             self.g, self.forest, si, children_threshold=10**9,
             path_length_threshold=10**6, cycle_threshold=1)
         if not lens:
-            return 0, 0
-        mins = [l[0] for l in lens]
-        maxs = [l[1] for l in lens]
-        return min(mins), max(maxs)
+            result = (0, 0)
+        else:
+            result = (min(l[0] for l in lens), max(l[1] for l in lens))
+        cache[si] = result
+        return result
 
     def chain_min_max(self, unit: _ChainUnit) -> Tuple[int, int]:
         """Chain length including ALL its nodes."""

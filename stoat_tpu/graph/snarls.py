@@ -78,8 +78,21 @@ class SnarlForest:
     def top_level(self) -> List[int]:
         return [i for i, s in enumerate(self.snarls) if s.parent is None]
 
+    def chains_of_parent(self, parent_idx: Optional[int]) -> List[List[int]]:
+        """Chains whose snarls have the given parent (indexed once)."""
+        cache = getattr(self, "_chains_by_parent", None)
+        if cache is None:
+            cache = {}
+            for chain in self.chains:
+                if chain:
+                    cache.setdefault(self.snarls[chain[0]].parent,
+                                     []).append(chain)
+            self._chains_by_parent = cache
+        return cache.get(parent_idx, [])
 
-def _test_pair(g: GfaGraph, a: Handle, b_node: int
+
+def _test_pair(g: GfaGraph, a: Handle, b_node: int,
+               budget: int = 1 << 30
                ) -> Optional[Tuple[FrozenSet[int], Handle]]:
     """Test whether (a, b_node) bounds a snarl.  ``a`` is the entrance
     handle (facing in); its inside side is the side it exits through.
@@ -104,6 +117,8 @@ def _test_pair(g: GfaGraph, a: Handle, b_node: int
             continue
         if m == b_node:
             b_faces.add(_entry_side(v))
+            if len(b_faces) > 1:
+                return None            # early abort: b crossed on 2 sides
             continue
         queue.append(m)
 
@@ -112,6 +127,8 @@ def _test_pair(g: GfaGraph, a: Handle, b_node: int
         if u in U:
             continue
         U.add(u)
+        if len(U) > budget or len(U) > _MAX_INTERIOR:
+            return None                # closure exploded: not this pair
         for side_o in (False, True):
             side = (u, side_o)
             for v in _side_endpoints(g, side):
@@ -122,6 +139,8 @@ def _test_pair(g: GfaGraph, a: Handle, b_node: int
                     continue
                 if m == b_node:
                     b_faces.add(_entry_side(v))
+                    if len(b_faces) > 1:
+                        return None     # early abort
                     continue
                 if m not in U:
                     queue.append(m)
@@ -177,9 +196,13 @@ def _test_pair(g: GfaGraph, a: Handle, b_node: int
 
 
 _MAX_EXIT_TRIES = 64
+# Closure-size cap per candidate pair: a snarl interior larger than this
+# would be rejected downstream by the children threshold anyway.
+_MAX_INTERIOR = 50000
 
 
-def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int]
+def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int],
+                     max_tries: int = _MAX_EXIT_TRIES
                      ) -> Optional[Tuple[int, FrozenSet[int], Handle]]:
     """BFS exit candidates from entrance ``a``; first separable pair wins.
 
@@ -198,11 +221,14 @@ def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int]
             queue.append(v)
     tried = 0
     qi = 0
-    while qi < len(order) and tried < _MAX_EXIT_TRIES:
+    while qi < len(order) and tried < max_tries:
         b = order[qi]
         qi += 1
         tried += 1
-        res = _test_pair(g, a, b)
+        # a minimal snarl's interior is on the order of the BFS frontier
+        # explored so far; budget the closure accordingly so failing
+        # candidates abort early instead of flooding the whole graph
+        res = _test_pair(g, a, b, budget=16 * len(order) + 64)
         if res is not None:
             U, end_handle = res
             if not (U & forbidden):
@@ -218,18 +244,22 @@ def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int]
 
 def find_snarls(g: GfaGraph) -> SnarlForest:
     # ---- candidate entrances -------------------------------------------
-    candidates: List[Handle] = []
+    # Strong candidates (branching handles) get the full exit search;
+    # weak ones (single successor whose entry side is busy — loops,
+    # reversals behind a chain node) get a short search, since most are
+    # just merge points seen from upstream.
+    candidates: List[Tuple[Handle, int]] = []
     for nid in g.node_ids():
         for o in (False, True):
             h = (nid, o)
             succs = g.successors(h)
             if len(succs) >= 2:
-                candidates.append(h)
+                candidates.append((h, _MAX_EXIT_TRIES))
             elif len(succs) == 1:
                 v = succs[0]
                 entered = _entry_side(v)
                 if len(_side_endpoints(g, entered)) >= 2:
-                    candidates.append(h)
+                    candidates.append((h, 4))
 
     ref_order: Dict[int, int] = {}
     for path in g.paths:
@@ -250,8 +280,8 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
 
     chosen: Dict[Tuple[FrozenSet[int], FrozenSet[int]],
                  Tuple[Handle, Handle, FrozenSet[int]]] = {}
-    for a in candidates:
-        res = _find_snarl_from(g, a, forbidden)
+    for a, tries in candidates:
+        res = _find_snarl_from(g, a, forbidden, tries)
         if res is None:
             continue
         b, U, end_handle = res
@@ -275,20 +305,18 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
         snarls.append(Snarl(start=a, end=end_handle, interior_nodes=U))
 
     # ---- nesting --------------------------------------------------------
-    order = sorted(range(len(snarls)),
-                   key=lambda i: len(snarls[i].interior_nodes))
-    for ii, i in enumerate(order):
-        si = snarls[i]
-        best = None
-        best_size = None
-        for j in order[ii + 1:]:
-            sj = snarls[j]
-            if si.start_node in sj.interior_nodes and \
-               si.end_node in sj.interior_nodes:
-                size = len(sj.interior_nodes)
-                if best is None or size < best_size:
-                    best, best_size = j, size
-        if best is not None:
+    # parent = smallest-interior snarl containing both bounds as interior.
+    # Index node -> containing snarls to avoid the O(n^2) pairwise scan.
+    containing: Dict[int, List[int]] = {}
+    for j, sj in enumerate(snarls):
+        for nid in sj.interior_nodes:
+            containing.setdefault(nid, []).append(j)
+    for i, si in enumerate(snarls):
+        cand = set(containing.get(si.start_node, ())) & \
+            set(containing.get(si.end_node, ()))
+        cand.discard(i)
+        if cand:
+            best = min(cand, key=lambda j: len(snarls[j].interior_nodes))
             si.parent = best
             snarls[best].children.append(i)
 
