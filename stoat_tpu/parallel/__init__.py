@@ -13,6 +13,7 @@ from stoat_tpu.parallel.mesh import (
     ShardedChromosome,
 )
 from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
+                                        binary_covar_analyze_sharded,
                                         quantitative_analyze_sharded)
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "shard_packed_chromosome",
     "ShardedChromosome",
     "binary_analyze_sharded",
+    "binary_covar_analyze_sharded",
     "quantitative_analyze_sharded",
 ]

@@ -22,9 +22,11 @@ from stoat_tpu.pipeline.binary import binary_tables_device
 from stoat_tpu.pipeline.quantitative import quantitative_design_device
 from stoat_tpu.stats.linreg import (finish_linear_pvalues,
                                     linear_regression_stats_batch)
+from stoat_tpu.stats.logreg import logistic_regression_batch
 from stoat_tpu.parallel.mesh import ShardedChromosome
 
-__all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded"]
+__all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
+           "binary_covar_analyze_sharded"]
 
 
 def binary_analyze_sharded(sharded: ShardedChromosome,
@@ -152,4 +154,62 @@ def quantitative_analyze_sharded(sharded: ShardedChromosome,
     out["p"] = jnp.where(out["degenerate"], jnp.nan, p)
     for key in ("t1", "df_res", "degenerate"):
         out.pop(key)
+    return _unshard(out, sharded.shard_sizes)
+
+
+def binary_covar_analyze_sharded(sharded: ShardedChromosome,
+                                 binary_phenotype: np.ndarray,
+                                 mesh: Mesh,
+                                 min_individuals: int, min_haplotypes: int,
+                                 maf_threshold: float) -> Dict[str, np.ndarray]:
+    """Snarl-sharded IRLS logistic regression (covariates excluded from
+    the design, as in the reference — see stats.logreg)."""
+    num_paths = sharded.paths_per_shard
+    n_samples = sharded.matrix.shape[1] // 2
+    covar_in = np.zeros((n_samples, 0))
+
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+                 pheno, min_ind, min_hap, maf):
+        d = quantitative_design_device(
+            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
+            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
+            with_covar=False)
+        used = d["used"]
+        y = pheno[None, :] * used
+        p, beta, se = logistic_regression_batch(d["X"], y, used, d["ncols"])
+        nan = jnp.nan
+        deg = d["degenerate"]
+        out = {
+            "filtered": d["filtered"],
+            "allele_paths": d["allele_paths"],
+            "p": jnp.where(deg, nan, p),
+            "beta": jnp.where(deg, nan, beta),
+            "se": jnp.where(deg, nan, se),
+        }
+        return {k: v[None] for k, v in out.items()}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+                  P("snarls"), P(), P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    out = fn(
+        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
+        jax.device_put(jnp.asarray(sharded.coo_path), shard),
+        jax.device_put(jnp.asarray(sharded.coo_row), shard),
+        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        jax.device_put(jnp.asarray(binary_phenotype.astype(np.float64)),
+                       repl),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+    )
     return _unshard(out, sharded.shard_sizes)

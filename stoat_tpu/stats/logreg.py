@@ -87,9 +87,11 @@ def logistic_regression_batch(X, y, row_mask, ncols):
         beta_old = jnp.where(active[:, None], new_beta, beta_old)
         return new_beta, beta_old, active, failed
 
-    beta0 = jnp.zeros((B, P), X.dtype)
-    active0 = jnp.ones((B,), bool)
-    failed0 = jnp.zeros((B,), bool)
+    # initial carries derive from X so shard_map varying types match
+    zero_b = X[:, 0, 0] * 0.0
+    beta0 = jnp.zeros((B, P), X.dtype) + zero_b[:, None]
+    active0 = zero_b < 1.0
+    failed0 = zero_b > 1.0
     beta, _, active, failed = lax.fori_loop(
         0, _MAX_ITER, body, (beta0, beta0, active0, failed0))
 

@@ -31,6 +31,32 @@ def workload(tmp_path_factory):
     return snarls, matrix, pheno
 
 
+@pytest.mark.parametrize("n_devices", [4])
+def test_logistic_mesh_parity(workload, n_devices):
+    from stoat_tpu.io.phenotype import parse_binary_pheno
+    from stoat_tpu.pipeline.quantitative import binary_covar_analyze_chromosome
+    from stoat_tpu.parallel import binary_covar_analyze_sharded
+    snarls, matrix, _ = workload
+    n_samples = matrix.n_haplotypes // 2
+    rng = np.random.default_rng(0)
+    pheno_b = rng.integers(0, 2, n_samples).astype(bool)
+
+    packed = pack_chromosome(snarls, matrix)
+    base = binary_covar_analyze_chromosome(packed, pheno_b, None, 3, 5, 0.05)
+    S = packed.n_snarls
+
+    mesh = make_snarl_mesh(n_devices=n_devices)
+    sharded = shard_packed_chromosome(snarls, matrix, n_devices)
+    out = binary_covar_analyze_sharded(sharded, pheno_b, mesh, 3, 5, 0.05)
+    np.testing.assert_array_equal(out["filtered"], base["filtered"][:S])
+    for key in ("p", "beta", "se"):
+        np.testing.assert_allclose(out[key], base[key][:S], rtol=1e-9,
+                                   equal_nan=True)
+        for i in range(S):
+            if not base["filtered"][i]:
+                assert format_p(out[key][i]) == format_p(base[key][i])
+
+
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_quant_mesh_parity(workload, n_devices):
     snarls, matrix, pheno = workload
