@@ -501,10 +501,29 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
         raise RuntimeError(
             f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA; "
             "convert vg formats with `vg convert -f graph.pg > graph.gfa`.")
-    g = load_gfa(graph_path, ref_chr or None)
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
     out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")
+
+    # Prefer the native C++ decomposition core (parity-pinned against this
+    # module); fall back to the Python implementation.
+    if not graph_path.endswith(".gz"):
+        try:
+            from stoat_tpu.native import native_decompose_gfa
+            from stoat_tpu.io.snarl_file import parse_snarl_path
+            tsv, rejects = native_decompose_gfa(
+                graph_path, ref_chr, children_threshold,
+                path_length_threshold, cycle_threshold)
+            with open(out_snarl_path, "w") as fh:
+                fh.write(tsv)
+            with open(out_fail_path, "w") as fh:
+                fh.write(rejects)
+            return parse_snarl_path(out_snarl_path)
+        except (RuntimeError, OSError) as e:
+            logger.warning("native decomposition unavailable (%s); using "
+                           "the Python implementation", e)
+
+    g = load_gfa(graph_path, ref_chr or None)
     with open(out_snarl_path, "w") as out_snarl, \
             open(out_fail_path, "w") as out_fail:
         write_snarl_file_header(out_snarl)

@@ -316,7 +316,8 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
             set(containing.get(si.end_node, ()))
         cand.discard(i)
         if cand:
-            best = min(cand, key=lambda j: len(snarls[j].interior_nodes))
+            best = min(cand,
+                       key=lambda j: (len(snarls[j].interior_nodes), j))
             si.parent = best
             snarls[best].children.append(i)
 

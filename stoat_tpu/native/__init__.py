@@ -23,24 +23,32 @@ logger = logging.getLogger("stoat")
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "stoat_core.cpp")
 _LIB = os.path.join(_HERE, "libstoat_core.so")
+_GRAPH_SRC = os.path.join(_HERE, "graph_core.cpp")
+_GRAPH_LIB = os.path.join(_HERE, "libstoat_graph.so")
 
 _lib = None
 _tried = False
+_graph_lib = None
+_graph_tried = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-lz",
-           "-o", _LIB]
+def _compile(src: str, lib: str, extra=("-lz",)) -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
+           *extra, "-o", lib]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=300)
     except (OSError, subprocess.TimeoutExpired) as e:
-        logger.warning("native core build failed to launch: %s", e)
+        logger.warning("native build failed to launch: %s", e)
         return False
     if res.returncode != 0:
-        logger.warning("native core build failed:\n%s",
+        logger.warning("native build failed:\n%s",
                        res.stderr.decode(errors="replace"))
         return False
     return True
+
+
+def _build() -> bool:
+    return _compile(_SRC, _LIB)
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -83,6 +91,66 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_vcf_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def get_graph_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native decomposition core, or None."""
+    global _graph_lib, _graph_tried
+    if _graph_lib is not None:
+        return _graph_lib
+    if _graph_tried:
+        return None
+    _graph_tried = True
+    if not os.path.exists(_GRAPH_LIB) or (
+            os.path.exists(_GRAPH_SRC)
+            and os.path.getmtime(_GRAPH_SRC) > os.path.getmtime(_GRAPH_LIB)):
+        if not _compile(_GRAPH_SRC, _GRAPH_LIB, extra=()):
+            return None
+    try:
+        lib = ctypes.CDLL(_GRAPH_LIB)
+    except OSError as e:
+        logger.warning("native graph core load failed: %s", e)
+        return None
+    lib.stoat_decompose_gfa.restype = ctypes.c_int
+    lib.stoat_decompose_gfa.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p)]
+    lib.stoat_free_str.argtypes = [ctypes.c_void_p]
+    _graph_lib = lib
+    return _graph_lib
+
+
+def native_decompose_gfa(gfa_path: str, ref_names,
+                         children_threshold: int = 50,
+                         path_length_threshold: int = 10000,
+                         cycle_threshold: int = 1) -> Tuple[str, str]:
+    """Run the C++ snarl decomposition; returns (snarl TSV, rejects TSV).
+
+    Raises RuntimeError when the native core is unavailable or the
+    decomposition fails (callers fall back to the Python implementation).
+    """
+    lib = get_graph_lib()
+    if lib is None:
+        raise RuntimeError("native graph core unavailable")
+    tsv = ctypes.c_char_p()
+    rejects = ctypes.c_char_p()
+    error = ctypes.c_char_p()
+    refs = ",".join(sorted(ref_names)) if ref_names else ""
+    rc = lib.stoat_decompose_gfa(
+        gfa_path.encode(), refs.encode(), children_threshold,
+        path_length_threshold, cycle_threshold,
+        ctypes.byref(tsv), ctypes.byref(rejects), ctypes.byref(error))
+    if rc != 0:
+        message = (error.value or b"unknown error").decode()
+        if error:
+            lib.stoat_free_str(error)
+        raise RuntimeError(f"native decomposition failed: {message}")
+    tsv_str = tsv.value.decode()
+    rejects_str = rejects.value.decode()
+    lib.stoat_free_str(tsv)
+    lib.stoat_free_str(rejects)
+    return tsv_str, rejects_str
 
 
 class NativeVcfMatrixReader:
