@@ -113,29 +113,63 @@ def run_device(packed, pheno_bin, pheno_q, repeats=3):
     return min(times)
 
 
-def run_baseline(packed, pheno_bin, pheno_q, sample=BASELINE_SAMPLE):
-    """Single-core scalar per-snarl loop (reference algorithm)."""
-    import scipy.stats
-    import sys
-    sys.path.insert(0, os.path.join(os.path.dirname(
-        os.path.abspath(__file__)), "tests"))
-    import reference_impl as R
+def _pack_for_baseline(packed, edge_matrix):
+    """Per-path edge-row lists + per-snarl path offsets for the C++ loop."""
+    from stoat_tpu.io.snarl_file import path_to_edges
+    path_rows = []
+    row_offsets = [0]
+    snarl_offsets = [0]
+    for snarl in packed.snarls:
+        for path in snarl.paths:
+            for e in path_to_edges(path):
+                if e[0][0] == 0 or e[1][0] == 0:
+                    continue
+                r = edge_matrix.find_edge(e)
+                if r >= 0:
+                    path_rows.append(r)
+            row_offsets.append(len(path_rows))
+        snarl_offsets.append(snarl_offsets[-1] + len(snarl.paths))
+    return (np.array(path_rows, np.int32),
+            np.array(row_offsets, np.int64),
+            np.array(snarl_offsets, np.int64))
 
-    M = packed.matrix
-    t0 = time.perf_counter()
-    count = 0
-    for snarl in packed.snarls[:sample]:
-        R.binary_reference(snarl, _baseline_matrix, M, pheno_bin.astype(bool),
-                           3, 5, 0.05)
-        res = R.quantitative_reference(snarl, _baseline_matrix, M, pheno_q,
-                                       None, 3, 5, 0.05)
-        count += 2
-    dt = time.perf_counter() - t0
-    return count / dt
+
+def run_baseline(packed, edge_matrix, pheno_bin, pheno_q,
+                 sample=BASELINE_SAMPLE):
+    """Single-core C++ per-snarl loop (the reference's algorithm shape,
+    dependency-free C++17; see native/baseline_core.cpp).  Falls back to
+    the Python scalar oracle when the toolchain is missing."""
+    path_rows, row_offsets, snarl_offsets = _pack_for_baseline(
+        packed, edge_matrix)
+    sample = min(sample, packed.n_snarls)
+    try:
+        from stoat_tpu.native import run_baseline_cpp
+        n_paths_sample = int(snarl_offsets[sample])
+        t0 = time.perf_counter()
+        run_baseline_cpp(
+            packed.matrix.astype(np.uint8),
+            path_rows[: int(row_offsets[n_paths_sample])],
+            row_offsets[: n_paths_sample + 1],
+            snarl_offsets[: sample + 1],
+            pheno_bin.astype(np.uint8), pheno_q, 3, 5, 0.05)
+        dt = time.perf_counter() - t0
+        return 2 * sample / dt, "cpp_single_core"
+    except (RuntimeError, OSError):
+        import sys
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tests"))
+        import reference_impl as R
+        t0 = time.perf_counter()
+        for snarl in packed.snarls[:sample]:
+            R.binary_reference(snarl, edge_matrix, packed.matrix,
+                               pheno_bin.astype(bool), 3, 5, 0.05)
+            R.quantitative_reference(snarl, edge_matrix, packed.matrix,
+                                     pheno_q, None, 3, 5, 0.05)
+        dt = time.perf_counter() - t0
+        return 2 * sample / dt, "python_scalar"
 
 
 def main():
-    global _baseline_matrix
     rng = np.random.default_rng(SEED)
     tmpdir = tempfile.mkdtemp(prefix="stoat_bench_")
     paths = make_vcf_workload(tmpdir, rng)
@@ -147,20 +181,21 @@ def main():
     pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
 
     packed, matrix, t_ingest, t_pack = ingest(paths)
-    _baseline_matrix = matrix
 
     t_analysis = run_device(packed, pheno_bin, pheno_q)
     snarls_tested = 2 * packed.n_snarls
     device_rate = snarls_tested / t_analysis
     e2e_rate = snarls_tested / (t_ingest + t_pack + t_analysis)
 
-    baseline_rate = run_baseline(packed, pheno_bin, pheno_q)
+    baseline_rate, baseline_kind = run_baseline(packed, matrix, pheno_bin,
+                                                pheno_q)
 
     print(json.dumps({
         "metric": "snarls_tested_per_s_per_chip",
         "value": round(device_rate, 1),
         "unit": "snarls/s",
         "vs_baseline": round(device_rate / baseline_rate, 2),
+        "baseline_kind": baseline_kind,
         "end_to_end_snarls_per_s": round(e2e_rate, 1),
         "ingest_s": round(t_ingest, 3),
         "pack_s": round(t_pack, 3),

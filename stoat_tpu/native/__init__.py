@@ -153,6 +153,70 @@ def native_decompose_gfa(gfa_path: str, ref_names,
     return tsv_str, rejects_str
 
 
+_BASE_SRC = os.path.join(_HERE, "baseline_core.cpp")
+_BASE_LIB = os.path.join(_HERE, "libstoat_baseline.so")
+_base_lib = None
+_base_tried = False
+
+
+def get_baseline_lib() -> Optional[ctypes.CDLL]:
+    """The single-core C++ baseline (benchmark stand-in for `stoat`)."""
+    global _base_lib, _base_tried
+    if _base_lib is not None:
+        return _base_lib
+    if _base_tried:
+        return None
+    _base_tried = True
+    if not os.path.exists(_BASE_LIB) or (
+            os.path.exists(_BASE_SRC)
+            and os.path.getmtime(_BASE_SRC) > os.path.getmtime(_BASE_LIB)):
+        if not _compile(_BASE_SRC, _BASE_LIB, extra=()):
+            return None
+    try:
+        lib = ctypes.CDLL(_BASE_LIB)
+    except OSError as e:
+        logger.warning("baseline core load failed: %s", e)
+        return None
+    lib.stoat_baseline_run.restype = ctypes.c_long
+    lib.stoat_baseline_run.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_double)]
+    _base_lib = lib
+    return _base_lib
+
+
+def run_baseline_cpp(matrix: np.ndarray, path_rows: np.ndarray,
+                     path_row_offsets: np.ndarray,
+                     snarl_offsets: np.ndarray, pheno_bin: np.ndarray,
+                     pheno_q: np.ndarray, min_ind: int, min_hap: int,
+                     maf: float) -> int:
+    """Run the scalar C++ per-snarl loop; returns snarls analyzed."""
+    lib = get_baseline_lib()
+    if lib is None:
+        raise RuntimeError("baseline core unavailable")
+    matrix = np.ascontiguousarray(matrix, np.uint8)
+    path_rows = np.ascontiguousarray(path_rows, np.int32)
+    path_row_offsets = np.ascontiguousarray(path_row_offsets, np.int64)
+    snarl_offsets = np.ascontiguousarray(snarl_offsets, np.int64)
+    pheno_bin = np.ascontiguousarray(pheno_bin, np.uint8)
+    pheno_q = np.ascontiguousarray(pheno_q, np.float64)
+    sink = ctypes.c_double()
+    return lib.stoat_baseline_run(
+        matrix.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        matrix.shape[0], matrix.shape[1],
+        path_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        path_row_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        snarl_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(snarl_offsets) - 1,
+        pheno_bin.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pheno_q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(pheno_bin), min_ind, min_hap, maf, ctypes.byref(sink))
+
+
 class NativeVcfMatrixReader:
     """Streams per-chromosome edge×haplotype matrices via the C++ core."""
 
