@@ -284,6 +284,42 @@ def main_graph(argv: List[str]) -> int:
         reference_sample=args.reference_sample, output_dir=args.output)
 
 
+def main_simulate(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="stoat simulate")
+    ap.add_argument("-o", "--output", default="simulated")
+    ap.add_argument("-n", "--samples", type=int, default=200)
+    ap.add_argument("-s", "--snarls", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--effect-fraction", type=float, default=0.2)
+    ap.add_argument("--effect-shift", type=float, default=0.35)
+    args = ap.parse_args(argv)
+    from stoat_tpu.simulate import generate_dataset
+    files = generate_dataset(args.output, args.samples, args.snarls,
+                             args.seed, effect_fraction=args.effect_fraction,
+                             effect_shift=args.effect_shift)
+    for key, path in files.items():
+        print(f"{key}\t{path}")
+    return 0
+
+
+def main_truth(argv: List[str]) -> int:
+    ap = argparse.ArgumentParser(prog="stoat truth")
+    ap.add_argument("-r", "--results", required=True,
+                    help="results TSV from stoat vcf")
+    ap.add_argument("-f", "--freq", required=True,
+                    help="truth allele-frequency TSV")
+    ap.add_argument("-p", "--p-threshold", type=float, default=0.05)
+    ap.add_argument("-t", "--freq-threshold", type=float, default=0.2)
+    args = ap.parse_args(argv)
+    _check_file(args.results)
+    _check_file(args.freq)
+    from stoat_tpu.simulate import verify_truth
+    import json
+    print(json.dumps(verify_truth(args.results, args.freq,
+                                  args.p_threshold, args.freq_threshold)))
+    return 0
+
+
 def print_help() -> None:
     sys.stderr.write(
         "usage: stoat <command> [options]\n\n"
@@ -291,6 +327,8 @@ def print_help() -> None:
         "  vcf        run VCF-based GWAS / snarl decomposition\n"
         "  graph      run graph-path-based association\n"
         "  BHcorrect  Benjamini-Hochberg correction of a results TSV\n"
+        "  simulate   generate a simulated dataset with truth labels\n"
+        "  truth      precision/recall of results vs simulated truth\n"
         "  version    print version\n")
 
 
@@ -306,6 +344,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return main_graph(rest)
     if cmd == "BHcorrect":
         return main_bh_correct(rest)
+    if cmd == "simulate":
+        return main_simulate(rest)
+    if cmd == "truth":
+        return main_truth(rest)
     if cmd == "version":
         print(f"stoat-tpu {__version__}")
         return 0
