@@ -249,7 +249,7 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
                     else:
                         _write_fasta_partitions(
                             g, forest, i, samples_to_write, out_fh,
-                            partitioner)
+                            partitioner, reference_sample)
                     n_written += 1
             else:
                 g0 = []
@@ -267,7 +267,8 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
                     samples_to_write = {sorted(p)[0]: True
                                         for p in partitions}
                     _write_fasta_partitions(g, forest, i, samples_to_write,
-                                            out_fh, partitioner)
+                                            out_fh, partitioner,
+                                            reference_sample)
         if descend:
             for c in sorted(snarl.children, reverse=True):
                 stack.append(c)
@@ -317,11 +318,39 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
 
 def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
                             samples_to_write: Dict[str, bool], out_fh,
-                            partitioner: PathPartitioner) -> None:
+                            partitioner: PathPartitioner,
+                            reference_sample: str = "") -> None:
     """FASTA output: the sequence each chosen sample takes through the
-    snarl (writer.cpp:89-178, simplified to our path model)."""
+    snarl, headers ``>snarl:a-b|<ref range>|<sample range>``
+    (writer.cpp:89-178)."""
     snarl = forest.snarls[snarl_idx]
     name = f"snarl:{snarl.start_node}-{snarl.end_node}"
+
+    # reference range through the snarl ("NOREF:?:?" when absent,
+    # writer.cpp:106)
+    ref_coordinates = "NOREF:?:?"
+    for path in g.paths:
+        if reference_sample and path.sample != reference_sample and \
+                path.name != reference_sample:
+            continue
+        if not reference_sample and not path.is_reference:
+            continue
+        pos = 0
+        offs = []
+        for st in path.steps:
+            offs.append(pos)
+            pos += g.node_length(st[0])
+        try:
+            si = next(i for i, st in enumerate(path.steps)
+                      if st[0] == snarl.start_node)
+            ei = next(i for i in range(si + 1, len(path.steps))
+                      if path.steps[i][0] == snarl.end_node)
+        except StopIteration:
+            continue
+        start_off = offs[si] + g.node_length(path.steps[si][0])
+        ref_coordinates = f"{path.name}:{start_off}-{offs[ei]}"
+        break
+
     for key, steps, offsets in partitioner.sample_paths:
         sample = key[0]
         if samples_to_write and sample not in samples_to_write:
@@ -337,7 +366,8 @@ def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
         seq = "".join(g.node_seq(steps[i]) for i in range(si + 1, ei))
         start_off = offsets[si] + g.node_length(steps[si][0])
         end_off = offsets[ei]
-        out_fh.write(f">{name}|ref|{sample}:{start_off}-{end_off}\n")
+        out_fh.write(f">{name}|{ref_coordinates}|"
+                     f"{sample}:{start_off}-{end_off}\n")
         for i in range(0, len(seq), 80):
             out_fh.write(seq[i:i + 80] + "\n")
         if len(seq) == 0:
