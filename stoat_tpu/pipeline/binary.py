@@ -114,11 +114,17 @@ def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
 def binary_analyze_chromosome(packed: PackedChromosome,
                               binary_phenotype: np.ndarray,
                               min_individuals: int, min_haplotypes: int,
-                              maf_threshold: float) -> Dict[str, np.ndarray]:
-    """Host wrapper: build the phenotype one-hot and run the device graph."""
+                              maf_threshold: float,
+                              device_matrix=None) -> Dict[str, np.ndarray]:
+    """Host wrapper: build the phenotype one-hot and run the device graph.
+
+    ``device_matrix`` lets the caller upload the chromosome's edge matrix
+    once and reuse it across snarl chunks.
+    """
     pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
     out = binary_tables_device(
-        jnp.asarray(packed.matrix, jnp.float32),
+        device_matrix if device_matrix is not None
+        else jnp.asarray(packed.matrix, jnp.float32),
         jnp.asarray(packed.coo_path),
         jnp.asarray(packed.coo_row),
         jnp.asarray(packed.n_edges_per_path),

@@ -181,12 +181,14 @@ def quantitative_design_device(matrix_f32, coo_path, coo_row,
 
 def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
                 min_individuals: int, min_haplotypes: int,
-                maf_threshold: float, with_covar: bool):
+                maf_threshold: float, with_covar: bool,
+                device_matrix=None):
     C = 0 if covar is None else covar.shape[1]
     covar_in = (np.zeros((packed.matrix.shape[1] // 2, 0))
                 if covar is None else covar)
     return quantitative_design_device(
-        jnp.asarray(packed.matrix, jnp.float32),
+        device_matrix if device_matrix is not None
+        else jnp.asarray(packed.matrix, jnp.float32),
         jnp.asarray(packed.coo_path),
         jnp.asarray(packed.coo_row),
         jnp.asarray(packed.n_edges_per_path),
@@ -206,10 +208,12 @@ def quantitative_analyze_chromosome(packed: PackedChromosome,
                                     covar: Optional[np.ndarray],
                                     min_individuals: int,
                                     min_haplotypes: int,
-                                    maf_threshold: float) -> Dict[str, np.ndarray]:
+                                    maf_threshold: float,
+                                    device_matrix=None) -> Dict[str, np.ndarray]:
     """OLS per snarl.  Returns per-snarl arrays incl. formatted inputs."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
-                         maf_threshold, with_covar=True)
+                         maf_threshold, with_covar=True,
+                         device_matrix=device_matrix)
     used = design["used"]
     y = jnp.asarray(phenotype, jnp.float64)[None, :] * used
     p, beta, se, r2 = linear_regression_batch(
@@ -235,11 +239,13 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
                                     covar: Optional[np.ndarray],
                                     min_individuals: int,
                                     min_haplotypes: int,
-                                    maf_threshold: float) -> Dict[str, np.ndarray]:
+                                    maf_threshold: float,
+                                    device_matrix=None) -> Dict[str, np.ndarray]:
     """IRLS logistic per snarl (covariates ignored in the model, as in the
     reference — see module docstring)."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
-                         maf_threshold, with_covar=False)
+                         maf_threshold, with_covar=False,
+                         device_matrix=device_matrix)
     used = design["used"]
     y = jnp.asarray(binary_phenotype.astype(np.float64))[None, :] * used
     p, beta, se = logistic_regression_batch(
@@ -262,11 +268,12 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
 def eqtl_design_for_chromosome(packed: PackedChromosome,
                                covar: Optional[np.ndarray],
                                min_individuals: int, min_haplotypes: int,
-                               maf_threshold: float):
+                               maf_threshold: float, device_matrix=None):
     """Shared design for the eQTL mode; the caller pairs snarls with genes
     and runs OLS per (snarl, gene)."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
-                         maf_threshold, with_covar=True)
+                         maf_threshold, with_covar=True,
+                         device_matrix=device_matrix)
     return design
 
 

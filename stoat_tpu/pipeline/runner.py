@@ -132,6 +132,9 @@ def run_vcf_analysis(
                         chrom, t1 - t0)
 
             snarls = snarls_chr[chrom]
+            # Upload the chromosome's edge matrix once; chunks reuse it.
+            import jax.numpy as jnp
+            device_matrix = jnp.asarray(matrix.shrink(), jnp.float32)
             # Chunk the snarl axis so one chromosome's batch stays within
             # device memory regardless of scale (SURVEY.md §5.7: the
             # reference's analog is per-chromosome matrix residency).
@@ -143,24 +146,27 @@ def run_vcf_analysis(
                 if mode == "binary":
                     filtered += _write_binary(
                         outf, chrom, packed, binary_phenotype,
-                        min_individuals, min_haplotypes, maf_threshold)
+                        min_individuals, min_haplotypes, maf_threshold,
+                        device_matrix)
                 elif mode == "binary_covar":
                     filtered += _write_binary_covar(
                         outf, chrom, packed, binary_phenotype, covariate,
                         min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples)
+                        table_threshold, regression_dir, samples,
+                        device_matrix)
                 elif mode == "quantitative":
                     filtered += _write_quantitative(
                         outf, chrom, packed, quantitative_phenotype,
                         covariate, min_individuals, min_haplotypes,
                         maf_threshold, table_threshold, regression_dir,
-                        samples)
+                        samples, device_matrix)
                 else:
                     filtered += _write_eqtl(
                         outf, chrom, packed, eqtl_map.get(chrom, []),
                         covariate, min_individuals, min_haplotypes,
                         maf_threshold, windows_gene_threshold,
-                        table_threshold, regression_dir, samples)
+                        table_threshold, regression_dir, samples,
+                        device_matrix)
 
             total_filtered += filtered
             t2 = time.time()
@@ -175,9 +181,11 @@ def run_vcf_analysis(
 
 
 def _write_binary(outf, chrom, packed, phenotype, min_individuals,
-                  min_haplotypes, maf_threshold) -> int:
+                  min_haplotypes, maf_threshold,
+                  device_matrix=None) -> int:
     res = binary_analyze_chromosome(packed, phenotype, min_individuals,
-                                    min_haplotypes, maf_threshold)
+                                    min_haplotypes, maf_threshold,
+                                    device_matrix=device_matrix)
     filtered = 0
     for s, snarl in enumerate(packed.snarls):
         if res["filtered"][s]:
@@ -212,10 +220,11 @@ def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,
 
 def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
                         min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples) -> int:
+                        table_threshold, regression_dir, samples,
+                        device_matrix=None) -> int:
     res = binary_covar_analyze_chromosome(
         packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold)
+        maf_threshold, device_matrix=device_matrix)
     filtered = 0
     for s, snarl in enumerate(packed.snarls):
         if res["filtered"][s]:
@@ -234,10 +243,11 @@ def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
 
 def _write_quantitative(outf, chrom, packed, phenotype, covariate,
                         min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples) -> int:
+                        table_threshold, regression_dir, samples,
+                        device_matrix=None) -> int:
     res = quantitative_analyze_chromosome(
         packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold)
+        maf_threshold, device_matrix=device_matrix)
     filtered = 0
     for s, snarl in enumerate(packed.snarls):
         if res["filtered"][s]:
@@ -256,9 +266,10 @@ def _write_quantitative(outf, chrom, packed, phenotype, covariate,
 
 def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
                 min_haplotypes, maf_threshold, window, table_threshold,
-                regression_dir, samples) -> int:
+                regression_dir, samples, device_matrix=None) -> int:
     design = eqtl_design_for_chromosome(
-        packed, covariate, min_individuals, min_haplotypes, maf_threshold)
+        packed, covariate, min_individuals, min_haplotypes, maf_threshold,
+        device_matrix=device_matrix)
     filtered_arr = np.asarray(design["filtered"])
     used_arr = np.asarray(design["used"])
     allele_arr = np.asarray(design["allele_paths"])

@@ -65,18 +65,20 @@ def generate_dataset(outdir: str, n_samples: int = 200, n_snarls: int = 100,
             case_freq = base
         control_freq = base
 
-        gts = []
-        dosage0 = np.zeros(n_samples)
-        hap_counts = {0: np.zeros(n_alleles), 1: np.zeros(n_alleles)}
-        for i in range(n_samples):
-            freq = case_freq if is_case[i] else control_freq
-            a1 = int(rng.choice(n_alleles, p=freq))
-            a2 = int(rng.choice(n_alleles, p=freq))
-            gts.append(f"{a1}/{a2}")
-            dosage0[i] = (a1 == 0) + (a2 == 0)
-            group = 1 if is_case[i] else 0
-            hap_counts[group][a1] += 1
-            hap_counts[group][a2] += 1
+        # vectorized diploid draws: inverse-CDF sample per haplotype
+        cum_case = np.cumsum(case_freq)
+        cum_ctrl = np.cumsum(control_freq)
+        u = rng.random((n_samples, 2))
+        a_case = np.searchsorted(cum_case, u, side="right")
+        a_ctrl = np.searchsorted(cum_ctrl, u, side="right")
+        alleles = np.where(is_case[:, None], a_case, a_ctrl)
+        alleles = np.minimum(alleles, n_alleles - 1)
+        gts = [f"{a1}/{a2}" for a1, a2 in alleles]
+        dosage0 = (alleles == 0).sum(axis=1).astype(float)
+        hap_counts = {}
+        for group in (0, 1):
+            sel = alleles[is_case == bool(group)].ravel()
+            hap_counts[group] = np.bincount(sel, minlength=n_alleles)
 
         if has_effect:
             quant += quant_effect * (dosage0 - dosage0.mean())
