@@ -138,10 +138,18 @@ def run_vcf_analysis(
             # Chunk the snarl axis so one chromosome's batch stays within
             # device memory regardless of scale (SURVEY.md §5.7: the
             # reference's analog is per-chromosome matrix residency).
+            # The quantitative design is [chunk, samples, paths] f64, so
+            # large cohorts shrink the chunk (~2 GB working-set target).
+            n_samples_total = len(samples)
+            effective_chunk = snarl_chunk_size
+            if mode != "binary" and n_samples_total > 0:
+                budget_rows = max(int(2e9 // (n_samples_total * 8 * 12)),
+                                  256)
+                effective_chunk = min(snarl_chunk_size, budget_rows)
             filtered = 0
-            for lo in range(0, len(snarls), snarl_chunk_size):
-                chunk = snarls[lo:lo + snarl_chunk_size]
-                packed = pack_chromosome(chunk, matrix)
+            from stoat_tpu.tables import pack_chromosome_chunks
+            for packed in pack_chromosome_chunks(snarls, matrix,
+                                                 effective_chunk):
 
                 if mode == "binary":
                     filtered += _write_binary(

@@ -58,6 +58,51 @@ class PackedChromosome:
         return self.matrix.shape[1]
 
 
+def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
+                           chunk_size: int) -> List["PackedChromosome"]:
+    """Pack a chromosome's snarls in chunks with UNIFORM padded shapes.
+
+    Every chunk gets the same (S, Pmax, P, nnz) padding, so the jitted
+    device pipeline compiles exactly once per mode — essential when the
+    compiler sits behind a slow remote tunnel.
+    """
+    chunks = [list(snarls[lo:lo + chunk_size])
+              for lo in range(0, len(snarls), chunk_size)]
+    if not chunks:
+        return []
+    packs = [pack_chromosome(c, edge_matrix) for c in chunks]
+    S = max(p.snarl_path_idx.shape[0] for p in packs)
+    Pmax = max(p.snarl_path_idx.shape[1] for p in packs)
+    P = max(p.n_edges_per_path.shape[0] for p in packs)
+    nnz = max(p.coo_path.shape[0] for p in packs)
+
+    out = []
+    for p in packs:
+        s0, pm0 = p.snarl_path_idx.shape
+        idx = np.full((S, Pmax), -1, np.int32)
+        idx[:s0, :pm0] = p.snarl_path_idx
+        mask = np.zeros(S, bool)
+        mask[: p.n_snarls] = True
+        n_e = np.zeros(P, np.int32)
+        n_e[: p.n_edges_per_path.shape[0]] = p.n_edges_per_path
+        valid = np.zeros(P, bool)
+        valid[: p.path_valid.shape[0]] = p.path_valid
+        valid[p.n_paths:] = False
+        coo_p = np.full(nnz, P - 1, np.int32)
+        coo_r = np.zeros(nnz, np.int32)
+        n0 = p.coo_path.shape[0]
+        coo_p[:n0] = p.coo_path
+        # repoint this pack's own padding at the common padded slot
+        coo_p[coo_p >= p.n_paths] = P - 1
+        coo_r[:n0] = p.coo_row
+        out.append(PackedChromosome(
+            matrix=p.matrix, coo_path=coo_p, coo_row=coo_r,
+            n_edges_per_path=n_e, path_valid=valid, snarl_path_idx=idx,
+            snarl_mask=mask, n_paths=p.n_paths, n_snarls=p.n_snarls,
+            snarls=p.snarls))
+    return out
+
+
 def pack_chromosome(snarls: Sequence[SnarlData],
                     edge_matrix: EdgeHaplotypeMatrix,
                     pad_snarls: bool = True) -> PackedChromosome:
