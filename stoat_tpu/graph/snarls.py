@@ -259,7 +259,7 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
                 v = succs[0]
                 entered = _entry_side(v)
                 if len(_side_endpoints(g, entered)) >= 2:
-                    candidates.append((h, 4))
+                    candidates.append((h, 8))
 
     ref_order: Dict[int, int] = {}
     for path in g.paths:
@@ -271,9 +271,12 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
         for rank, step in enumerate(g.paths[0].steps):
             ref_order.setdefault(step[0], rank)
 
-    # Path termini root the decomposition (see _find_snarl_from).
+    # Reference-path termini root the decomposition (see
+    # _find_snarl_from).  Sample paths may legitimately end mid-graph, so
+    # only reference paths count (all paths when none is flagged).
     forbidden: Set[int] = set()
-    for path in g.paths:
+    ref_paths = [p for p in g.paths if p.is_reference] or g.paths
+    for path in ref_paths:
         if path.steps:
             forbidden.add(path.steps[0][0])
             forbidden.add(path.steps[-1][0])

@@ -322,7 +322,7 @@ static Forest find_snarls(const Graph& g) {
             } else if (succs.size() == 1) {
                 Handle entered = entry_side(succs[0]);
                 if (g.successors(entered).size() >= 2)
-                    candidates.push_back({h, 4});
+                    candidates.push_back({h, 8});
             }
         }
     }
@@ -342,12 +342,14 @@ static Forest find_snarls(const Graph& g) {
             ref_order.emplace(node_of(st), rank++);
     }
 
+    // reference-path termini only (sample paths may end mid-graph)
     std::set<uint64_t> forbidden;
+    bool any_ref = false;
+    for (const auto& p : g.paths) any_ref = any_ref || p.is_ref;
     for (const auto& p : g.paths) {
-        if (!p.steps.empty()) {
-            forbidden.insert(node_of(p.steps.front()));
-            forbidden.insert(node_of(p.steps.back()));
-        }
+        if ((any_ref && !p.is_ref) || p.steps.empty()) continue;
+        forbidden.insert(node_of(p.steps.front()));
+        forbidden.insert(node_of(p.steps.back()));
     }
 
     // key = (unordered node pair, interior set) — serialize to string
