@@ -242,12 +242,69 @@ def _find_snarl_from(g: GfaGraph, a: Handle, forbidden: Set[int],
     return None
 
 
+def _cyclic_nodes(g: GfaGraph) -> Set[int]:
+    """Nodes whose handles sit in a nontrivial SCC of the orientation
+    digraph (or that have a self edge) — the only places where a
+    single-successor entrance can still open a snarl."""
+    index: Dict[Handle, int] = {}
+    lowlink: Dict[Handle, int] = {}
+    on_stack: Set[Handle] = set()
+    stack: List[Handle] = []
+    counter = [0]
+    cyclic: Set[int] = set()
+
+    vertices = [(nid, o) for nid in g.node_ids() for o in (False, True)]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, iter(g.successors(root)))]
+        index[root] = lowlink[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w == v:
+                    cyclic.add(v[0])  # self edge
+                elif w not in index:
+                    index[w] = lowlink[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(g.successors(w))))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    lowlink[v] = min(lowlink[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                parent = work[-1][0]
+                lowlink[parent] = min(lowlink[parent], lowlink[v])
+            if lowlink[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                if len(comp) > 1:
+                    for w in comp:
+                        cyclic.add(w[0])
+    return cyclic
+
+
 def find_snarls(g: GfaGraph) -> SnarlForest:
     # ---- candidate entrances -------------------------------------------
-    # Strong candidates (branching handles) get the full exit search;
-    # weak ones (single successor whose entry side is busy — loops,
-    # reversals behind a chain node) get a short search, since most are
-    # just merge points seen from upstream.
+    # Strong candidates (branching handles) get the full exit search.
+    # Weak ones (single successor with a busy entry side) are only worth
+    # testing when that successor sits in cyclic structure — in a DAG they
+    # are just merge points seen from upstream.
+    cyclic = _cyclic_nodes(g)
     candidates: List[Tuple[Handle, int]] = []
     for nid in g.node_ids():
         for o in (False, True):
@@ -258,7 +315,8 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
             elif len(succs) == 1:
                 v = succs[0]
                 entered = _entry_side(v)
-                if len(_side_endpoints(g, entered)) >= 2:
+                if v[0] in cyclic and \
+                        len(_side_endpoints(g, entered)) >= 2:
                     candidates.append((h, 8))
 
     ref_order: Dict[int, int] = {}

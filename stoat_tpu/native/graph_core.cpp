@@ -310,8 +310,71 @@ static std::optional<FindResult> find_snarl_from(
     return std::nullopt;
 }
 
+// nodes in nontrivial SCCs of the orientation digraph (or with self
+// edges): the only places a single-successor entrance can open a snarl
+static std::set<uint64_t> cyclic_nodes(const Graph& g) {
+    std::unordered_map<Handle, int> index, lowlink;
+    std::unordered_set<Handle> on_stack;
+    std::vector<Handle> stack;
+    int counter = 0;
+    std::set<uint64_t> cyclic;
+
+    std::vector<Handle> vertices;
+    for (const auto& [nid, _len] : g.node_len)
+        for (int o = 0; o < 2; ++o) vertices.push_back(make_handle(nid, o));
+
+    for (Handle root : vertices) {
+        if (index.count(root)) continue;
+        std::vector<std::pair<Handle, size_t>> work{{root, 0}};
+        index[root] = lowlink[root] = counter++;
+        stack.push_back(root);
+        on_stack.insert(root);
+        while (!work.empty()) {
+            auto& [v, pos] = work.back();
+            bool advanced = false;
+            const auto& succs = g.successors(v);
+            while (pos < succs.size()) {
+                Handle w = succs[pos++];
+                if (w == v) {
+                    cyclic.insert(node_of(v));
+                } else if (!index.count(w)) {
+                    index[w] = lowlink[w] = counter++;
+                    stack.push_back(w);
+                    on_stack.insert(w);
+                    work.push_back({w, 0});
+                    advanced = true;
+                    break;
+                } else if (on_stack.count(w)) {
+                    lowlink[v] = std::min(lowlink[v], index[w]);
+                }
+            }
+            if (advanced) continue;
+            Handle v2 = work.back().first;
+            work.pop_back();
+            if (!work.empty()) {
+                Handle parent = work.back().first;
+                lowlink[parent] = std::min(lowlink[parent], lowlink[v2]);
+            }
+            if (lowlink[v2] == index[v2]) {
+                std::vector<Handle> comp;
+                for (;;) {
+                    Handle w = stack.back();
+                    stack.pop_back();
+                    on_stack.erase(w);
+                    comp.push_back(w);
+                    if (w == v2) break;
+                }
+                if (comp.size() > 1)
+                    for (Handle w : comp) cyclic.insert(node_of(w));
+            }
+        }
+    }
+    return cyclic;
+}
+
 static Forest find_snarls(const Graph& g) {
     // candidates in sorted node order, orientation False then True
+    std::set<uint64_t> cyclic = cyclic_nodes(g);
     std::vector<std::pair<Handle, int>> candidates;
     for (const auto& [nid, _len] : g.node_len) {
         for (int o = 0; o < 2; ++o) {
@@ -321,7 +384,8 @@ static Forest find_snarls(const Graph& g) {
                 candidates.push_back({h, kMaxExitTries});
             } else if (succs.size() == 1) {
                 Handle entered = entry_side(succs[0]);
-                if (g.successors(entered).size() >= 2)
+                if (cyclic.count(node_of(succs[0])) &&
+                    g.successors(entered).size() >= 2)
                     candidates.push_back({h, 8});
             }
         }
