@@ -243,6 +243,9 @@ static bool process_line(MatrixBuilder& mb, char* line,
         parse_traversal_keys(a, seg_end, allele_keys.back());
         a = seg_end + 1;
     }
+    // per-allele resolved-row cache for this record
+    std::vector<std::pair<std::vector<uint32_t>, bool>> allele_row_cache(
+        allele_keys.size());
 
     // samples: p points at the first sample field
     size_t si = 0;
@@ -268,14 +271,26 @@ static bool process_line(MatrixBuilder& mb, char* line,
             a1 = parse_allele(p, gt_end);
             a2 = -1;
         }
+        // rows interned lazily on an allele's first carrier, then cached
+        // (semantics match push_matrix: uncalled alleles leave no rows)
+        auto rows_of = [&](int allele) -> const std::vector<uint32_t>& {
+            auto& cache = allele_row_cache[size_t(allele)];
+            if (!cache.second) {
+                cache.first.clear();
+                for (const EdgeKey& k : allele_keys[size_t(allele)])
+                    cache.first.push_back(mb.intern(k));
+                cache.second = true;
+            }
+            return cache.first;
+        };
         uint64_t col = 2 * si;
         if (a1 >= 0 && size_t(a1) < allele_keys.size()) {
-            for (const EdgeKey& k : allele_keys[a1])
-                mb.data[uint64_t(mb.intern(k)) * mb.n_cols + col] = 1;
+            for (uint32_t row : rows_of(a1))
+                mb.data[uint64_t(row) * mb.n_cols + col] = 1;
         }
         if (a2 >= 0 && size_t(a2) < allele_keys.size()) {
-            for (const EdgeKey& k : allele_keys[a2])
-                mb.data[uint64_t(mb.intern(k)) * mb.n_cols + col + 1] = 1;
+            for (uint32_t row : rows_of(a2))
+                mb.data[uint64_t(row) * mb.n_cols + col + 1] = 1;
         }
         ++si;
         if (!t) break;
