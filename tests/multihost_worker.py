@@ -1,0 +1,122 @@
+"""Worker for the 2-process multi-host SPMD test (run by
+test_multihost.py, one instance per emulated host).
+
+Each process owns 4 virtual CPU devices; the 2-process global mesh has 8.
+Each host packs only ITS snarl shard (host-sharded input), the global
+array is assembled with make_array_from_single_device_arrays, and the
+sharded binary pipeline runs; process 0 writes the gathered results.
+"""
+
+import os
+import sys
+
+process_id = int(sys.argv[1])
+coordinator = sys.argv[2]
+outdir = sys.argv[3]
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=coordinator,
+                           num_processes=2, process_id=process_id)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fixtures import make_fixture
+from stoat_tpu.io.snarl_file import parse_snarl_path
+from stoat_tpu.io.phenotype import parse_binary_pheno
+from stoat_tpu.io.vcf import VcfReader
+from stoat_tpu.matrix import EdgeHaplotypeMatrix
+from stoat_tpu.parallel.mesh import shard_packed_chromosome
+from stoat_tpu.pipeline.binary import binary_tables_device
+
+# deterministic dataset (same on both hosts)
+fixture_dir = os.path.join(outdir, "data")
+paths = make_fixture(fixture_dir, n_samples=30, n_snarls=16, seed=4)
+reader = VcfReader(paths["vcf"])
+_, records = next(iter(reader.chromosome_chunks()))
+matrix = EdgeHaplotypeMatrix(60)
+for rec in records:
+    matrix.add_record(rec)
+snarls = parse_snarl_path(paths["snarl"])["ref"]
+pheno, _ = parse_binary_pheno(paths["binary"], list(paths["samples"]))
+
+devices = np.array(jax.devices())  # 8 global devices across 2 processes
+assert devices.shape[0] == 8, devices
+mesh = Mesh(devices, ("snarls",))
+
+# one shard per device; each host materialises only its local shards
+sharded = shard_packed_chromosome(snarls, matrix, 8)
+shard_spec = NamedSharding(mesh, P("snarls"))
+repl_spec = NamedSharding(mesh, P())
+local_devices = jax.local_devices()
+
+
+def make_global(arr, sharding, shard_axis):
+    if shard_axis is None:
+        singles = [jax.device_put(arr, d) for d in local_devices]
+        return jax.make_array_from_single_device_arrays(
+            arr.shape, sharding, singles)
+    singles = []
+    for d in local_devices:
+        # device d owns global shard index = its position in the mesh
+        idx = list(devices).index(d)
+        singles.append(jax.device_put(arr[idx:idx + 1], d))
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, singles)
+
+
+pheno_hap = np.repeat(pheno.astype(np.float32), 2)
+num_paths = sharded.paths_per_shard
+
+g_matrix = make_global(np.asarray(sharded.matrix, np.float32), repl_spec, None)
+g_coo_path = make_global(sharded.coo_path, shard_spec, 0)
+g_coo_row = make_global(sharded.coo_row, shard_spec, 0)
+g_n_edges = make_global(sharded.n_edges_per_path, shard_spec, 0)
+g_valid = make_global(sharded.path_valid, shard_spec, 0)
+g_idx = make_global(sharded.snarl_path_idx, shard_spec, 0)
+g_pheno = make_global(pheno_hap, repl_spec, None)
+
+
+def local_fn(matrix_a, coo_path, coo_row, n_edges, valid, idx, pheno_a):
+    out = binary_tables_device(
+        matrix_a, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
+        pheno_a, jnp.float64(3), jnp.float64(5), jnp.float64(0.05),
+        num_paths=num_paths)
+    return {k: v[None] for k, v in out.items()}
+
+
+fn = jax.jit(jax.shard_map(
+    local_fn, mesh=mesh,
+    in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+              P("snarls"), P()),
+    out_specs=P("snarls")))
+
+out = fn(g_matrix, g_coo_path, g_coo_row, g_n_edges, g_valid, g_idx, g_pheno)
+
+from jax.experimental import multihost_utils
+
+gathered = {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
+            for k, v in out.items() if k in ("p_chi2", "p_fisher",
+                                             "filtered")}
+
+if process_id == 0:
+    rows = []
+    sizes = sharded.shard_sizes
+    for key in ("p_chi2", "p_fisher"):
+        arr = gathered[key]
+        parts = [arr[d, :sizes[d]] for d in range(8)]
+        rows.append(np.concatenate(parts))
+    np.savez(os.path.join(outdir, "multihost_result.npz"),
+             p_chi2=rows[0], p_fisher=rows[1])
+    print("WROTE_RESULT")
+
+jax.distributed.shutdown()
