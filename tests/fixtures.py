@@ -52,14 +52,12 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
 
         # --- VCF record: allele index == path index ----------------------
         freqs = rng.dirichlet(np.ones(n_alleles) * 2.0)
-        gts = []
-        for _s in range(n_samples):
-            a1 = int(rng.choice(n_alleles, p=freqs))
-            a2 = int(rng.choice(n_alleles, p=freqs))
-            if rng.random() < 0.02:
-                gts.append("./.")
-            else:
-                gts.append(f"{a1}/{a2}")
+        cum = np.cumsum(freqs)
+        draws = np.minimum(np.searchsorted(cum, rng.random((n_samples, 2)),
+                                           side="right"), n_alleles - 1)
+        missing = rng.random(n_samples) < 0.02
+        gts = ["./." if m else f"{a1}/{a2}"
+               for m, (a1, a2) in zip(missing, draws)]
         alts = ",".join(["T"] * max(n_alleles - 1, 1))
         vcf_rows.append("\t".join([
             chrom, str(pos), snarl_id, "A", alts, "99", "PASS",

@@ -1,0 +1,91 @@
+"""Edge-case coverage: gzip VCFs end-to-end, >=10-allele snarls, missing
+AT fields, and phased separators."""
+
+import gzip
+import os
+import shutil
+
+import numpy as np
+
+from stoat_tpu.cli import main as cli_main
+from stoat_tpu.io.vcf import VcfReader, parse_gt_fields
+
+from fixtures import make_fixture
+
+
+def test_gzip_vcf_end_to_end(tmp_path):
+    paths = make_fixture(str(tmp_path), n_samples=24, n_snarls=8, seed=6)
+    gz = str(tmp_path / "test.vcf.gz")
+    with open(paths["vcf"], "rb") as src, gzip.open(gz, "wb") as dst:
+        shutil.copyfileobj(src, dst)
+    out1 = str(tmp_path / "o_plain")
+    out2 = str(tmp_path / "o_gz")
+    assert cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                     "-b", paths["binary"], "-o", out1]) == 0
+    assert cli_main(["vcf", "-s", paths["snarl"], "-v", gz,
+                     "-b", paths["binary"], "-o", out2]) == 0
+    import filecmp
+    assert filecmp.cmp(os.path.join(out1, "binary_table_vcf.tsv"),
+                       os.path.join(out2, "binary_table_vcf.tsv"),
+                       shallow=False)
+
+
+def test_gt_parsing_variants():
+    # double-digit alleles, phased separators, haploid, missing
+    out = parse_gt_fields(["10/11", "0|12", ".", "./.", "3", "2/.",
+                           "1/0:42,13"])
+    assert list(out) == [10, 11, 0, 12, -1, -1, -1, -1, 3, -1, 2, -1, 1, 0]
+
+
+def test_record_without_at_is_skipped(tmp_path):
+    paths = make_fixture(str(tmp_path), n_samples=10, n_snarls=4, seed=2)
+    # append a record with no AT: must be ignored, not crash
+    with open(paths["vcf"], "a") as fh:
+        gts = "\t".join(["0/1"] * 10)
+        fh.write(f"ref\t9999\tx\tA\tT\t50\tPASS\t.\tGT\t{gts}\n")
+    out = str(tmp_path / "o")
+    assert cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                     "-b", paths["binary"], "-o", out]) == 0
+
+
+def test_many_allele_snarl(tmp_path):
+    """A 12-allele snarl: double-digit allele indices in GT and AT."""
+    n_samples = 30
+    samples = [f"s{i}" for i in range(n_samples)]
+    n_all = 12
+    mids = list(range(2, 2 + n_all))
+    end = 2 + n_all
+    paths = [f">1>{m}>{end}" for m in mids]
+    snarl = tmp_path / "snarl.tsv"
+    snarl.write_text(
+        "CHR\tSTART_POS\tEND_POS\tSNARL_HANDLEGRAPH\tSNARL\tPATHS\tTYPE\t"
+        "REF\tDEPTH\n"
+        f"ref\t10\t20\t1\t1_{end}\t{','.join(paths)}\t"
+        f"{','.join(['1'] * n_all)}\t1\t1\n")
+    rng = np.random.default_rng(0)
+    gts = [f"{rng.integers(0, n_all)}/{rng.integers(0, n_all)}"
+           for _ in samples]
+    vcf = tmp_path / "t.vcf"
+    vcf.write_text(
+        "##fileformat=VCFv4.2\n##contig=<ID=ref>\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+        + "\t".join(samples) + "\n"
+        + "\t".join(["ref", "10", ".", "A", ",".join(["T"] * (n_all - 1)),
+                     "50", "PASS", f"AT={','.join(paths)}", "GT"] + gts)
+        + "\n")
+    pheno = tmp_path / "p.tsv"
+    with open(pheno, "w") as fh:
+        fh.write("FID\tIID\tPHENO\n")
+        for s in samples:
+            fh.write(f"{s}\t{s}\t{1 + int(rng.random() < 0.5)}\n")
+    out = str(tmp_path / "o")
+    assert cli_main(["vcf", "-s", str(snarl), "-v", str(vcf),
+                     "-b", str(pheno), "-o", out, "-M", "0.0"]) == 0
+    with open(os.path.join(out, "binary_table_vcf.tsv")) as fh:
+        fh.readline()
+        rows = [l.split("\t") for l in fh if l.strip()]
+    assert len(rows) == 1
+    # 12 columns -> chi2_2xN path, Fisher NA
+    assert rows[0][5] == "NA"
+    assert rows[0][6] != "NA"
+    assert rows[0][7].count(",") >= 8  # most alleles carried
