@@ -273,6 +273,10 @@ def enumerate_snarl_paths(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
             raise _SnarlReject(
                 f"iteration_calculation_out = {n_children} children")
 
+        if cycle:
+            # over-threshold loops are dropped entirely (pinned by the
+            # reference's loop_simple truth: no 3rd traversal appears)
+            continue
         last = path[-1]
         cur_handle = last[1] if last[0] == "node" else last[4]
         for nxt in g.successors(cur_handle):
@@ -281,8 +285,6 @@ def enumerate_snarl_paths(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
                     finished.append(path + [("node", nxt)])
                 continue
             if nxt[0] not in allowed or nxt[0] == end[0] or nxt[0] == start[0]:
-                continue
-            if cycle:
                 continue
             entry = view.chain_entry.get(nxt)
             if entry is not None:

@@ -816,6 +816,7 @@ EnumResult Decomposer::enumerate_paths(int snarl_idx, long children_threshold,
                 std::to_string(n_children) + " children";
             return out;
         }
+        if (cycle) continue;  // over-threshold loops drop entirely
         Handle cur = path.back().is_chain ? path.back().exit
                                           : path.back().handle;
         for (Handle nxt : g.successors(cur)) {
@@ -831,7 +832,6 @@ EnumResult Decomposer::enumerate_paths(int snarl_idx, long children_threshold,
                 node_of(nxt) == node_of(end) ||
                 node_of(nxt) == node_of(start))
                 continue;
-            if (cycle) continue;
             auto ce = view.chain_entry.find(nxt);
             if (ce != view.chain_entry.end()) {
                 auto [ui, rv] = ce->second;
