@@ -119,13 +119,17 @@ def run_vcf_analysis(
         else:
             raise ValueError(f"unknown mode {mode}")
 
-        for chrom, matrix in iter_chromosome_matrices(vcf_path, n_hap,
-                                                      snarls_chr):
+        matrices = iter_chromosome_matrices(vcf_path, n_hap, snarls_chr)
+        while True:
+            t0 = time.time()
+            try:
+                chrom, matrix = next(matrices)
+            except StopIteration:
+                break
             if chrom not in snarls_chr:
                 logger.warning("Chromosome %s not found in snarl paths "
                                "file. Skipping.", chrom)
                 continue
-            t0 = time.time()
             logger.info("Analysing chr : %s", chrom)
             t1 = time.time()
             logger.info("Matrix time construction in chr %s : %.3f s",
