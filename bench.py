@@ -145,15 +145,17 @@ def run_baseline(packed, edge_matrix, pheno_bin, pheno_q,
     try:
         from stoat_tpu.native import run_baseline_cpp
         n_paths_sample = int(snarl_offsets[sample])
-        t0 = time.perf_counter()
-        run_baseline_cpp(
-            packed.matrix.astype(np.uint8),
-            path_rows[: int(row_offsets[n_paths_sample])],
-            row_offsets[: n_paths_sample + 1],
-            snarl_offsets[: sample + 1],
-            pheno_bin.astype(np.uint8), pheno_q, 3, 5, 0.05)
-        dt = time.perf_counter() - t0
-        return 2 * sample / dt, "cpp_single_core"
+        times = []
+        for _ in range(2):  # best-of-2: fair to the baseline under load
+            t0 = time.perf_counter()
+            run_baseline_cpp(
+                packed.matrix.astype(np.uint8),
+                path_rows[: int(row_offsets[n_paths_sample])],
+                row_offsets[: n_paths_sample + 1],
+                snarl_offsets[: sample + 1],
+                pheno_bin.astype(np.uint8), pheno_q, 3, 5, 0.05)
+            times.append(time.perf_counter() - t0)
+        return 2 * sample / min(times), "cpp_single_core"
     except (RuntimeError, OSError):
         import sys
         sys.path.insert(0, os.path.join(os.path.dirname(
