@@ -239,15 +239,20 @@ class NativeVcfMatrixReader:
             cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
             if not cp:
                 return
-            rows = lib.stoat_chunk_rows(cp)
-            cols = lib.stoat_chunk_cols(cp)
+            rows = int(lib.stoat_chunk_rows(cp))
+            cols = int(lib.stoat_chunk_cols(cp))
             chrom = lib.stoat_chunk_chrom(cp).decode()
-            mat = np.ctypeslib.as_array(
-                lib.stoat_chunk_matrix(cp),
-                shape=(int(rows), int(cols))).astype(bool)
-            edges = np.ctypeslib.as_array(
-                lib.stoat_chunk_edges(cp),
-                shape=(int(rows), 4)).copy()
+            if rows == 0:
+                # e.g. a chromosome whose records all lack AT fields
+                mat = np.zeros((0, cols), bool)
+                edges = np.zeros((0, 4), np.uint64)
+            else:
+                mat = np.ctypeslib.as_array(
+                    lib.stoat_chunk_matrix(cp),
+                    shape=(rows, cols)).astype(bool)
+                edges = np.ctypeslib.as_array(
+                    lib.stoat_chunk_edges(cp),
+                    shape=(rows, 4)).copy()
             lib.stoat_chunk_free(cp)
             edge_to_row = {
                 ((int(e[0]), bool(e[1])), (int(e[2]), bool(e[3]))): i

@@ -102,8 +102,11 @@ def shard_packed_chromosome(snarls: Sequence[SnarlData],
         return coo_p, coo_r, n_e, valid, idx
 
     padded = [pad_shard(p) for p in packs]
+    matrix = edge_matrix.shrink()
+    if matrix.shape[0] == 0:
+        matrix = np.zeros((1, matrix.shape[1]), bool)
     return ShardedChromosome(
-        matrix=edge_matrix.shrink(),
+        matrix=matrix,
         coo_path=np.stack([x[0] for x in padded]),
         coo_row=np.stack([x[1] for x in padded]),
         n_edges_per_path=np.stack([x[2] for x in padded]),

@@ -136,9 +136,7 @@ def run_vcf_analysis(
                         chrom, t1 - t0)
 
             snarls = snarls_chr[chrom]
-            # Upload the chromosome's edge matrix once; chunks reuse it.
             import jax.numpy as jnp
-            device_matrix = jnp.asarray(matrix.shrink(), jnp.float32)
             # Chunk the snarl axis so one chromosome's batch stays within
             # device memory regardless of scale (SURVEY.md §5.7: the
             # reference's analog is per-chromosome matrix residency).
@@ -152,8 +150,13 @@ def run_vcf_analysis(
                 effective_chunk = min(snarl_chunk_size, budget_rows)
             filtered = 0
             from stoat_tpu.tables import pack_chromosome_chunks
+            device_matrix = None
             for packed in pack_chromosome_chunks(snarls, matrix,
                                                  effective_chunk):
+                if device_matrix is None:
+                    # upload the (possibly empty-padded) chromosome matrix
+                    # once; all chunks share it
+                    device_matrix = jnp.asarray(packed.matrix, jnp.float32)
 
                 if mode == "binary":
                     filtered += _write_binary(

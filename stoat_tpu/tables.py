@@ -179,8 +179,15 @@ def pack_chromosome(snarls: Sequence[SnarlData],
         valid_arr = np.append(valid_arr, False)
         coo_path_arr[nnz:] = P - 1
 
+    matrix = edge_matrix.shrink()
+    if matrix.shape[0] == 0:
+        # no resolvable edges on this chromosome (e.g. AT-less records):
+        # keep one all-zero row so device gathers stay in bounds; every
+        # edge-bearing path is already invalid
+        matrix = np.zeros((1, matrix.shape[1]), bool)
+
     return PackedChromosome(
-        matrix=edge_matrix.shrink(),
+        matrix=matrix,
         coo_path=coo_path_arr,
         coo_row=coo_row_arr,
         n_edges_per_path=n_edges_arr,

@@ -89,3 +89,25 @@ def test_many_allele_snarl(tmp_path):
     assert rows[0][5] == "NA"
     assert rows[0][6] != "NA"
     assert rows[0][7].count(",") >= 8  # most alleles carried
+
+
+def test_chromosome_with_no_resolvable_edges(tmp_path):
+    """Records without AT leave an empty edge matrix; the pipeline must
+    degrade gracefully (all snarls filtered), not crash."""
+    (tmp_path / "s.tsv").write_text(
+        "CHR\tSTART_POS\tEND_POS\tSNARL_HANDLEGRAPH\tSNARL\tPATHS\tTYPE\t"
+        "REF\tDEPTH\nref\t10\t20\t1\t1_3\t>1>2>3,>1>3\t1,0\t1\t1\n")
+    (tmp_path / "t.vcf").write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ta\tb\tc\n"
+        "ref\t10\t.\tA\tT\t5\tPASS\t.\tGT\t0/1\t0/0\t1/1\n")
+    (tmp_path / "p.tsv").write_text(
+        "FID\tIID\tPHENO\na\ta\t1\nb\tb\t2\nc\tc\t1\n")
+    out = str(tmp_path / "o")
+    rc = cli_main(["vcf", "-s", str(tmp_path / "s.tsv"),
+                   "-v", str(tmp_path / "t.vcf"),
+                   "-b", str(tmp_path / "p.tsv"), "-o", out])
+    assert rc == 0
+    with open(os.path.join(out, "binary_table_vcf.tsv")) as fh:
+        lines = fh.readlines()
+    assert len(lines) == 1  # header only; the snarl was filtered
