@@ -379,12 +379,17 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
                           allele_size_limit: int, reference_sample: str,
                           output_dir: str) -> int:
     """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
-    if not graph_path.endswith((".gfa", ".gfa.gz")):
+    refs = {reference_sample} if reference_sample else None
+    if graph_path.endswith(".hg"):
+        from stoat_tpu.graph.hashgraph import load_hg
+        g = load_hg(graph_path, refs)
+    elif graph_path.endswith((".gfa", ".gfa.gz")):
+        g = load_gfa(graph_path, refs)
+    else:
         raise SystemExit(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA; "
-            "convert vg formats with `vg convert -f`.")
-    g = load_gfa(graph_path,
-                 {reference_sample} if reference_sample else None)
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA "
+            "and bdsg HashGraph (.hg); convert other vg formats with "
+            "`vg convert -f`.")
     forest = find_snarls(g)
 
     samples: List[str] = []

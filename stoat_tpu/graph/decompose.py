@@ -318,9 +318,12 @@ def enumerate_snarl_paths(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
                 cmn, cmx = view.chain_min_max(unit)
                 parts.append(_handle_str(entry_h))
                 if unit.two_plain_nodes:
-                    # chain of exactly two plain nodes renders both
-                    # (snarl_data_t.cpp:605-609)
-                    pass
+                    # chain of exactly two plain nodes renders both — and
+                    # the reference counts its length TWICE (chain
+                    # min/max at :620-621 plus size_node at :608+629);
+                    # its loop_double unit test pins the double count
+                    mn += cmn
+                    mx += cmx
                 else:
                     parts.append(">0")  # '*' (snarl_data_t.cpp:605-607)
                 parts.append(_handle_str(exit_h))
@@ -499,10 +502,21 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
     .gbz) are not parsed natively; convert with ``vg convert -f`` to GFA.
     """
     from stoat_tpu.graph.gfa import load_gfa
+    if graph_path.endswith(".hg"):
+        # bdsg HashGraph: load natively and round-trip through GFA so the
+        # C++ decomposition core can consume it
+        from stoat_tpu.graph.hashgraph import load_hg
+        import tempfile
+        g_hg = load_hg(graph_path, ref_chr or None)
+        tmp_gfa = os.path.join(tempfile.mkdtemp(prefix="stoat_hg_"),
+                               os.path.basename(graph_path) + ".gfa")
+        g_hg.write_gfa(tmp_gfa)
+        graph_path = tmp_gfa
     if not graph_path.endswith((".gfa", ".gfa.gz")):
         raise RuntimeError(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA; "
-            "convert vg formats with `vg convert -f graph.pg > graph.gfa`.")
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA "
+            "and bdsg HashGraph (.hg); convert other vg formats with "
+            "`vg convert -f graph.pg > graph.gfa`.")
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
     out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")

@@ -86,6 +86,28 @@ class GfaGraph:
         return len(self.successors(h))
 
 
+    def write_gfa(self, path: str) -> None:
+        """Serialize to GFA v1 (S/L/P lines)."""
+        with open(path, "w") as fh:
+            fh.write("H\tVN:Z:1.0\n")
+            for nid in self.node_ids():
+                fh.write(f"S\t{nid}\t{self.sequences[nid]}\n")
+            written = set()
+            for u, vs in self._succ.items():
+                for v in vs:
+                    key = (u, v)
+                    mirror = (flip(v), flip(u))
+                    if key in written or mirror in written:
+                        continue
+                    written.add(key)
+                    fh.write(f"L\t{u[0]}\t{'-' if u[1] else '+'}\t"
+                             f"{v[0]}\t{'-' if v[1] else '+'}\t0M\n")
+            for p in self.paths:
+                steps = ",".join(
+                    f"{nid}{'-' if rev else '+'}" for nid, rev in p.steps)
+                fh.write(f"P\t{p.name}\t{steps}\t*\n")
+
+
 _COMPLEMENT = str.maketrans("ACGTacgtNn", "TGCAtgcaNn")
 
 

@@ -891,7 +891,14 @@ EnumResult Decomposer::enumerate_paths(int snarl_idx, long children_threshold,
                     cmx += g.node_len.at(n);
                 }
                 r.walk.push_back(el.handle);
-                if (!u.two_plain()) r.walk.push_back(make_handle(0, false));
+                if (!u.two_plain()) {
+                    r.walk.push_back(make_handle(0, false));
+                } else {
+                    // reference double-counts 2-node chains (see the
+                    // Python twin); pinned by its loop_double unit test
+                    r.mn += cmn;
+                    r.mx += cmx;
+                }
                 r.walk.push_back(el.exit);
                 r.mn += cmn;
                 r.mx += cmx;
