@@ -1,0 +1,64 @@
+"""Walk-set partitioning on the REAL partitioner fixtures (.hg), pinned
+against path_partitioner_unit.cpp's expectations."""
+
+import os
+
+import pytest
+
+from stoat_tpu.graph.hashgraph import load_hg
+from stoat_tpu.graph.snarls import find_snarls
+from stoat_tpu.graph.association import PathPartitioner
+
+ZOO = "/root/reference/tests/graph_test"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(ZOO),
+                                reason="reference fixtures unavailable")
+
+
+def setup(name):
+    g = load_hg(os.path.join(ZOO, f"{name}.hg"))
+    forest = find_snarls(g)
+    part = PathPartitioner(g, g.paths)
+    return g, forest, part
+
+
+def sets_of(g, forest, part, pair, regular):
+    idx = next(i for i, s in enumerate(forest.snarls)
+               if {s.start_node, s.end_node} == set(pair))
+    return sorted(sorted(s) for s in
+                  part.partition_samples_in_snarl(forest, idx, regular))
+
+
+def test_simple_nested_chain():
+    # path_partitioner_unit.cpp:47-190 (nodes here are 1-based: +1)
+    g, forest, part = setup("simple_nested_chain")
+    ids = sorted(s.id_str for s in forest.snarls)
+    assert ids == ["1_4", "4_8", "5_7", "8_10"]
+    for regular in (False, True):
+        assert sets_of(g, forest, part, (1, 4), regular) == [
+            ["path0", "path1"], ["path2", "path3"]]
+        assert sets_of(g, forest, part, (4, 8), regular) == [
+            ["path0", "path1", "path3"], ["path2"]]
+        assert sets_of(g, forest, part, (5, 7), regular) == [
+            ["path0"], ["path1", "path3"]]
+
+
+def test_loop_with_indel():
+    g, forest, part = setup("loop_with_indel")
+    pairs = {frozenset((s.start_node, s.end_node))
+             for s in forest.snarls}
+    assert frozenset((1, 6)) in pairs and frozenset((2, 4)) in pairs
+    # duplication snarl: {0} vs {1,2} (walks1)
+    assert sets_of(g, forest, part, (1, 6), False) == [
+        ["path0"], ["path1", "path2"]]
+    # nested snarl: 3 distinct ordered walk multisets (walks2/edges2)
+    assert len(sets_of(g, forest, part, (2, 4), False)) == 3
+    assert len(sets_of(g, forest, part, (2, 4), True)) == 3
+
+
+def test_simple_bubble():
+    g, forest, part = setup("simple_bubble")
+    assert [s.id_str for s in forest.snarls] == ["1_5"]
+    for regular in (False, True):
+        assert sets_of(g, forest, part, (1, 5), regular) == [
+            ["path0", "path1"], ["path2"], ["path3"]]
