@@ -125,3 +125,26 @@ def test_random_chain_parity(graph_lib, tmp_path):
     ref.append(f"{node}+")
     path = build_gfa(tmp_path, segments, links, [("ref", ",".join(ref))])
     assert_parity(path)
+
+
+ZOO = "/root/reference/tests/graph_test"
+
+
+@pytest.mark.skipif(not os.path.isdir(ZOO), reason="zoo unavailable")
+def test_zoo_wide_native_python_parity(graph_lib, tmp_path):
+    """Python and C++ decompositions agree on every .hg fixture."""
+    import glob
+    from stoat_tpu.graph.hashgraph import load_hg
+    checked = 0
+    for hg in sorted(glob.glob(os.path.join(ZOO, "*.hg"))):
+        name = os.path.basename(hg)[:-3]
+        g = load_hg(hg, {"ref"})
+        gfa = str(tmp_path / f"{name}.gfa")
+        g.write_gfa(gfa)
+        try:
+            assert_parity(gfa, {"ref"})
+            checked += 1
+        except RuntimeError as e:
+            # graphs without a flagged ref path raise "paths = 0" in both
+            assert "0" in str(e) or "paths" in str(e), (name, e)
+    assert checked >= 15
