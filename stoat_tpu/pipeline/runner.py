@@ -99,8 +99,22 @@ def run_vcf_analysis(
     regression_dir: str = "",
     sample_names: Optional[List[str]] = None,
     snarl_chunk_size: int = 8192,
+    use_mesh: Optional[bool] = None,
 ) -> int:
-    """Run the full GWAS over a VCF.  Returns total snarls filtered."""
+    """Run the full GWAS over a VCF.  Returns total snarls filtered.
+
+    ``use_mesh``: shard the snarl axis over all visible devices via
+    shard_map (binary/covar/quantitative modes).  Default: automatic —
+    enabled when more than one device is attached.
+    """
+    import jax as _jax
+    if use_mesh is None:
+        use_mesh = _jax.device_count() > 1 and mode != "eqtl"
+    mesh = None
+    if use_mesh and mode != "eqtl":
+        from stoat_tpu.parallel import make_snarl_mesh
+        mesh = make_snarl_mesh()
+        logger.info("Sharding snarls over %d devices", _jax.device_count())
     header_reader = VcfReader(vcf_path)
     samples = sample_names or header_reader.samples
     header_reader.close()
@@ -149,6 +163,9 @@ def run_vcf_analysis(
                                   256)
                 effective_chunk = min(snarl_chunk_size, budget_rows)
             filtered = 0
+            # -T table dumps need per-sample tables the sharded analyzers
+            # do not return; fall back to single-device for that feature
+            chunk_mesh = mesh if table_threshold == -1 else None
             from stoat_tpu.tables import pack_chromosome_chunks
             device_matrix = None
             for packed in pack_chromosome_chunks(snarls, matrix,
@@ -158,7 +175,16 @@ def run_vcf_analysis(
                     # once; all chunks share it
                     device_matrix = jnp.asarray(packed.matrix, jnp.float32)
 
-                if mode == "binary":
+                if chunk_mesh is not None and mode != "eqtl":
+                    res, holder = _analyze_sharded(
+                        chunk_mesh, packed, mode, binary_phenotype,
+                        quantitative_phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        matrix)
+                    filtered += _write_rows(
+                        outf, chrom, holder, res, mode, table_threshold,
+                        regression_dir, samples)
+                elif mode == "binary":
                     filtered += _write_binary(
                         outf, chrom, packed, binary_phenotype,
                         min_individuals, min_haplotypes, maf_threshold,
@@ -193,6 +219,72 @@ def run_vcf_analysis(
 
     logger.info("Total number of snarl filtered : %d", total_filtered)
     return total_filtered
+
+
+class _SnarlHolder:
+    """Minimal writer-facing view of a snarl chunk."""
+
+    def __init__(self, snarls):
+        self.snarls = snarls
+
+
+def _analyze_sharded(mesh, packed, mode, binary_phenotype,
+                     quantitative_phenotype, covariate, min_individuals,
+                     min_haplotypes, maf_threshold, matrix):
+    """Dispatch a chunk through the shard_map analyzers."""
+    import jax as _jax
+    from stoat_tpu.parallel import (binary_analyze_sharded,
+                                    binary_covar_analyze_sharded,
+                                    quantitative_analyze_sharded,
+                                    shard_packed_chromosome)
+    n_dev = _jax.device_count()
+    sharded = shard_packed_chromosome(packed.snarls, matrix, n_dev)
+    if mode == "binary":
+        res = binary_analyze_sharded(
+            sharded, binary_phenotype, mesh, min_individuals,
+            min_haplotypes, maf_threshold)
+    elif mode == "binary_covar":
+        res = binary_covar_analyze_sharded(
+            sharded, binary_phenotype, mesh, min_individuals,
+            min_haplotypes, maf_threshold)
+    else:
+        res = quantitative_analyze_sharded(
+            sharded, quantitative_phenotype, covariate, mesh,
+            min_individuals, min_haplotypes, maf_threshold)
+    return res, _SnarlHolder(packed.snarls)
+
+
+def _write_rows(outf, chrom, holder, res, mode, table_threshold,
+                regression_dir, samples) -> int:
+    """Write rows from sharded results (no per-sample tables)."""
+    filtered = 0
+    for s, snarl in enumerate(holder.snarls):
+        if res["filtered"][s]:
+            filtered += 1
+            continue
+        if mode == "binary":
+            keep = res["keep"][s]
+            g0 = res["g0"][s][keep].astype(np.int64)
+            g1 = res["g1"][s][keep].astype(np.int64)
+            W.write_binary_row(
+                outf, chrom, snarl, snarl.type_var_str,
+                W.format_p(res["p_fisher"][s]),
+                W.format_p(res["p_chi2"][s]),
+                W.format_group_paths(g0, g1))
+        elif mode == "binary_covar":
+            allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+            W.write_binary_covar_row(
+                outf, chrom, snarl, snarl.type_var_str,
+                W.format_p(res["p"][s]), W.format_p(res["beta"][s]),
+                W.format_p(res["se"][s]), allele_paths)
+        else:
+            allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+            W.write_quantitative_row(
+                outf, chrom, snarl, snarl.type_var_str,
+                W.format_p(res["p"][s]), W.format_p(res["r2"][s]),
+                W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
+                allele_paths)
+    return filtered
 
 
 def _write_binary(outf, chrom, packed, phenotype, min_individuals,
