@@ -42,30 +42,37 @@ class PathPartitioner:
         # (sample, haplotype) -> list of step lists (one per path)
         self.sample_paths: List[Tuple[Tuple[str, int], List[Handle],
                                       List[int]]] = []
-        for p in paths:
+        # node id -> [(path index, step index), ...] so a refine step costs
+        # O(crossings) instead of O(total steps) (the reference gets this
+        # from handlegraph's for_each_step_on_handle index)
+        self._node_steps: Dict[int, List[Tuple[int, int]]] = {}
+        for pi, p in enumerate(paths):
             offsets = []
             pos = 0
-            for step in p.steps:
+            for si, step in enumerate(p.steps):
                 offsets.append(pos)
                 pos += g.node_length(step[0])
+                self._node_steps.setdefault(step[0], []).append((pi, si))
             self.sample_paths.append(((p.sample, p.haplotype), p.steps,
                                       offsets))
 
     def _outgoing_edge_lists(self, handle: Handle) -> List[Optional[tuple]]:
         """Per sample path: the ordered tuple of edges leaving ``handle``
         (partitioner.cpp:91-198), or None if the path avoids this node."""
+        per_path: Dict[int, List[Tuple[int, Tuple[int, bool]]]] = {}
+        for pi, i in self._node_steps.get(handle[0], ()):
+            _key, steps, offsets = self.sample_paths[pi]
+            st = steps[i]
+            go_forwards = st[1] == handle[1]
+            j = i + 1 if go_forwards else i - 1
+            if j < 0 or j >= len(steps):
+                continue
+            nxt = steps[j]
+            per_path.setdefault(pi, []).append(
+                (offsets[i], (nxt[0], nxt[1])))
         out: List[Optional[tuple]] = []
-        for _key, steps, offsets in self.sample_paths:
-            crossings: List[Tuple[int, Tuple[int, bool]]] = []
-            for i, st in enumerate(steps):
-                if st[0] != handle[0]:
-                    continue
-                go_forwards = st[1] == handle[1]
-                j = i + 1 if go_forwards else i - 1
-                if j < 0 or j >= len(steps):
-                    continue
-                nxt = steps[j]
-                crossings.append((offsets[i], (nxt[0], nxt[1])))
+        for pi in range(len(self.sample_paths)):
+            crossings = per_path.get(pi)
             if crossings:
                 crossings.sort(key=lambda x: x[0])
                 out.append(tuple(e for _off, e in crossings))
