@@ -250,26 +250,37 @@ static bool process_line(MatrixBuilder& mb, char* line,
     // samples: p points at the first sample field
     size_t si = 0;
     while (*p != '\0' && si < n_samples) {
-        char* t = strchr(p, '\t');
-        char* fend = t ? t : p + strlen(p);
-        // GT is the first colon-separated subfield
-        char* colon = (char*)memchr(p, ':', fend - p);
-        char* gt_end = colon ? colon : fend;
-        // split on '/' or '|'
-        char* sep = nullptr;
-        for (char* q = p; q < gt_end; ++q) {
-            if (*q == '/' || *q == '|') {
-                sep = q;
-                break;
-            }
-        }
         int a1, a2;
-        if (sep) {
-            a1 = parse_allele(p, sep);
-            a2 = parse_allele(sep + 1, gt_end);
+        char* t;
+        // fast path: the overwhelmingly common "a/b<TAB>" single-digit
+        // diploid field
+        if (p[0] >= '0' && p[0] <= '9' && (p[1] == '/' || p[1] == '|') &&
+            p[2] >= '0' && p[2] <= '9' &&
+            (p[3] == '\t' || p[3] == '\0')) {
+            a1 = p[0] - '0';
+            a2 = p[2] - '0';
+            t = p[3] == '\t' ? p + 3 : nullptr;
         } else {
-            a1 = parse_allele(p, gt_end);
-            a2 = -1;
+            t = strchr(p, '\t');
+            char* fend = t ? t : p + strlen(p);
+            // GT is the first colon-separated subfield
+            char* colon = (char*)memchr(p, ':', fend - p);
+            char* gt_end = colon ? colon : fend;
+            // split on '/' or '|'
+            char* sep = nullptr;
+            for (char* q = p; q < gt_end; ++q) {
+                if (*q == '/' || *q == '|') {
+                    sep = q;
+                    break;
+                }
+            }
+            if (sep) {
+                a1 = parse_allele(p, sep);
+                a2 = parse_allele(sep + 1, gt_end);
+            } else {
+                a1 = parse_allele(p, gt_end);
+                a2 = -1;
+            }
         }
         // rows interned lazily on an allele's first carrier, then cached
         // (semantics match push_matrix: uncalled alleles leave no rows)
