@@ -390,12 +390,15 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
     if graph_path.endswith(".hg"):
         from stoat_tpu.graph.hashgraph import load_hg
         g = load_hg(graph_path, refs)
+    elif graph_path.endswith(".pg"):
+        from stoat_tpu.graph.packedgraph import load_pg
+        g = load_pg(graph_path, refs)
     elif graph_path.endswith((".gfa", ".gfa.gz")):
         g = load_gfa(graph_path, refs)
     else:
         raise SystemExit(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA "
-            "and bdsg HashGraph (.hg); convert other vg formats with "
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
+            "bdsg HashGraph (.hg) and PackedGraph (.pg); convert GBZ with "
             "`vg convert -f`.")
     forest = find_snarls(g)
 

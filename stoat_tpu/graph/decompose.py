@@ -498,25 +498,28 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
     """CLI entry: load graph (GFA), decompose, write the two TSVs.
 
     ``dist_path`` is accepted for interface parity but unused — the snarl
-    tree is computed from the graph itself.  Binary vg formats (.pg/.hg/
-    .gbz) are not parsed natively; convert with ``vg convert -f`` to GFA.
+    tree is computed from the graph itself.  GBZ is the one vg format not
+    parsed natively; convert with ``vg convert -f`` to GFA.
     """
     from stoat_tpu.graph.gfa import load_gfa
-    if graph_path.endswith(".hg"):
-        # bdsg HashGraph: load natively and round-trip through GFA so the
-        # C++ decomposition core can consume it
-        from stoat_tpu.graph.hashgraph import load_hg
+    if graph_path.endswith((".hg", ".pg")):
+        # bdsg HashGraph/PackedGraph: load natively and round-trip through
+        # GFA so the C++ decomposition core can consume it
         import tempfile
-        g_hg = load_hg(graph_path, ref_chr or None)
+        if graph_path.endswith(".hg"):
+            from stoat_tpu.graph.hashgraph import load_hg as _load
+        else:
+            from stoat_tpu.graph.packedgraph import load_pg as _load
+        g_bin = _load(graph_path, ref_chr or None)
         tmp_gfa = os.path.join(tempfile.mkdtemp(prefix="stoat_hg_"),
                                os.path.basename(graph_path) + ".gfa")
-        g_hg.write_gfa(tmp_gfa)
+        g_bin.write_gfa(tmp_gfa)
         graph_path = tmp_gfa
     if not graph_path.endswith((".gfa", ".gfa.gz")):
         raise RuntimeError(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA "
-            "and bdsg HashGraph (.hg); convert other vg formats with "
-            "`vg convert -f graph.pg > graph.gfa`.")
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
+            "bdsg HashGraph (.hg) and PackedGraph (.pg); convert GBZ with "
+            "`vg convert -f graph.gbz > graph.gfa`.")
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
     out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")
