@@ -2,13 +2,16 @@
 
 The reference consumes vg's binary formats (.pg/.hg/.gbz + .dist
 SnarlDistanceIndex) through the vendored libbdsg/libhandlegraph stack
-(/root/reference/src/snarl_data_t.cpp:346-379).  stoat-tpu is built around
-the open GFA interchange format instead (every vg format converts with
-``vg convert -f``), and computes its own snarl decomposition from the graph
-structure — no .dist file needed:
+(/root/reference/src/snarl_data_t.cpp:346-379).  stoat-tpu reads all of
+them natively — GFA, HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz) —
+and computes its own snarl decomposition from the graph structure, so no
+.dist file is needed:
 
   - ``stoat_tpu.graph.gfa``: GFA v1 parser (S/L/P/W lines) into a
     bidirected graph with embedded paths
+  - ``stoat_tpu.graph.hashgraph`` / ``packedgraph`` / ``gbz``: native
+    readers for the vg binary formats (plus a GBZ writer,
+    ``stoat_tpu.graph.gbz_write``)
   - ``stoat_tpu.graph.snarls``: superbubble-based snarl tree construction
     (SCC condensation + minimal separable pairs, nested into chains)
   - ``stoat_tpu.graph.decompose``: per-snarl path enumeration to the

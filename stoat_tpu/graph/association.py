@@ -393,13 +393,15 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
     elif graph_path.endswith(".pg"):
         from stoat_tpu.graph.packedgraph import load_pg
         g = load_pg(graph_path, refs)
+    elif graph_path.endswith(".gbz"):
+        from stoat_tpu.graph.gbz import load_gbz
+        g = load_gbz(graph_path, refs)
     elif graph_path.endswith((".gfa", ".gfa.gz")):
         g = load_gfa(graph_path, refs)
     else:
         raise SystemExit(
             f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
-            "bdsg HashGraph (.hg) and PackedGraph (.pg); convert GBZ with "
-            "`vg convert -f`.")
+            "bdsg HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz).")
     forest = find_snarls(g)
 
     samples: List[str] = []

@@ -498,16 +498,18 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
     """CLI entry: load graph (GFA), decompose, write the two TSVs.
 
     ``dist_path`` is accepted for interface parity but unused — the snarl
-    tree is computed from the graph itself.  GBZ is the one vg format not
-    parsed natively; convert with ``vg convert -f`` to GFA.
+    tree is computed from the graph itself.  All vg binary formats load
+    natively (.hg HashGraph, .pg PackedGraph, .gbz GBZ).
     """
     from stoat_tpu.graph.gfa import load_gfa
-    if graph_path.endswith((".hg", ".pg")):
-        # bdsg HashGraph/PackedGraph: load natively and round-trip through
-        # GFA so the C++ decomposition core can consume it
+    if graph_path.endswith((".hg", ".pg", ".gbz")):
+        # vg binary formats: load natively and round-trip through GFA so
+        # the C++ decomposition core can consume it
         import tempfile
         if graph_path.endswith(".hg"):
             from stoat_tpu.graph.hashgraph import load_hg as _load
+        elif graph_path.endswith(".gbz"):
+            from stoat_tpu.graph.gbz import load_gbz as _load
         else:
             from stoat_tpu.graph.packedgraph import load_pg as _load
         g_bin = _load(graph_path, ref_chr or None)
@@ -518,8 +520,7 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
     if not graph_path.endswith((".gfa", ".gfa.gz")):
         raise RuntimeError(
             f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
-            "bdsg HashGraph (.hg) and PackedGraph (.pg); convert GBZ with "
-            "`vg convert -f graph.gbz > graph.gfa`.")
+            "bdsg HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz).")
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
     out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")
