@@ -85,6 +85,13 @@ class EdgeHaplotypeMatrix:
                             dtype=np.int64)
             self._data[np.ix_(rows, cols)] = True
 
+    def resolve_edges(self, quads: np.ndarray) -> np.ndarray:
+        """Vectorized [N,4] -> row indices (int64, -1 = unknown edge)."""
+        d = self.edge_to_row
+        return np.array(
+            [d.get(((int(q[0]), bool(q[1])), (int(q[2]), bool(q[3]))), -1)
+             for q in quads], np.int64).reshape(-1)
+
     def shrink(self) -> np.ndarray:
         """Return the populated [n_edges, n_haplotypes] boolean matrix."""
         return self._data[: self.n_rows]
@@ -99,20 +106,83 @@ class EdgeHaplotypeMatrix:
         return m
 
 
-class PrebuiltEdgeMatrix:
-    """Adapter over a matrix + edge map built by the native C++ core."""
+def encode_edge_keys(quads: np.ndarray) -> Optional[np.ndarray]:
+    """Pack [N,4] (a_id, a_rev, b_id, b_rev) rows into single uint64 keys.
 
-    def __init__(self, matrix: np.ndarray, edge_to_row: Dict[Edge, int]):
+    Returns None when node ids exceed 31 bits (callers fall back to dict
+    lookups).  The encoding matches vg handles: (id<<1|rev) per side."""
+    if quads.size == 0:
+        return np.zeros(0, np.uint64)
+    q = quads.astype(np.uint64, copy=False)
+    if int(q[:, [0, 2]].max()) >= (1 << 31):
+        return None
+    return (((q[:, 0] << np.uint64(1)) | q[:, 1]) << np.uint64(32)) \
+        | ((q[:, 2] << np.uint64(1)) | q[:, 3])
+
+
+class PrebuiltEdgeMatrix:
+    """Adapter over a matrix + edge rows built by the native C++ core.
+
+    ``edges`` may be the legacy {Edge: row} dict or an [E,4] uint64 array
+    (a_id, a_rev, b_id, b_rev) straight from the C ABI — the array form
+    skips building a Python dict per chromosome (it is only materialized
+    lazily if scalar ``find_edge``/``edge_to_row`` access is needed) and
+    enables O(N log E) vectorized batch resolution in the packing step."""
+
+    def __init__(self, matrix: np.ndarray, edges):
         self._matrix = matrix
-        self.edge_to_row = edge_to_row
         self.n_haplotypes = matrix.shape[1]
+        if isinstance(edges, dict):
+            self._edge_dict: Optional[Dict[Edge, int]] = edges
+            self._edges_arr = None
+        else:
+            self._edge_dict = None
+            self._edges_arr = np.asarray(edges, np.uint64).reshape(-1, 4)
+        self._sorted_keys: Optional[np.ndarray] = None
+        self._sort_order: Optional[np.ndarray] = None
 
     @property
     def n_rows(self) -> int:
         return self._matrix.shape[0]
 
+    @property
+    def edge_to_row(self) -> Dict[Edge, int]:
+        if self._edge_dict is None:
+            self._edge_dict = {
+                ((int(e[0]), bool(e[1])), (int(e[2]), bool(e[3]))): i
+                for i, e in enumerate(self._edges_arr)
+            }
+        return self._edge_dict
+
     def find_edge(self, edge: Edge) -> int:
         return self.edge_to_row.get(edge, -1)
+
+    def resolve_edges(self, quads: np.ndarray) -> np.ndarray:
+        """Vectorized [N,4] -> row indices (int64, -1 = unknown edge)."""
+        n = quads.shape[0]
+        if n == 0:
+            return np.zeros(0, np.int64)
+        keys = encode_edge_keys(quads)
+        table = None
+        if keys is not None and self._edges_arr is not None:
+            if self._sorted_keys is None:
+                table = encode_edge_keys(self._edges_arr)
+                if table is not None:
+                    self._sort_order = np.argsort(table).astype(np.int64)
+                    self._sorted_keys = table[self._sort_order]
+            table = self._sorted_keys
+        if keys is None or table is None:
+            # huge node ids: dict fallback
+            d = self.edge_to_row
+            return np.array(
+                [d.get(((int(q[0]), bool(q[1])), (int(q[2]), bool(q[3]))),
+                       -1) for q in quads], np.int64)
+        if len(table) == 0:
+            return np.full(n, -1, np.int64)
+        pos = np.searchsorted(table, keys)
+        pos_c = np.minimum(pos, len(table) - 1)
+        found = table[pos_c] == keys
+        return np.where(found, self._sort_order[pos_c], np.int64(-1))
 
     def shrink(self) -> np.ndarray:
         return self._matrix

@@ -33,7 +33,7 @@ _graph_tried = False
 
 
 def _compile(src: str, lib: str, extra=("-lz",)) -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src,
+    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src,
            *extra, "-o", lib]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=300)
@@ -232,8 +232,12 @@ class NativeVcfMatrixReader:
         self.samples = [lib.stoat_vcf_sample(self._handle, i).decode()
                         for i in range(n)]
 
-    def chunks(self, initial_rows: int = 1024):
-        """Yield (chrom, matrix bool [E, H], edge_to_row dict)."""
+    def chunks_arrays(self, initial_rows: int = 1024):
+        """Yield (chrom, matrix bool [E, H], edges uint64 [E, 4]).
+
+        The edges array is (a_id, a_rev, b_id, b_rev) per row, straight
+        from the C ABI — no Python dict is built (the hot production
+        path; see PrebuiltEdgeMatrix.resolve_edges)."""
         lib = self._lib
         while True:
             cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
@@ -254,6 +258,11 @@ class NativeVcfMatrixReader:
                     lib.stoat_chunk_edges(cp),
                     shape=(rows, 4)).copy()
             lib.stoat_chunk_free(cp)
+            yield chrom, mat, edges
+
+    def chunks(self, initial_rows: int = 1024):
+        """Yield (chrom, matrix bool [E, H], edge_to_row dict)."""
+        for chrom, mat, edges in self.chunks_arrays(initial_rows):
             edge_to_row = {
                 ((int(e[0]), bool(e[1])), (int(e[2]), bool(e[3]))): i
                 for i, e in enumerate(edges)

@@ -53,8 +53,8 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             from stoat_tpu.native import NativeVcfMatrixReader
             from stoat_tpu.matrix import PrebuiltEdgeMatrix
             reader = NativeVcfMatrixReader(vcf_path)
-            for chrom, mat, edge_to_row in reader.chunks():
-                yield chrom, PrebuiltEdgeMatrix(mat, edge_to_row)
+            for chrom, mat, edges in reader.chunks_arrays():
+                yield chrom, PrebuiltEdgeMatrix(mat, edges)
             reader.close()
             return
         except (RuntimeError, OSError) as e:

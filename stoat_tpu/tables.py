@@ -106,11 +106,15 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
 def pack_chromosome(snarls: Sequence[SnarlData],
                     edge_matrix: EdgeHaplotypeMatrix,
                     pad_snarls: bool = True) -> PackedChromosome:
-    """Resolve snarl paths against the chromosome edge matrix and pack."""
-    coo_path: List[int] = []
-    coo_row: List[int] = []
-    n_edges: List[int] = []
-    valid: List[bool] = []
+    """Resolve snarl paths against the chromosome edge matrix and pack.
+
+    Edge resolution is one vectorized sorted-key lookup for the whole
+    chromosome (``resolve_edges``) rather than a per-edge dict probe —
+    semantics identical to identify_path's: '*' (node-0) edges are skipped
+    unresolved edges invalidate the whole path (snarl_analyzer.cpp:
+    326-336)."""
+    quads: List[Tuple[int, int, int, int]] = []
+    key_path: List[int] = []
 
     max_paths = 2
     flat_index = 0
@@ -119,32 +123,29 @@ def pack_chromosome(snarls: Sequence[SnarlData],
     for snarl in snarls:
         row: List[int] = []
         for path in snarl.paths:
-            edges = path_to_edges(path)
-            ok = True
-            count = 0
-            for e in edges:
-                # '*' edges (node id 0) are skipped, not resolved
-                if e[0][0] == 0 or e[1][0] == 0:
-                    continue
-                r = edge_matrix.find_edge(e)
-                if r < 0:
-                    ok = False
-                    break
-                coo_path.append(flat_index)
-                coo_row.append(r)
-                count += 1
-            if not ok:
-                # Drop this path's partial edge refs; it matches nothing.
-                while coo_path and coo_path[-1] == flat_index:
-                    coo_path.pop()
-                    coo_row.pop()
-                count = 0
-            n_edges.append(count)
-            valid.append(ok)
+            prev = None
+            for node in path:
+                if prev is not None and prev[0] != 0 and node[0] != 0:
+                    quads.append((prev[0], prev[1], node[0], node[1]))
+                    key_path.append(flat_index)
+                prev = node
             row.append(flat_index)
             flat_index += 1
         snarl_rows.append(row)
         max_paths = max(max_paths, len(row))
+
+    quads_arr = np.array(quads, np.uint64).reshape(-1, 4)
+    key_path_arr = np.array(key_path, np.int64)
+    rows = edge_matrix.resolve_edges(quads_arr)
+    path_ok = np.ones(max(flat_index, 1), bool)
+    path_ok[key_path_arr[rows < 0]] = False
+    keep = path_ok[key_path_arr] if key_path_arr.size else \
+        np.zeros(0, bool)
+    coo_path = key_path_arr[keep]
+    coo_row = rows[keep]
+    n_edges = np.bincount(coo_path, minlength=max(flat_index, 1)
+                          ).astype(np.int32)[:flat_index]
+    valid = path_ok[:flat_index]
 
     P = next_pow2(max(flat_index, 1))
     Pmax = next_pow2(max_paths)

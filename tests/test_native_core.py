@@ -95,3 +95,39 @@ def test_pipeline_uses_native(lib_available, fixture, tmp_path):
     f1 = os.path.join(out1, "binary_table_vcf.tsv")
     f2 = os.path.join(out2, "binary_table_vcf.tsv")
     assert filecmp.cmp(f1, f2, shallow=False), "native vs python TSVs differ"
+
+
+def test_native_many_tiny_chromosomes(lib_available, tmp_path):
+    """Chromosome boundaries inside one reader batch (incl. several tiny
+    chromosomes stashed in a single pending tail) chunk correctly and
+    match the Python reader."""
+    vcf = str(tmp_path / "multi.vcf")
+    samples = [f"s{i}" for i in range(5)]
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n")
+        f.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(samples) + "\n")
+        nid = 1
+        for c in range(30):
+            for rec in range(c % 3 + 1):
+                at = f">{nid}>{nid+1}>{nid+3},>{nid}>{nid+2}>{nid+3}"
+                gts = "\t".join("0/1" if (i + rec) % 2 else "1/1"
+                                for i in range(5))
+                f.write(f"chr{c}\t{100+rec}\t.\tA\tT\t60\tPASS\t"
+                        f"AT={at};LV=0\tGT\t{gts}\n")
+                nid += 4
+
+    reader = native.NativeVcfMatrixReader(vcf)
+    chunks = list(reader.chunks_arrays())
+    reader.close()
+    assert [c[0] for c in chunks] == [f"chr{c}" for c in range(30)]
+
+    py = python_matrix(vcf, 5)
+    assert len(py) == len(chunks)
+    for (pc, pm, pe), (nc, nm, ne_arr) in zip(py, chunks):
+        assert pc == nc
+        ne = {((int(e[0]), bool(e[1])), (int(e[2]), bool(e[3]))): i
+              for i, e in enumerate(ne_arr)}
+        assert pe.keys() == ne.keys()
+        for edge, prow in pe.items():
+            np.testing.assert_array_equal(pm[prow], nm[ne[edge]])
