@@ -57,14 +57,18 @@ def ingest(paths):
     from stoat_tpu.tables import pack_chromosome
 
     snarls_chr = parse_snarl_path(paths["snarl"])
-    t0 = time.perf_counter()
-    chrom, matrix = next(iter_chromosome_matrices(
-        paths["vcf"], 2 * N_SAMPLES, snarls_chr))
-    t_ingest = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    packed = pack_chromosome(snarls_chr[chrom], matrix)
-    t_pack = time.perf_counter() - t0
-    return packed, matrix, t_ingest, t_pack
+    # best-of-2 per phase: fair under host load (the C++ baseline below is
+    # timed the same way)
+    t_ingest, t_pack = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chrom, matrix = next(iter_chromosome_matrices(
+            paths["vcf"], 2 * N_SAMPLES, snarls_chr))
+        t_ingest.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        packed = pack_chromosome(snarls_chr[chrom], matrix)
+        t_pack.append(time.perf_counter() - t0)
+    return packed, matrix, min(t_ingest), min(t_pack)
 
 
 def run_device(packed, pheno_bin, pheno_q, repeats=3):

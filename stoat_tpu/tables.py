@@ -113,8 +113,9 @@ def pack_chromosome(snarls: Sequence[SnarlData],
     semantics identical to identify_path's: '*' (node-0) edges are skipped
     unresolved edges invalidate the whole path (snarl_analyzer.cpp:
     326-336)."""
-    quads: List[Tuple[int, int, int, int]] = []
-    key_path: List[int] = []
+    flat_q: List[int] = []          # 4 ints per candidate edge
+    counts: List[int] = []          # emitted-edge count per flat path
+    q_append = flat_q.append
 
     max_paths = 2
     flat_index = 0
@@ -123,19 +124,25 @@ def pack_chromosome(snarls: Sequence[SnarlData],
     for snarl in snarls:
         row: List[int] = []
         for path in snarl.paths:
+            c = 0
             prev = None
             for node in path:
                 if prev is not None and prev[0] != 0 and node[0] != 0:
-                    quads.append((prev[0], prev[1], node[0], node[1]))
-                    key_path.append(flat_index)
+                    q_append(prev[0])
+                    q_append(prev[1])
+                    q_append(node[0])
+                    q_append(node[1])
+                    c += 1
                 prev = node
+            counts.append(c)
             row.append(flat_index)
             flat_index += 1
         snarl_rows.append(row)
         max_paths = max(max_paths, len(row))
 
-    quads_arr = np.array(quads, np.uint64).reshape(-1, 4)
-    key_path_arr = np.array(key_path, np.int64)
+    quads_arr = np.array(flat_q, np.uint64).reshape(-1, 4)
+    key_path_arr = np.repeat(np.arange(flat_index, dtype=np.int64),
+                             np.array(counts, np.int64))
     rows = edge_matrix.resolve_edges(quads_arr)
     path_ok = np.ones(max(flat_index, 1), bool)
     path_ok[key_path_arr[rows < 0]] = False
