@@ -42,6 +42,14 @@ def _check_file(path: str) -> str:
     return path
 
 
+def _set_threads(n: int) -> None:
+    """-t/--thread -> native-core worker count (vcf.cpp:179-184; the
+    reference's omp_set_num_threads).  0 leaves the cores' default
+    (all hardware threads)."""
+    if n >= 1:
+        os.environ["STOAT_THREADS"] = str(n)
+
+
 def main_vcf(argv: List[str]) -> int:
     ap = argparse.ArgumentParser(prog="stoat vcf", add_help=True)
     ap.add_argument("-p", "--graph", metavar="FILE")
@@ -66,11 +74,13 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-w", "--windows-gene", type=int, default=1000000)
     ap.add_argument("-T", "--table-threshold", type=float, default=-1)
     ap.add_argument("-M", "--maf", type=float, default=0.05)
-    ap.add_argument("-t", "--thread", type=int, default=1)
+    ap.add_argument("-t", "--thread", type=int, default=0,
+                    help="native-core worker threads (0 = all cores; the reference defaults to 1)")
     ap.add_argument("-V", "--verbose", type=int, default=1)
     ap.add_argument("-o", "--output", default="output")
     args = ap.parse_args(argv)
     _setup_logging(args.verbose)
+    _set_threads(args.thread)
 
     # threshold validation (vcf.cpp:130-178)
     if args.min_individuals < 2:
@@ -266,11 +276,13 @@ def main_graph(argv: List[str]) -> int:
                     choices=["tsv", "fasta"])
     ap.add_argument("-l", "--allele-size-limit", type=int, default=0)
     ap.add_argument("-r", "--reference-sample", default="")
-    ap.add_argument("-t", "--thread", type=int, default=1)
+    ap.add_argument("-t", "--thread", type=int, default=0,
+                    help="native-core worker threads (0 = all cores; the reference defaults to 1)")
     ap.add_argument("-V", "--verbose", type=int, default=1)
     ap.add_argument("-o", "--output", default="output")
     args = ap.parse_args(argv)
     _setup_logging(args.verbose)
+    _set_threads(args.thread)
     for path in (args.graph, args.dist, args.binary):
         _check_file(path)
     os.makedirs(args.output, exist_ok=True)

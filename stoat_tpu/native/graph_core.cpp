@@ -16,7 +16,9 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC graph_core.cpp -o libstoat_graph.so
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <functional>
@@ -25,6 +27,7 @@
 #include <set>
 #include <sstream>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <vector>
@@ -32,6 +35,16 @@
 #include <cstdio>
 
 namespace {
+
+static unsigned num_threads() {
+    const char* env = getenv("STOAT_THREADS");
+    if (env) {
+        int v = atoi(env);
+        if (v >= 1) return unsigned(v);
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    return hw ? (hw > 16 ? 16 : hw) : 1;
+}
 
 using Handle = uint64_t;  // (node_id << 1) | is_reverse
 
@@ -1047,13 +1060,42 @@ static DecomposeOutput decompose(const Graph& g,
            "REF\tDEPTH\n";
     rej << "SNARL\tREASON\n";
 
+    // Per-snarl path enumeration is embarrassingly parallel (the
+    // reference's `#pragma omp parallel for` over snarls,
+    // snarl_data_t.cpp:667); enumerate into per-index results with
+    // per-thread Decomposers (each owns its min/max cache; Graph and
+    // Forest are read-only here), then write serially in tree order so
+    // output is byte-identical for any thread count.
+    std::vector<EnumResult> results(order.size());
+    const unsigned nt = num_threads();
+    if (nt > 1 && order.size() > 8) {
+        std::atomic<size_t> next{0};
+        auto work = [&] {
+            Decomposer dl(g, forest);
+            size_t k;
+            while ((k = next.fetch_add(1)) < order.size())
+                results[k] = dl.enumerate_paths(
+                    order[k], children_threshold, path_length_threshold,
+                    cycle_threshold);
+        };
+        std::vector<std::thread> threads;
+        for (unsigned t = 1; t < nt; ++t) threads.emplace_back(work);
+        work();
+        for (auto& th : threads) th.join();
+    } else {
+        for (size_t k = 0; k < order.size(); ++k)
+            results[k] = d.enumerate_paths(order[k], children_threshold,
+                                           path_length_threshold,
+                                           cycle_threshold);
+    }
+
     long n_paths_total = 0;
-    for (int i : order) {
+    for (size_t k = 0; k < order.size(); ++k) {
+        int i = order[k];
         const Snarl& s = forest.snarls[i];
         std::string sid = std::to_string(node_of(s.start)) + "_" +
                           std::to_string(node_of(s.end));
-        auto res = d.enumerate_paths(i, children_threshold,
-                                     path_length_threshold, cycle_threshold);
+        EnumResult& res = results[k];
         if (res.rejected) {
             rej << sid << "\t" << res.reject_reason << "\n";
             continue;
