@@ -19,6 +19,8 @@ import logging
 import os
 import sys
 import time
+
+import numpy as np
 from typing import List, Optional
 
 __version__ = "0.1.0"
@@ -64,6 +66,10 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-c", "--covariate", metavar="FILE")
     ap.add_argument("-C", "--covar-name", metavar="NAME")
     ap.add_argument("-k", "--kinship", metavar="FILE")
+    ap.add_argument("--lmm", action="store_true",
+                    help="kinship mixed model (EMMAX) for quantitative "
+                         "traits — beyond the reference, whose LMM is a "
+                         "stub; requires -k and -q")
     ap.add_argument("-g", "--gaf", action="store_true")
     ap.add_argument("-I", "--min-individuals", type=int, default=3)
     ap.add_argument("-H", "--min-haplotypes", type=int, default=5)
@@ -178,10 +184,34 @@ def main_vcf(argv: List[str]) -> int:
             args.eqtl, args.gene_position, list_samples)
         mode = "eqtl"
 
-    if args.kinship:
-        parse_kinship_matrix(args.kinship)  # parsed; LMM not implemented
-        logger.warning("Kinship matrix parsed but the LMM is not "
-                       "implemented (parity with the reference stub).")
+    lmm_ctx = None
+    if args.kinship and args.lmm:
+        # Beyond-parity: a real EMMAX mixed model (stats/lmm.py).  The
+        # reference's LMM is a stub (stats_test.hpp:115-125).
+        if mode != "quantitative":
+            raise SystemExit("Error: [stoat vcf] --lmm requires a "
+                             "quantitative phenotype (-q)")
+        kin = parse_kinship_matrix(args.kinship)
+        missing = [s for s in list_samples if s not in kin.ids]
+        if missing:
+            raise SystemExit(f"Error: [stoat vcf] kinship matrix is "
+                             f"missing samples: {missing[:5]}...")
+        order = [kin.ids.index(s) for s in list_samples]
+        K = kin.matrix[np.ix_(order, order)]
+        from stoat_tpu.stats.lmm import fit_null_reml
+        lmm_ctx = fit_null_reml(quantitative_phenotype, K, covariate)
+        mode = "lmm"
+        logger.info("LMM null model: delta=%.4g sg2=%.4g se2=%.4g "
+                    "h2=%.3f REML=%.3f", lmm_ctx.delta, lmm_ctx.sigma_g2,
+                    lmm_ctx.sigma_e2, lmm_ctx.heritability, lmm_ctx.loglik)
+    elif args.kinship:
+        parse_kinship_matrix(args.kinship)  # parsed; LMM off by default
+        logger.warning("Kinship matrix parsed but unused (parity with the "
+                       "reference stub, stats_test.hpp:115-125). Pass "
+                       "--lmm with -q to run the mixed model.")
+    elif args.lmm:
+        raise SystemExit("Error: [stoat vcf] --lmm requires a kinship "
+                         "matrix (-k)")
 
     ref_chr = (parse_chromosome_reference(args.chr_file)
                if args.chr_file else set())
@@ -208,7 +238,8 @@ def main_vcf(argv: List[str]) -> int:
         args.output,
         "binary_table_vcf.tsv" if mode in ("binary", "binary_covar")
         else ("quantitative_table_vcf.tsv" if mode == "quantitative"
-              else "eqtl_table_vcf.tsv"))
+              else ("lmm_table_vcf.tsv" if mode == "lmm"
+                    else "eqtl_table_vcf.tsv")))
 
     from stoat_tpu.pipeline.runner import run_vcf_analysis
     run_vcf_analysis(
@@ -224,6 +255,7 @@ def main_vcf(argv: List[str]) -> int:
         windows_gene_threshold=args.windows_gene,
         regression_dir=regression_dir,
         sample_names=list_samples,
+        lmm_ctx=lmm_ctx,
     )
 
     if mode == "binary" and args.gaf:

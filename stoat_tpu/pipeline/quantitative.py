@@ -49,12 +49,12 @@ __all__ = [
 ]
 
 
-@partial(jax.jit, static_argnames=("num_paths", "with_covar"))
+@partial(jax.jit, static_argnames=("num_paths", "with_covar", "all_rows"))
 def quantitative_design_device(matrix_f32, coo_path, coo_row,
                                n_edges_per_path, path_valid, snarl_path_idx,
                                covar, min_individuals, min_haplotypes,
                                maf_threshold, num_paths: int,
-                               with_covar: bool):
+                               with_covar: bool, all_rows: bool = False):
     """Build per-snarl padded design matrices + filtration flags on device.
 
     Returns dict with:
@@ -164,7 +164,11 @@ def quantitative_design_device(matrix_f32, coo_path, coo_row,
                   jnp.where(t - 1 - k3b < C, Pmax + (t - 1 - k3b),
                             zeros_src)))
     X = jnp.take_along_axis(srcs, src[:, None, :].repeat(N, axis=1), axis=-1)
-    X = jnp.where(used[:, :, None], X, 0.0)
+    if not all_rows:
+        # OLS semantics: samples with no allele call are dropped per snarl
+        # (rows zeroed).  all_rows=True keeps every sample (EMMAX designs
+        # for the LMM: uncalled genotype = 0, intercept/covars intact).
+        X = jnp.where(used[:, :, None], X, 0.0)
     ncols = (1 + k3 + C).astype(jnp.int32)
 
     return {
@@ -182,7 +186,7 @@ def quantitative_design_device(matrix_f32, coo_path, coo_row,
 def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
                 min_individuals: int, min_haplotypes: int,
                 maf_threshold: float, with_covar: bool,
-                device_matrix=None):
+                device_matrix=None, all_rows: bool = False):
     C = 0 if covar is None else covar.shape[1]
     covar_in = (np.zeros((packed.matrix.shape[1] // 2, 0))
                 if covar is None else covar)
@@ -200,7 +204,43 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
         jnp.float64(maf_threshold),
         num_paths=int(packed.n_edges_per_path.shape[0]),
         with_covar=with_covar and C > 0,
+        all_rows=all_rows,
     )
+
+
+def lmm_analyze_chromosome(packed: PackedChromosome,
+                           lmm_ctx,
+                           covar: Optional[np.ndarray],
+                           min_individuals: int,
+                           min_haplotypes: int,
+                           maf_threshold: float,
+                           device_matrix=None) -> Dict[str, np.ndarray]:
+    """Kinship-corrected GLS per snarl (EMMAX; stats/lmm.py).
+
+    Same table construction and filtration as the OLS path, but EMMAX
+    designs keep every sample (all_rows=True) and the solve runs on rows
+    rotated by the dataset-level variance structure."""
+    from stoat_tpu.stats.lmm import lmm_regression_batch
+
+    design = _design_for(packed, covar, min_individuals, min_haplotypes,
+                         maf_threshold, with_covar=True,
+                         device_matrix=device_matrix, all_rows=True)
+    p, beta, se, r2 = lmm_regression_batch(
+        design["X"], lmm_ctx, design["ncols"])
+    nan = jnp.nan
+    degenerate = design["degenerate"]
+    out = {
+        "filtered": design["filtered"],
+        "allele_paths": design["allele_paths"],
+        "p": jnp.where(degenerate, nan, p),
+        "beta": jnp.where(degenerate, nan, beta),
+        "se": jnp.where(degenerate, nan, se),
+        "r2": jnp.where(degenerate, nan, r2),
+        "norm": design["norm"],
+        "used": design["used"],
+        "kept": design["kept"],
+    }
+    return {key: np.asarray(value) for key, value in out.items()}
 
 
 def quantitative_analyze_chromosome(packed: PackedChromosome,

@@ -100,6 +100,7 @@ def run_vcf_analysis(
     sample_names: Optional[List[str]] = None,
     snarl_chunk_size: int = 8192,
     use_mesh: Optional[bool] = None,
+    lmm_ctx=None,
 ) -> int:
     """Run the full GWAS over a VCF.  Returns total snarls filtered.
 
@@ -109,9 +110,9 @@ def run_vcf_analysis(
     """
     import jax as _jax
     if use_mesh is None:
-        use_mesh = _jax.device_count() > 1 and mode != "eqtl"
+        use_mesh = _jax.device_count() > 1 and mode not in ("eqtl", "lmm")
     mesh = None
-    if use_mesh and mode != "eqtl":
+    if use_mesh and mode not in ("eqtl", "lmm"):
         from stoat_tpu.parallel import make_snarl_mesh
         mesh = make_snarl_mesh()
         logger.info("Sharding snarls over %d devices", _jax.device_count())
@@ -126,7 +127,7 @@ def run_vcf_analysis(
             W.write_binary_header(outf)
         elif mode == "binary_covar":
             W.write_binary_covar_header(outf)
-        elif mode == "quantitative":
+        elif mode in ("quantitative", "lmm"):
             W.write_quantitative_header(outf)
         elif mode == "eqtl":
             W.write_eqtl_header(outf)
@@ -201,6 +202,12 @@ def run_vcf_analysis(
                         covariate, min_individuals, min_haplotypes,
                         maf_threshold, table_threshold, regression_dir,
                         samples, device_matrix)
+                elif mode == "lmm":
+                    filtered += _write_lmm(
+                        outf, chrom, packed, lmm_ctx, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, regression_dir, samples,
+                        device_matrix)
                 else:
                     filtered += _write_eqtl(
                         outf, chrom, packed, eqtl_map.get(chrom, []),
@@ -354,6 +361,30 @@ def _write_quantitative(outf, chrom, packed, phenotype, covariate,
                         device_matrix=None) -> int:
     res = quantitative_analyze_chromosome(
         packed, phenotype, covariate, min_individuals, min_haplotypes,
+        maf_threshold, device_matrix=device_matrix)
+    filtered = 0
+    for s, snarl in enumerate(packed.snarls):
+        if res["filtered"][s]:
+            filtered += 1
+            continue
+        p_str = W.format_p(res["p"][s])
+        _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                           regression_dir, samples)
+        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+        W.write_quantitative_row(
+            outf, chrom, snarl, snarl.type_var_str, p_str,
+            W.format_p(res["r2"][s]), W.format_p(res["beta"][s]),
+            W.format_p(res["se"][s]), allele_paths)
+    return filtered
+
+
+def _write_lmm(outf, chrom, packed, lmm_ctx, covariate, min_individuals,
+               min_haplotypes, maf_threshold, table_threshold,
+               regression_dir, samples, device_matrix=None) -> int:
+    """Kinship-corrected GLS rows (EMMAX; quantitative column layout)."""
+    from stoat_tpu.pipeline.quantitative import lmm_analyze_chromosome
+    res = lmm_analyze_chromosome(
+        packed, lmm_ctx, covariate, min_individuals, min_haplotypes,
         maf_threshold, device_matrix=device_matrix)
     filtered = 0
     for s, snarl in enumerate(packed.snarls):
