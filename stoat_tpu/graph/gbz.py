@@ -352,6 +352,71 @@ class GbzIndex:
             node, off = self.record_for_node(node).lf(off)
         return steps
 
+    def extract_all_paths(self) -> List[List[Tuple[int, bool]]]:
+        """All forward paths at once by lockstep LF over flat tables.
+
+        Every record body is expanded once into flat (successor node,
+        LF offset) arrays indexed by record start + BWT offset; all
+        sequences then advance one LF step per numpy iteration — O(total
+        path length) instead of a per-step Python scan over runs."""
+        import numpy as np
+
+        rec_nodes = [_ENDMARKER] + list(
+            range(self.offset + 1, self.alphabet_size))
+        succ_parts, lf_parts, rec_start = [], [], {}
+        total = 0
+        for node, rec in zip(rec_nodes, self._records):
+            rec_start[node] = total
+            if rec.runs:
+                run_ranks = np.repeat(
+                    np.array([r for r, _l in rec.runs], np.int64),
+                    np.array([l for _r, l in rec.runs], np.int64))
+                n_occ = run_ranks.shape[0]
+                # occurrence index within its rank (prefix count)
+                within = np.zeros(n_occ, np.int64)
+                for r in range(len(rec.edges)):
+                    m = run_ranks == r
+                    within[m] = np.arange(int(m.sum()))
+                succ = np.array([rec.edges[r][0] for r in run_ranks],
+                                np.int64)
+                base = np.array([rec.edges[r][1] for r in run_ranks],
+                                np.int64)
+                succ_parts.append(succ)
+                lf_parts.append(base + within)
+                total += n_occ
+        if not succ_parts:
+            return [[] for _ in range(self.n_paths)]
+        succ_flat = np.concatenate(succ_parts)
+        lf_flat = np.concatenate(lf_parts)
+        start_arr = np.zeros(self.alphabet_size, np.int64)
+        for node, st in rec_start.items():
+            start_arr[node] = st
+
+        n_paths = self.n_paths
+        stride = 2 if self.flags & _F_BIDIRECTIONAL else 1
+        idx = np.arange(0, stride * n_paths, stride, dtype=np.int64)
+        node = succ_flat[idx]
+        off = lf_flat[idx]
+        step_nodes, step_alive = [], []
+        alive = node != _ENDMARKER
+        while alive.any():
+            step_nodes.append(node.copy())
+            step_alive.append(alive.copy())
+            pos = start_arr[node] + off
+            nxt = succ_flat[pos]
+            off = np.where(alive, lf_flat[pos], off)
+            node = np.where(alive, nxt, node)
+            alive = alive & (node != _ENDMARKER)
+        if not step_nodes:
+            return [[] for _ in range(n_paths)]
+        nodes_m = np.stack(step_nodes)           # [steps, n_paths]
+        alive_m = np.stack(step_alive)
+        paths: List[List[Tuple[int, bool]]] = []
+        for p in range(n_paths):
+            col = nodes_m[alive_m[:, p], p]
+            paths.append([(int(v) >> 1, bool(v & 1)) for v in col])
+        return paths
+
     @property
     def n_paths(self) -> int:
         if self.flags & _F_BIDIRECTIONAL:
@@ -426,9 +491,10 @@ def load_gbz(path: str,
                 continue
             g.add_edge(src, (succ >> 1, bool(succ & 1)))
 
+    all_steps = idx.extract_all_paths()
     for pid in range(idx.n_paths):
         name, sample, hap = idx.path_display(pid)
-        steps = idx.extract_path(pid)
+        steps = all_steps[pid]
         generic = (pid < len(idx.path_names)
                    and idx.sample_names
                    and idx.path_names[pid][0] < len(idx.sample_names)

@@ -9,8 +9,10 @@ The GBWT is a multi-string BWT over oriented node ids (gbwt node = 2v+o;
 sequence 2p / 2p+1 = path p forward / reverse).  Occurrences of a node are
 ordered by their reversed prefix (the node sequence before the visit, read
 backwards), ties broken by sequence id — the co-lexicographic order the
-LF-mapping in the reader inverts.  This direct-sort construction is
-O(total_steps * path_len) worst case, fine for export/testing scale.
+LF-mapping in the reader inverts.  The construction computes those orders
+globally as suffix ranks of the reversed sequences (prefix doubling on
+numpy lexsort, O(T log T) for total length T), so multi-million-step path
+sets serialize in seconds.
 
 Semantics note: GBZ stores only haplotype-induced edges (the GBWTGraph
 definition), so edges of the input graph not traversed by any path are not
@@ -158,34 +160,79 @@ def _encode_runs(ranks: Sequence[int], sigma: int) -> bytes:
     return bytes(out)
 
 
+def _suffix_ranks(arr: "np.ndarray") -> "np.ndarray":
+    """Dense ranks of all suffixes of ``arr`` (prefix doubling)."""
+    import numpy as np
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    rank = np.unique(arr, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while int(rank.max()) != n - 1:
+        r2 = np.full(n, -1, np.int64)
+        if k < n:
+            r2[:-k] = rank[k:]
+        order = np.lexsort((r2, rank))
+        kr, kr2 = rank[order], r2[order]
+        diff = (kr[1:] != kr[:-1]) | (kr2[1:] != kr2[:-1])
+        sorted_ranks = np.concatenate(
+            [[0], np.cumsum(diff.astype(np.int64))])
+        rank = np.empty(n, np.int64)
+        rank[order] = sorted_ranks
+        k *= 2
+    return rank
+
+
 def _build_records(seqs: List[List[int]], alphabet_size: int, offset: int
                    ) -> List[bytes]:
-    """BWT records for nodes [ENDMARKER] + [offset+1, alphabet_size)."""
-    # occurrences[w] = list of (sort_key, successor_node)
-    occurrences: Dict[int, List[Tuple[tuple, int]]] = {}
-    for sid, seq in enumerate(seqs):
-        for i, node in enumerate(seq):
-            succ = seq[i + 1] if i + 1 < len(seq) else _ENDMARKER
-            key = tuple(reversed(seq[:i])) + (-1, sid)
-            occurrences.setdefault(node, []).append((key, succ))
-    # endmarker record: sequence starts, in sequence order
-    end_occ = [((sid,), seq[0] if seq else _ENDMARKER)
-               for sid, seq in enumerate(seqs)]
-    occurrences[_ENDMARKER] = end_occ
+    """BWT records for nodes [ENDMARKER] + [offset+1, alphabet_size).
 
-    # per-node visit counts from predecessors < v, for edge offsets
+    Occurrence order at each node = rank of the visit's reversed prefix
+    among all reversed prefixes (suffixes of the reversed sequences, each
+    terminated by a unique per-sequence sentinel that also breaks ties by
+    sequence id).  Edge offset for v->w = number of w-occurrences whose
+    predecessor node is < v — a searchsorted over w's (already
+    pred-sorted) occurrence list."""
+    import numpy as np
+
+    n_seqs = len(seqs)
+    parts = []
+    starts = []
+    pos = 0
+    for s, seq in enumerate(seqs):
+        starts.append(pos)
+        parts.append(np.array(list(reversed(seq)) + [s - n_seqs],
+                              dtype=np.int64))
+        pos += len(seq) + 1
+    concat = (np.concatenate(parts) if parts else np.zeros(0, np.int64))
+    ranks = _suffix_ranks(concat)
+
+    # occurrences[v] = list of (reversed-prefix rank, succ, pred)
+    occurrences: Dict[int, List[Tuple[int, int, int]]] = {}
+    for s, seq in enumerate(seqs):
+        L = len(seq)
+        st = starts[s]
+        for i, v in enumerate(seq):
+            key = int(ranks[st + L - i])
+            succ = seq[i + 1] if i + 1 < L else _ENDMARKER
+            pred = seq[i - 1] if i > 0 else _ENDMARKER
+            occurrences.setdefault(v, []).append((key, succ, pred))
+
+    # sort each node's occurrences once; keep pred arrays for offsets
+    preds_sorted: Dict[int, "np.ndarray"] = {}
+    for v, occ in occurrences.items():
+        occ.sort(key=lambda kso: kso[0])
+        preds_sorted[v] = np.array([p for _k, _s, p in occ], np.int64)
+
     def edge_offset(src: int, dst: int) -> int:
         if dst == _ENDMARKER:
             return 0
-        count = 0
-        for sid, seq in enumerate(seqs):
-            for i, node in enumerate(seq):
-                if node != dst:
-                    continue
-                pred = seq[i - 1] if i > 0 else _ENDMARKER
-                if pred < src:
-                    count += 1
-        return count
+        return int(np.searchsorted(preds_sorted[dst], src, side="left"))
+
+    # endmarker record: sequence starts in sequence-id order
+    occurrences[_ENDMARKER] = [
+        (sid, seq[0] if seq else _ENDMARKER, -1)
+        for sid, seq in enumerate(seqs)]
 
     records = []
     node_ids = [_ENDMARKER] + list(range(offset + 1, alphabet_size))
@@ -194,10 +241,9 @@ def _build_records(seqs: List[List[int]], alphabet_size: int, offset: int
         if not occ:
             records.append(b"")
             continue
-        occ.sort(key=lambda kv: kv[0])
-        succs = sorted({succ for _k, succ in occ})
+        succs = sorted({succ for _k, succ, _p in occ})
         rank = {s: i for i, s in enumerate(succs)}
-        body = _encode_runs([rank[s] for _k, s in occ], len(succs))
+        body = _encode_runs([rank[s] for _k, s, _p in occ], len(succs))
         rec = bytearray(_bytecode(len(succs)))
         prev = 0
         for s in succs:

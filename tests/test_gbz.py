@@ -129,3 +129,41 @@ def test_graph_association_from_gbz(tmp_path):
     assert rc == 0
     rows = (out / "associated_snarls.tsv").read_text()
     assert rows.count("\n") >= 1
+
+
+def test_roundtrip_scales(tmp_path):
+    """Non-quadratic construction/extraction: a 5k-bubble graph with 9
+    embedded paths (~135k steps) round-trips in seconds."""
+    import numpy as np
+    from stoat_tpu.graph.gfa import GfaGraph, GfaPath
+
+    rng = np.random.default_rng(0)
+    g = GfaGraph()
+    nid = 1
+    ref = []
+    hap_steps = [[] for _ in range(8)]
+    for b in range(5000):
+        for off, seq in ((0, "ACGT"), (1, "A"), (2, "C"), (3, "GGTT")):
+            g.add_node(nid + off, seq)
+        g.add_edge((nid, False), (nid + 1, False))
+        g.add_edge((nid, False), (nid + 2, False))
+        g.add_edge((nid + 1, False), (nid + 3, False))
+        g.add_edge((nid + 2, False), (nid + 3, False))
+        if b:
+            g.add_edge((nid - 1, False), (nid, False))
+        ref += [(nid, False), (nid + 1, False), (nid + 3, False)]
+        for h in range(8):
+            mid = nid + 1 if rng.random() < 0.5 else nid + 2
+            hap_steps[h] += [(nid, False), (mid, False), (nid + 3, False)]
+        nid += 4
+    g.add_path(GfaPath("ref", ref, "ref", 0, True))
+    for h in range(8):
+        g.add_path(GfaPath(f"s{h//2}#{h%2}#chr1", hap_steps[h],
+                           f"s{h//2}", h % 2, False))
+
+    out = str(tmp_path / "big.gbz")
+    save_gbz(g, out)
+    g2 = load_gbz(out)
+    assert g2.sequences == g.sequences
+    assert [(p.name, p.steps) for p in g2.paths] == \
+        [(p.name, p.steps) for p in g.paths]
