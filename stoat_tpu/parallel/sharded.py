@@ -26,6 +26,7 @@ from stoat_tpu.stats.logreg import logistic_regression_batch
 from stoat_tpu.parallel.mesh import ShardedChromosome
 
 __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
+           "lmm_analyze_sharded",
            "binary_covar_analyze_sharded"]
 
 
@@ -149,6 +150,77 @@ def quantitative_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(maf_threshold),
     )
     # betainc evaluation happens outside shard_map (see linreg docstring)
+    p = finish_linear_pvalues(out["t1"], out["df_res"])
+    out = dict(out)
+    out["p"] = jnp.where(out["degenerate"], jnp.nan, p)
+    for key in ("t1", "df_res", "degenerate"):
+        out.pop(key)
+    return _unshard(out, sharded.shard_sizes)
+
+
+def lmm_analyze_sharded(sharded: ShardedChromosome,
+                        lmm_ctx, covar, mesh: Mesh,
+                        min_individuals: int, min_haplotypes: int,
+                        maf_threshold: float) -> Dict[str, np.ndarray]:
+    """Snarl-sharded kinship LMM: EMMAX designs per shard, rotation and
+    rotated phenotype replicated (stats/lmm.py).  The rotation einsum and
+    the rotated-OLS solve both run inside the shard."""
+    num_paths = sharded.paths_per_shard
+    n_samples = sharded.matrix.shape[1] // 2
+    C = 0 if covar is None else covar.shape[1]
+    covar_in = np.zeros((n_samples, 0)) if covar is None else covar
+    with_covar = C > 0
+
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+                 rot, y_rot, min_ind, min_hap, maf):
+        d = quantitative_design_device(
+            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
+            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
+            with_covar=with_covar, all_rows=True)
+        Xr = jnp.einsum("mn,snp->smp", rot, d["X"])
+        S_, N = Xr.shape[0], Xr.shape[1]
+        yr = jnp.broadcast_to(y_rot[None, :], (S_, N))
+        mask = jnp.ones((S_, N), bool)
+        t1, df_res, beta, se, r2 = linear_regression_stats_batch(
+            Xr, yr, mask, d["ncols"])
+        nan = jnp.nan
+        deg = d["degenerate"]
+        out = {
+            "filtered": d["filtered"],
+            "allele_paths": d["allele_paths"],
+            "t1": t1,
+            "df_res": df_res,
+            "degenerate": deg,
+            "beta": jnp.where(deg, nan, beta),
+            "se": jnp.where(deg, nan, se),
+            "r2": jnp.where(deg, nan, r2),
+        }
+        return {k: v[None] for k, v in out.items()}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+                  P("snarls"), P(), P(), P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    out = fn(
+        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
+        jax.device_put(jnp.asarray(sharded.coo_path), shard),
+        jax.device_put(jnp.asarray(sharded.coo_row), shard),
+        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        jax.device_put(jnp.asarray(lmm_ctx.rot, jnp.float64), repl),
+        jax.device_put(jnp.asarray(lmm_ctx.y_rot, jnp.float64), repl),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+    )
     p = finish_linear_pvalues(out["t1"], out["df_res"])
     out = dict(out)
     out["p"] = jnp.where(out["degenerate"], jnp.nan, p)

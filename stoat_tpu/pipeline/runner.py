@@ -110,9 +110,9 @@ def run_vcf_analysis(
     """
     import jax as _jax
     if use_mesh is None:
-        use_mesh = _jax.device_count() > 1 and mode not in ("eqtl", "lmm")
+        use_mesh = _jax.device_count() > 1 and mode != "eqtl"
     mesh = None
-    if use_mesh and mode not in ("eqtl", "lmm"):
+    if use_mesh and mode != "eqtl":
         from stoat_tpu.parallel import make_snarl_mesh
         mesh = make_snarl_mesh()
         logger.info("Sharding snarls over %d devices", _jax.device_count())
@@ -181,7 +181,7 @@ def run_vcf_analysis(
                         chunk_mesh, packed, mode, binary_phenotype,
                         quantitative_phenotype, covariate,
                         min_individuals, min_haplotypes, maf_threshold,
-                        matrix)
+                        matrix, lmm_ctx=lmm_ctx)
                     filtered += _write_rows(
                         outf, chrom, holder, res, mode, table_threshold,
                         regression_dir, samples)
@@ -237,11 +237,12 @@ class _SnarlHolder:
 
 def _analyze_sharded(mesh, packed, mode, binary_phenotype,
                      quantitative_phenotype, covariate, min_individuals,
-                     min_haplotypes, maf_threshold, matrix):
+                     min_haplotypes, maf_threshold, matrix, lmm_ctx=None):
     """Dispatch a chunk through the shard_map analyzers."""
     import jax as _jax
     from stoat_tpu.parallel import (binary_analyze_sharded,
                                     binary_covar_analyze_sharded,
+                                    lmm_analyze_sharded,
                                     quantitative_analyze_sharded,
                                     shard_packed_chromosome)
     n_dev = _jax.device_count()
@@ -253,6 +254,10 @@ def _analyze_sharded(mesh, packed, mode, binary_phenotype,
     elif mode == "binary_covar":
         res = binary_covar_analyze_sharded(
             sharded, binary_phenotype, mesh, min_individuals,
+            min_haplotypes, maf_threshold)
+    elif mode == "lmm":
+        res = lmm_analyze_sharded(
+            sharded, lmm_ctx, covariate, mesh, min_individuals,
             min_haplotypes, maf_threshold)
     else:
         res = quantitative_analyze_sharded(

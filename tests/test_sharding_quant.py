@@ -75,3 +75,35 @@ def test_quant_mesh_parity(workload, n_devices):
         for i in range(S):
             if not base["filtered"][i]:
                 assert format_p(out[key][i]) == format_p(base[key][i])
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_lmm_mesh_parity(workload, n_devices):
+    """Kinship LMM: sharded == single-device, string-identical rows."""
+    from stoat_tpu.pipeline.quantitative import lmm_analyze_chromosome
+    from stoat_tpu.parallel import lmm_analyze_sharded
+    from stoat_tpu.stats.lmm import fit_null_reml
+
+    snarls, matrix, pheno = workload
+    n = matrix.n_haplotypes // 2
+    rng = np.random.default_rng(7)
+    G = rng.normal(size=(n, 8))
+    K = G @ G.T / 8
+    d = np.sqrt(np.diag(K))
+    K = K / np.outer(d, d)
+    ctx = fit_null_reml(pheno, K)
+
+    packed = pack_chromosome(snarls, matrix)
+    base = lmm_analyze_chromosome(packed, ctx, None, 3, 5, 0.05)
+    S = packed.n_snarls
+
+    mesh = make_snarl_mesh(n_devices=n_devices)
+    sharded = shard_packed_chromosome(snarls, matrix, n_devices)
+    out = lmm_analyze_sharded(sharded, ctx, None, mesh, 3, 5, 0.05)
+    np.testing.assert_array_equal(out["filtered"], base["filtered"][:S])
+    for key in ("p", "beta", "se", "r2"):
+        np.testing.assert_allclose(out[key], base[key][:S], rtol=1e-9,
+                                   equal_nan=True)
+        for i in range(S):
+            if not base["filtered"][i]:
+                assert format_p(out[key][i]) == format_p(base[key][i])
