@@ -31,11 +31,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from stoat_tpu.pipeline.membership import path_membership
+from stoat_tpu.pipeline import packed as _pk
 from stoat_tpu.stats.chi2 import chi2_2x2, chi2_2xn
 from stoat_tpu.stats.fisher import fisher_exact_2x2
 from stoat_tpu.tables import PackedChromosome
 
-__all__ = ["binary_tables_device", "binary_analyze_chromosome"]
+__all__ = ["binary_tables_device", "binary_tables_device_packed",
+           "binary_analyze_chromosome"]
+
+# Above this many haplotypes the bit-packed membership path is used:
+# the f32 edge matrix and its per-path gather traffic are 32x larger
+# than the packed words, which starts to dominate HBM at cohort scale.
+PACKED_HAPLOTYPE_THRESHOLD = 8192
 
 
 @partial(jax.jit, static_argnames=("num_paths",))
@@ -56,6 +63,33 @@ def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
     g1_path = membership @ pheno_hap                          # [P]
     g0_path = membership @ (1.0 - pheno_hap)                  # [P]
 
+    return _binary_from_path_counts(
+        g0_path, g1_path, snarl_path_idx, min_individuals,
+        min_haplotypes, maf_threshold)
+
+
+@jax.jit
+def binary_tables_device_packed(words, path_idx, path_valid, tail,
+                                g1_words, snarl_path_idx, min_individuals,
+                                min_haplotypes, maf_threshold):
+    """Packed-words variant: 1 bit/haplotype end to end.
+
+    Membership is a bitwise AND-reduce over each path's edge rows;
+    carrier counts are population counts against the packed phenotype
+    mask (pipeline/packed.py).  Identical outputs to
+    ``binary_tables_device`` (pinned by tests), ~32x less HBM traffic.
+    """
+    mem_words = _pk.membership_words(words, path_idx)         # [P, W]
+    g0_path, g1_path = _pk.packed_binary_counts(
+        mem_words, path_valid, tail, g1_words)
+    return _binary_from_path_counts(
+        g0_path, g1_path, snarl_path_idx, min_individuals,
+        min_haplotypes, maf_threshold)
+
+
+def _binary_from_path_counts(g0_path, g1_path, snarl_path_idx,
+                             min_individuals, min_haplotypes,
+                             maf_threshold):
     idx = snarl_path_idx                                      # [S, Pmax]
     col_mask = idx >= 0
     safe_idx = jnp.where(col_mask, idx, 0)
@@ -115,12 +149,46 @@ def binary_analyze_chromosome(packed: PackedChromosome,
                               binary_phenotype: np.ndarray,
                               min_individuals: int, min_haplotypes: int,
                               maf_threshold: float,
-                              device_matrix=None) -> Dict[str, np.ndarray]:
+                              device_matrix=None,
+                              use_packed: bool | None = None
+                              ) -> Dict[str, np.ndarray]:
     """Host wrapper: build the phenotype one-hot and run the device graph.
 
     ``device_matrix`` lets the caller upload the chromosome's edge matrix
-    once and reuse it across snarl chunks.
+    once and reuse it across snarl chunks (f32 [E, H] for the dense path,
+    uint32 [E+1, W] packed words for the packed path).  ``use_packed``
+    forces a path; by default cohorts over PACKED_HAPLOTYPE_THRESHOLD
+    haplotypes take the bit-packed one.
     """
+    H = packed.n_haplotypes
+    if use_packed is None:
+        if device_matrix is not None:
+            # a caller-cached matrix decides the path by its dtype
+            use_packed = device_matrix.dtype == jnp.uint32
+        else:
+            use_packed = H >= PACKED_HAPLOTYPE_THRESHOLD
+    if use_packed:
+        if device_matrix is None or device_matrix.dtype != jnp.uint32:
+            device_matrix = jnp.asarray(
+                _pk.pack_matrix_words(packed.matrix))
+        n_rows = int(device_matrix.shape[0]) - 1
+        W = int(device_matrix.shape[1])
+        path_idx = _pk.pack_path_edge_idx(
+            packed.coo_path, packed.coo_row, packed.path_valid, n_rows)
+        out = binary_tables_device_packed(
+            device_matrix,
+            jnp.asarray(path_idx),
+            jnp.asarray(packed.path_valid),
+            jnp.asarray(_pk.tail_mask_words(H, W)),
+            jnp.asarray(_pk.pack_hap_mask_words(
+                np.repeat(binary_phenotype.astype(bool), 2), W)),
+            jnp.asarray(packed.snarl_path_idx),
+            jnp.float64(min_individuals),
+            jnp.float64(min_haplotypes),
+            jnp.float64(maf_threshold),
+        )
+        return {key: np.asarray(value) for key, value in out.items()}
+
     pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
     out = binary_tables_device(
         device_matrix if device_matrix is not None

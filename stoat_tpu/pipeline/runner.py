@@ -173,8 +173,20 @@ def run_vcf_analysis(
                                                  effective_chunk):
                 if device_matrix is None:
                     # upload the (possibly empty-padded) chromosome matrix
-                    # once; all chunks share it
-                    device_matrix = jnp.asarray(packed.matrix, jnp.float32)
+                    # once; all chunks share it.  Large binary cohorts use
+                    # the bit-packed words (32 haplotypes/uint32 — 32x
+                    # less HBM than f32; see pipeline/packed.py)
+                    from stoat_tpu.pipeline.binary import \
+                        PACKED_HAPLOTYPE_THRESHOLD
+                    from stoat_tpu.pipeline.packed import pack_matrix_words
+                    if (mode == "binary" and chunk_mesh is None and
+                            packed.n_haplotypes >=
+                            PACKED_HAPLOTYPE_THRESHOLD):
+                        device_matrix = jnp.asarray(
+                            pack_matrix_words(packed.matrix))
+                    else:
+                        device_matrix = jnp.asarray(packed.matrix,
+                                                    jnp.float32)
 
                 if chunk_mesh is not None and mode != "eqtl":
                     res, holder = _analyze_sharded(
