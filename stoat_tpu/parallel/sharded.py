@@ -19,6 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stoat_tpu.pipeline.binary import binary_tables_device
+from stoat_tpu.stats.chi2 import finish_chi2_pvalues
 from stoat_tpu.pipeline.quantitative import quantitative_design_device
 from stoat_tpu.stats.linreg import (finish_linear_pvalues,
                                     linear_regression_stats_batch)
@@ -48,10 +49,12 @@ def binary_analyze_sharded(sharded: ShardedChromosome,
 
     def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, pheno,
                  min_ind, min_hap, maf):
-        # each arg's leading shard axis is 1 inside the shard body
+        # each arg's leading shard axis is 1 inside the shard body;
+        # tails=False keeps the igammac chi2 tail *outside* the shard
+        # (it compiles pathologically slowly under manual partitioning)
         out = binary_tables_device(
             matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
-            pheno, min_ind, min_hap, maf, num_paths=num_paths)
+            pheno, min_ind, min_hap, maf, num_paths=num_paths, tails=False)
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(
@@ -74,7 +77,16 @@ def binary_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(maf_threshold),
     )
 
-    return _unshard(out, sharded.shard_sizes)
+    # Unshard BEFORE evaluating the chi2 tail: gammaincc compiles
+    # pathologically slowly when its inputs are partitioned arrays (GSPMD),
+    # just as inside shard_map.  On gathered host arrays it is instant.
+    result = _unshard(out, sharded.shard_sizes)
+    result["p_chi2"] = np.asarray(finish_chi2_pvalues(
+        jnp.asarray(result.pop("chi2_stat")),
+        jnp.asarray(result.pop("chi2_df")),
+        jnp.asarray(result.pop("chi2_invalid")),
+        jnp.asarray(result.pop("chi2_zexp"))))
+    return result
 
 
 def _unshard(out: Dict[str, jnp.ndarray],
@@ -149,13 +161,21 @@ def quantitative_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),
     )
-    # betainc evaluation happens outside shard_map (see linreg docstring)
-    p = finish_linear_pvalues(out["t1"], out["df_res"])
-    out = dict(out)
-    out["p"] = jnp.where(out["degenerate"], jnp.nan, p)
-    for key in ("t1", "df_res", "degenerate"):
-        out.pop(key)
-    return _unshard(out, sharded.shard_sizes)
+    return _finish_linear_sharded(out, sharded)
+
+
+def _finish_linear_sharded(out, sharded):
+    """Gather shards to host, then evaluate the t-tail unpartitioned.
+
+    betainc (like gammaincc) must run neither inside shard_map nor on
+    partitioned arrays — both make XLA's partitioner unroll its inner
+    loop into a minutes-long compile."""
+    result = _unshard(out, sharded.shard_sizes)
+    p = finish_linear_pvalues(jnp.asarray(result.pop("t1")),
+                              jnp.asarray(result.pop("df_res")))
+    deg = jnp.asarray(result.pop("degenerate"))
+    result["p"] = np.asarray(jnp.where(deg, jnp.nan, p))
+    return result
 
 
 def lmm_analyze_sharded(sharded: ShardedChromosome,
@@ -221,12 +241,7 @@ def lmm_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),
     )
-    p = finish_linear_pvalues(out["t1"], out["df_res"])
-    out = dict(out)
-    out["p"] = jnp.where(out["degenerate"], jnp.nan, p)
-    for key in ("t1", "df_res", "degenerate"):
-        out.pop(key)
-    return _unshard(out, sharded.shard_sizes)
+    return _finish_linear_sharded(out, sharded)
 
 
 def binary_covar_analyze_sharded(sharded: ShardedChromosome,

@@ -32,7 +32,8 @@ import numpy as np
 
 from stoat_tpu.pipeline.membership import path_membership
 from stoat_tpu.pipeline import packed as _pk
-from stoat_tpu.stats.chi2 import chi2_2x2, chi2_2xn
+from stoat_tpu.stats.chi2 import (chi2_2x2_stat, chi2_2xn_stat,
+                                  finish_chi2_pvalues)
 from stoat_tpu.stats.fisher import fisher_exact_2x2
 from stoat_tpu.tables import PackedChromosome
 
@@ -45,15 +46,18 @@ __all__ = ["binary_tables_device", "binary_tables_device_packed",
 PACKED_HAPLOTYPE_THRESHOLD = 8192
 
 
-@partial(jax.jit, static_argnames=("num_paths",))
+@partial(jax.jit, static_argnames=("num_paths", "tails"))
 def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
                          path_valid, snarl_path_idx, pheno_hap,
                          min_individuals, min_haplotypes, maf_threshold,
-                         num_paths: int):
+                         num_paths: int, tails: bool = True):
     """Device graph: membership -> per-path g0/g1 -> per-snarl tables ->
     filtration -> chi2/Fisher p-values.
 
-    Returns dict of per-snarl arrays (see keys below).
+    Returns dict of per-snarl arrays (see keys below).  With
+    ``tails=False`` the chi² tail is left unevaluated (raw statistic/df
+    returned instead of ``p_chi2``) so shard_map callers can finish it
+    outside the shard via ``finish_chi2_pvalues``.
     """
     membership = path_membership(
         matrix_f32, coo_path, coo_row, n_edges_per_path, path_valid,
@@ -65,7 +69,7 @@ def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
 
     return _binary_from_path_counts(
         g0_path, g1_path, snarl_path_idx, min_individuals,
-        min_haplotypes, maf_threshold)
+        min_haplotypes, maf_threshold, tails=tails)
 
 
 @jax.jit
@@ -89,7 +93,7 @@ def binary_tables_device_packed(words, path_idx, path_valid, tail,
 
 def _binary_from_path_counts(g0_path, g1_path, snarl_path_idx,
                              min_individuals, min_haplotypes,
-                             maf_threshold):
+                             maf_threshold, tails: bool = True):
     idx = snarl_path_idx                                      # [S, Pmax]
     col_mask = idx >= 0
     safe_idx = jnp.where(col_mask, idx, 0)
@@ -126,23 +130,34 @@ def _binary_from_path_counts(g0_path, g1_path, snarl_path_idx,
     a, b = g0_sorted[:, 0], g0_sorted[:, 1]
     c, d = g1_sorted[:, 0], g1_sorted[:, 1]
 
-    p_chi2_2x2 = chi2_2x2(a, b, c, d)
+    stat2, inv2, zexp2 = chi2_2x2_stat(a, b, c, d)
     p_fisher = fisher_exact_2x2(a, b, c, d)
-    p_chi2_n = chi2_2xn(g0, g1, keep)
+    statn, dfn, invn = chi2_2xn_stat(g0, g1, keep)
 
     is_2x2 = k == 2
-    p_chi2 = jnp.where(is_2x2, p_chi2_2x2, p_chi2_n)
+    chi2_stat = jnp.where(is_2x2, stat2, statn)
+    chi2_df = jnp.where(is_2x2, 1.0, dfn)
+    chi2_invalid = jnp.where(is_2x2, inv2, invn)
+    chi2_zexp = is_2x2 & zexp2
     p_fisher = jnp.where(is_2x2, p_fisher, jnp.nan)
 
-    return {
+    out = {
         "filtered": filtered,
         "keep": keep,
         "g0": g0,
         "g1": g1,
         "k": k,
-        "p_chi2": p_chi2,
         "p_fisher": p_fisher,
     }
+    if tails:
+        out["p_chi2"] = finish_chi2_pvalues(
+            chi2_stat, chi2_df, chi2_invalid, chi2_zexp)
+    else:
+        out["chi2_stat"] = chi2_stat
+        out["chi2_df"] = chi2_df
+        out["chi2_invalid"] = chi2_invalid
+        out["chi2_zexp"] = chi2_zexp
+    return out
 
 
 def binary_analyze_chromosome(packed: PackedChromosome,

@@ -22,17 +22,21 @@ import jax.numpy as jnp
 
 from stoat_tpu.stats.special import chi2_sf
 
-__all__ = ["chi2_2x2", "chi2_2xn"]
+__all__ = ["chi2_2x2", "chi2_2xn", "chi2_2x2_stat", "chi2_2xn_stat",
+           "finish_chi2_pvalues"]
 
 _DBL_MAX = 1.7976931348623157e308
 
 
 @jax.jit
-def chi2_2x2(a, b, c, d):
-    """Chi-squared p-values for batched 2x2 tables [g0=(a,b); g1=(c,d)].
+def chi2_2x2_stat(a, b, c, d):
+    """Chi-squared statistic for batched 2x2 tables, *without* the tail.
 
-    Args are equal-shaped float/int arrays.  Returns float64 p-values with
-    NaN for NA cases.
+    Returns ``(stat, invalid, zero_expected)``.  The tail must then be
+    evaluated via :func:`finish_chi2_pvalues` — and, crucially, *outside*
+    any ``shard_map`` region: ``chi2_sf``'s igammac inner loop compiles
+    pathologically slowly (minutes) under manual partitioning, exactly
+    like ``lax.betainc`` in the OLS kernel (see stats/linreg.py).
     """
     a = jnp.asarray(a, jnp.float64)
     b = jnp.asarray(b, jnp.float64)
@@ -65,21 +69,28 @@ def chi2_2x2(a, b, c, d):
         + (c - ec_s) ** 2 / ec_s
         + (d - ed_s) ** 2 / ed_s
     )
+    return stat, invalid, zero_expected
 
+
+@jax.jit
+def chi2_2x2(a, b, c, d):
+    """Chi-squared p-values for batched 2x2 tables [g0=(a,b); g1=(c,d)].
+
+    Args are equal-shaped float/int arrays.  Returns float64 p-values with
+    NaN for NA cases.
+    """
+    stat, invalid, zero_expected = chi2_2x2_stat(a, b, c, d)
     p = chi2_sf(stat, jnp.ones_like(stat))
     p = jnp.where(zero_expected, _DBL_MAX, p)
     return jnp.where(invalid, jnp.nan, p)
 
 
 @jax.jit
-def chi2_2xn(g0, g1, col_mask):
-    """Chi-squared p-values for batched 2xN tables with column masks.
+def chi2_2xn_stat(g0, g1, col_mask):
+    """Chi-squared statistic + df for batched 2xN tables (no tail).
 
-    Args:
-      g0, g1: [B, Pmax] float arrays of group counts per path (padded).
-      col_mask: [B, Pmax] bool, True for real (kept) columns.
-
-    Returns [B] float64 p-values (NaN = NA).  df = kept_cols - 1.
+    Returns ``(stat, df, invalid)``; finish with
+    :func:`finish_chi2_pvalues` outside any shard_map region.
     """
     g0 = jnp.where(col_mask, jnp.asarray(g0, jnp.float64), 0.0)
     g1 = jnp.where(col_mask, jnp.asarray(g1, jnp.float64), 0.0)
@@ -104,5 +115,32 @@ def chi2_2xn(g0, g1, col_mask):
     stat = jnp.sum(term0 + term1, axis=-1)
 
     df = jnp.maximum(ncols - 1, 1).astype(jnp.float64)
+    return stat, df, invalid
+
+
+@jax.jit
+def chi2_2xn(g0, g1, col_mask):
+    """Chi-squared p-values for batched 2xN tables with column masks.
+
+    Args:
+      g0, g1: [B, Pmax] float arrays of group counts per path (padded).
+      col_mask: [B, Pmax] bool, True for real (kept) columns.
+
+    Returns [B] float64 p-values (NaN = NA).  df = kept_cols - 1.
+    """
+    stat, df, invalid = chi2_2xn_stat(g0, g1, col_mask)
     p = chi2_sf(stat, df)
+    return jnp.where(invalid, jnp.nan, p)
+
+
+@jax.jit
+def finish_chi2_pvalues(stat, df, invalid, zero_expected):
+    """Tail evaluation for statistics produced by the ``*_stat`` kernels.
+
+    Kept separate so sharded pipelines can compute the (cheap, elementwise)
+    statistics inside ``shard_map`` and run the igammac tail out here where
+    XLA compiles it in seconds instead of minutes.
+    """
+    p = chi2_sf(stat, df)
+    p = jnp.where(zero_expected, _DBL_MAX, p)
     return jnp.where(invalid, jnp.nan, p)
