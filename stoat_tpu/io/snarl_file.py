@@ -17,7 +17,6 @@ consecutive-node edges, matching ``decompose_path_str_to_edge``
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
 from typing import Dict, List, Tuple
 
 from stoat_tpu.formatting import string_to_pair
@@ -72,18 +71,48 @@ def path_to_edges(nodes: List[NodeTraversal]) -> List[Edge]:
     return [(nodes[i], nodes[i + 1]) for i in range(len(nodes) - 1)]
 
 
-@dataclass
 class SnarlData:
-    """One snarl's decomposition record (snarl_data_t.hpp:98-116)."""
+    """One snarl's decomposition record (snarl_data_t.hpp:98-116).
 
-    net_handle: int
-    snarl_ids: Tuple[int, int]
-    paths: List[List[NodeTraversal]]
-    start_pos: int
-    end_pos: int
-    type_variants: List[str]
-    depth: int
-    path_strings: List[str] = field(default_factory=list)
+    ``paths`` (the parsed node-traversal tuples) is derived lazily from
+    ``path_strings`` — the vectorized packing path (tables.py) tokenizes
+    the raw strings directly and never needs the tuples, so a large snarl
+    file loads without paying the per-node Python parse."""
+
+    __slots__ = ("net_handle", "snarl_ids", "_paths", "start_pos",
+                 "end_pos", "type_variants", "depth", "path_strings")
+
+    def __init__(self, net_handle: int, snarl_ids: Tuple[int, int],
+                 paths=None, start_pos: int = 0, end_pos: int = 0,
+                 type_variants=None, depth: int = 1, path_strings=None):
+        self.net_handle = net_handle
+        self.snarl_ids = snarl_ids
+        self._paths = paths
+        self.start_pos = start_pos
+        self.end_pos = end_pos
+        self.type_variants = type_variants or []
+        self.depth = depth
+        if path_strings is None:
+            path_strings = ([path_to_string(p) for p in paths]
+                            if paths is not None else [])
+        self.path_strings = path_strings
+
+    @property
+    def paths(self) -> List[List[NodeTraversal]]:
+        if self._paths is None:
+            self._paths = [parse_path_string(p) for p in self.path_strings]
+        return self._paths
+
+    @property
+    def n_paths(self) -> int:
+        """Path count without forcing the tuple parse."""
+        if self._paths is not None:
+            return len(self._paths)
+        return len(self.path_strings)
+
+    @property
+    def paths_parsed(self) -> bool:
+        return self._paths is not None
 
     @property
     def snarl_id_str(self) -> str:
@@ -92,6 +121,10 @@ class SnarlData:
     @property
     def type_var_str(self) -> str:
         return ",".join(self.type_variants)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (f"SnarlData({self.snarl_id_str}, "
+                f"{len(self.path_strings)} paths)")
 
 
 def parse_snarl_path(file_path: str) -> Dict[str, List[SnarlData]]:
@@ -131,7 +164,7 @@ def parse_snarl_path(file_path: str) -> Dict[str, List[SnarlData]]:
             current.append(SnarlData(
                 net_handle=int(handle_s),
                 snarl_ids=string_to_pair(snarl_id_s),
-                paths=[parse_path_string(p) for p in path_strings],
+                paths=None,  # parsed lazily from path_strings
                 start_pos=int(start_s),
                 end_pos=int(end_s),
                 type_variants=type_s.split(","),

@@ -186,3 +186,38 @@ class PrebuiltEdgeMatrix:
 
     def shrink(self) -> np.ndarray:
         return self._matrix
+
+
+class PackedEdgeMatrix(PrebuiltEdgeMatrix):
+    """Bit-packed chromosome matrix straight from the native core.
+
+    Holds the uint32 [E+1, W] word matrix (32 haplotypes/word, little bit
+    order, trailing all-ones AND-identity row — the exact device layout of
+    pipeline/packed.py) so the packed analysis pipeline uploads it with no
+    host repack.  The dense bool view is unpacked lazily only if a legacy
+    caller asks for it."""
+
+    def __init__(self, words: np.ndarray, n_haplotypes: int, edges):
+        self.words = np.asarray(words, np.uint32)
+        self.n_haplotypes = n_haplotypes
+        if isinstance(edges, dict):
+            self._edge_dict = edges
+            self._edges_arr = None
+        else:
+            self._edge_dict = None
+            self._edges_arr = np.asarray(edges, np.uint64).reshape(-1, 4)
+        self._sorted_keys = None
+        self._sort_order = None
+        self._dense: Optional[np.ndarray] = None
+
+    @property
+    def n_rows(self) -> int:
+        return self.words.shape[0] - 1
+
+    def shrink(self) -> np.ndarray:
+        if self._dense is None:
+            E = self.n_rows
+            self._dense = np.unpackbits(
+                self.words[:E].view(np.uint8), axis=1,
+                bitorder="little")[:, : self.n_haplotypes].view(bool)
+        return self._dense

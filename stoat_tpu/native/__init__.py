@@ -83,6 +83,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_chunk_rows.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_cols.restype = ctypes.c_uint64
     lib.stoat_chunk_cols.argtypes = [ctypes.c_void_p]
+    lib.stoat_chunk_nwords.restype = ctypes.c_uint64
+    lib.stoat_chunk_nwords.argtypes = [ctypes.c_void_p]
+    lib.stoat_chunk_words.restype = ctypes.POINTER(ctypes.c_uint32)
+    lib.stoat_chunk_words.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_matrix.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.stoat_chunk_matrix.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_edges.restype = ctypes.POINTER(ctypes.c_uint64)
@@ -232,12 +236,42 @@ class NativeVcfMatrixReader:
         self.samples = [lib.stoat_vcf_sample(self._handle, i).decode()
                         for i in range(n)]
 
-    def chunks_arrays(self, initial_rows: int = 1024):
-        """Yield (chrom, matrix bool [E, H], edges uint64 [E, 4]).
+    def chunks_packed(self, initial_rows: int = 1024):
+        """Yield (chrom, words uint32 [E+1, W], n_haplotypes,
+        edges uint64 [E, 4]).
 
-        The edges array is (a_id, a_rev, b_id, b_rev) per row, straight
-        from the C ABI — no Python dict is built (the hot production
-        path; see PrebuiltEdgeMatrix.resolve_edges)."""
+        This is the hot production path: the words are the bit-packed
+        edge×haplotype matrix in exactly the device kernels' layout
+        (32 haplotypes/word, little bit order, trailing all-ones
+        AND-identity row — pipeline/packed.py), straight from the C++
+        fill with no host repack.  The edges array is (a_id, a_rev,
+        b_id, b_rev) per row; no Python dict is built (see
+        PackedEdgeMatrix.resolve_edges)."""
+        lib = self._lib
+        while True:
+            cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
+            if not cp:
+                return
+            rows = int(lib.stoat_chunk_rows(cp))
+            cols = int(lib.stoat_chunk_cols(cp))
+            nwords = int(lib.stoat_chunk_nwords(cp))
+            chrom = lib.stoat_chunk_chrom(cp).decode()
+            if rows == 0:
+                # e.g. a chromosome whose records all lack AT fields
+                words = np.full((1, nwords), 0xFFFFFFFF, np.uint32)
+                edges = np.zeros((0, 4), np.uint64)
+            else:
+                words = np.ctypeslib.as_array(
+                    lib.stoat_chunk_words(cp),
+                    shape=(rows + 1, nwords)).copy()
+                edges = np.ctypeslib.as_array(
+                    lib.stoat_chunk_edges(cp),
+                    shape=(rows, 4)).copy()
+            lib.stoat_chunk_free(cp)
+            yield chrom, words, cols, edges
+
+    def chunks_arrays(self, initial_rows: int = 1024):
+        """Yield (chrom, matrix bool [E, H], edges uint64 [E, 4])."""
         lib = self._lib
         while True:
             cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)

@@ -1,22 +1,27 @@
-// stoat-tpu native core: streaming VCF -> edge×haplotype matrix ingestion.
+// stoat-tpu native core: streaming VCF -> bit-packed edge×haplotype matrix.
 //
 // TPU-native replacement for the reference's htslib ingestion loop
 // (SnarlAnalyzer::make_edge_matrix, /root/reference/src/snarl_analyzer.cpp:
 // 190-260) and the packed bit matrix (src/matrix.{hpp,cpp}).  Written from
 // scratch in C++17: parses VCF text (plain or gzip via zlib), extracts the
 // INFO AT allele traversals and diploid GTs, interns graph edges as rows,
-// and fills a dense uint8 edge×haplotype matrix one chromosome at a time.
-// Exposed through a plain C ABI consumed from Python via ctypes.
+// and fills a bit-packed uint32 edge×haplotype word matrix one chromosome
+// at a time — the exact layout the device membership kernels consume
+// (stoat_tpu/pipeline/packed.py: 32 haplotypes/word, little bit order,
+// plus a trailing all-ones AND-identity row).  Exposed through a plain C
+// ABI consumed from Python via ctypes.
 //
 // Pipelined + parallel (the reference is single-threaded by default,
 // main.cpp:62; this is where our end-to-end throughput comes from):
-//   - a reader thread decompresses and splits lines into batches ahead of
-//     the consumer (bounded queue),
-//   - worker threads parse a batch's records concurrently (AT/LV/GT),
+//   - a producer thread reads 4 MB blocks (fread for plain files, zlib for
+//     .gz) and splits lines in place — no per-line copies,
+//   - worker threads parse a block's records concurrently into per-worker
+//     arenas (AT edge keys + per-allele carrier bit masks built straight
+//     from the GT fields — the dense calls array never exists),
 //   - a short serial pass interns edge rows in deterministic record/allele
 //     order (only alleles with at least one carrier get rows, matching
-//     push_matrix semantics, matrix.cpp:40-51),
-//   - worker threads fill matrix bits over disjoint sample ranges.
+//     push_matrix semantics, matrix.cpp:40-51) and ORs each allele's
+//     carrier mask into its rows' words.
 // Output is identical for any thread count (row order is deterministic).
 //
 // Semantics mirrored from the reference:
@@ -79,53 +84,51 @@ static unsigned num_threads() {
 }
 
 // ---------------------------------------------------------------------------
-// Batched line reading on a producer thread
+// Block reading (plain fread or zlib, detected by magic)
 
+struct BlockSource {
+    FILE* f = nullptr;
+    gzFile gz = nullptr;
+
+    bool open(const char* path) {
+        FILE* probe = fopen(path, "rb");
+        if (!probe) return false;
+        unsigned char magic[2] = {0, 0};
+        size_t got = fread(magic, 1, 2, probe);
+        if (got == 2 && magic[0] == 0x1f && magic[1] == 0x8b) {
+            fclose(probe);
+            gz = gzopen(path, "rb");
+            if (gz) gzbuffer(gz, 1 << 22);
+            return gz != nullptr;
+        }
+        rewind(probe);
+        f = probe;
+        return true;
+    }
+    // Returns bytes read (0 at EOF).
+    size_t read(char* dst, size_t n) {
+        if (f) return fread(dst, 1, n, f);
+        int got = gzread(gz, dst, unsigned(n));
+        return got > 0 ? size_t(got) : 0;
+    }
+    void close() {
+        if (f) fclose(f);
+        if (gz) gzclose(gz);
+        f = nullptr;
+        gz = nullptr;
+    }
+};
+
+// A block of complete lines, NUL-terminated in place.
 struct Batch {
-    std::vector<char> text;        // NUL-terminated lines, concatenated
-    std::vector<size_t> offs;      // start of each line in text
+    std::vector<char> text;
+    std::vector<uint32_t> offs;  // start of each data line in text
     size_t n_lines() const { return offs.size(); }
     const char* line(size_t i) const { return text.data() + offs[i]; }
     char* line_mut(size_t i) { return text.data() + offs[i]; }
 };
 
-struct LineSource {
-    gzFile gz = nullptr;
-    std::vector<char> buf;
-    LineSource() : buf(1 << 20) {}
-    bool open(const char* path) {
-        gz = gzopen(path, "rb");
-        if (gz) gzbuffer(gz, 1 << 22);
-        return gz != nullptr;
-    }
-    // NUL-terminated line (no trailing newline), or nullptr at EOF
-    char* next() {
-        size_t len = 0;
-        for (;;) {
-            if (len + 65536 > buf.size()) buf.resize(buf.size() * 2);
-            char* dst = buf.data() + len;
-            if (gzgets(gz, dst, int(buf.size() - len)) == nullptr) {
-                if (len == 0) return nullptr;
-                buf[len] = '\0';
-                return buf.data();
-            }
-            size_t got = strlen(dst);
-            len += got;
-            if (len > 0 && buf[len - 1] == '\n') {
-                buf[len - 1] = '\0';
-                if (len > 1 && buf[len - 2] == '\r') buf[len - 2] = '\0';
-                return buf.data();
-            }
-        }
-    }
-    void close() {
-        if (gz) gzclose(gz);
-        gz = nullptr;
-    }
-};
-
-constexpr size_t kBatchBytes = 4u << 20;
-constexpr size_t kBatchLines = 8192;
+constexpr size_t kBlockBytes = 4u << 20;
 constexpr size_t kQueueDepth = 3;
 
 struct BatchQueue {
@@ -170,11 +173,11 @@ struct BatchQueue {
 };
 
 // ---------------------------------------------------------------------------
-// Record parsing (worker-thread safe: no shared state)
+// Record parsing into per-worker arenas (no shared state, no per-record
+// allocations in steady state)
 
 static void parse_traversal_keys(const char* s, const char* end,
                                  std::vector<EdgeKey>& out) {
-    out.clear();
     uint64_t prev_id = 0;
     uint8_t prev_rev = 0;
     bool have_prev = false;
@@ -230,24 +233,34 @@ static int parse_allele(const char* p, const char* end) {
     return any ? v : -1;
 }
 
-struct ParsedRecord {
-    bool ok = false;                           // has AT and LV==0
-    std::vector<std::vector<EdgeKey>> alleles; // edge keys per allele
-    std::vector<int16_t> calls;                // [2*n_samples], -1 missing
-    std::vector<uint8_t> carried;              // per allele: any carrier
-    std::vector<std::vector<uint32_t>> rows;   // per allele (intern phase)
+// Per-record metadata into flat arena storage.
+struct RecMeta {
+    uint8_t ok = 0;               // has AT and LV==0
+    uint16_t n_alleles = 0;
+    uint32_t edge_off = 0;        // into Arena::edge_keys
+    uint32_t edge_cnt_off = 0;    // into Arena::allele_edge_cnt (n_alleles)
+    uint32_t mask_off = 0;        // into Arena::masks (n_alleles * W words)
+};
 
-    void reset() {
-        ok = false;
-        alleles.clear();
-        carried.clear();
-        rows.clear();
+struct Arena {
+    std::vector<EdgeKey> edge_keys;
+    std::vector<uint32_t> allele_edge_cnt;
+    std::vector<uint32_t> masks;
+    std::vector<RecMeta> recs;
+
+    void begin(size_t n_recs) {
+        edge_keys.clear();
+        allele_edge_cnt.clear();
+        masks.clear();
+        recs.clear();
+        recs.resize(n_recs);
     }
 };
 
-// Parse one data line into `pr` (thread-safe; mutates the line in place).
-static void parse_line(char* line, size_t n_samples, ParsedRecord& pr) {
-    pr.reset();
+// Parse one data line into arena slot `ri` (mutates the line in place).
+static void parse_line(char* line, size_t n_samples, Arena& ar, size_t ri,
+                       size_t W) {
+    RecMeta& rm = ar.recs[ri];
     // fields: CHROM POS ID REF ALT QUAL FILTER INFO FORMAT samples...
     char* fields[9];
     char* p = line;
@@ -273,80 +286,83 @@ static void parse_line(char* line, size_t n_samples, ParsedRecord& pr) {
     const char *at, *at_end;
     if (!info_field(info, info_end, "AT", &at, &at_end)) return;
 
+    rm.edge_off = uint32_t(ar.edge_keys.size());
+    rm.edge_cnt_off = uint32_t(ar.allele_edge_cnt.size());
     const char* a = at;
+    uint32_t n_alleles = 0;
     while (a < at_end) {
         const char* seg_end = (const char*)memchr(a, ',', at_end - a);
         if (!seg_end) seg_end = at_end;
-        pr.alleles.emplace_back();
-        parse_traversal_keys(a, seg_end, pr.alleles.back());
+        size_t before = ar.edge_keys.size();
+        parse_traversal_keys(a, seg_end, ar.edge_keys);
+        ar.allele_edge_cnt.push_back(
+            uint32_t(ar.edge_keys.size() - before));
+        ++n_alleles;
         a = seg_end + 1;
     }
-    int n_alleles = int(pr.alleles.size());
-    pr.carried.assign(size_t(n_alleles), 0);
-    pr.calls.assign(2 * n_samples, -1);
+    rm.n_alleles = uint16_t(n_alleles);
+    rm.mask_off = uint32_t(ar.masks.size());
+    ar.masks.resize(ar.masks.size() + size_t(n_alleles) * W, 0);
+    uint32_t* masks = ar.masks.data() + rm.mask_off;
+
+    auto set_bit = [&](int al, uint32_t col) {
+        if (al >= 0 && uint32_t(al) < n_alleles)
+            masks[size_t(al) * W + (col >> 5)] |= 1u << (col & 31);
+    };
 
     size_t si = 0;
     while (*p != '\0' && si < n_samples) {
-        int a1, a2;
-        char* t;
         // fast path: single-digit diploid "a/b<TAB>"
         if (p[0] >= '0' && p[0] <= '9' && (p[1] == '/' || p[1] == '|') &&
             p[2] >= '0' && p[2] <= '9' &&
             (p[3] == '\t' || p[3] == '\0')) {
-            a1 = p[0] - '0';
-            a2 = p[2] - '0';
-            t = p[3] == '\t' ? p + 3 : nullptr;
+            set_bit(p[0] - '0', uint32_t(2 * si));
+            set_bit(p[2] - '0', uint32_t(2 * si + 1));
+            ++si;
+            if (p[3] == '\0') break;
+            p += 4;
+            continue;
+        }
+        char* t = strchr(p, '\t');
+        char* fend = t ? t : p + strlen(p);
+        char* colon = (char*)memchr(p, ':', fend - p);
+        char* gt_end = colon ? colon : fend;
+        char* sep = nullptr;
+        for (char* q = p; q < gt_end; ++q) {
+            if (*q == '/' || *q == '|') {
+                sep = q;
+                break;
+            }
+        }
+        if (sep) {
+            set_bit(parse_allele(p, sep), uint32_t(2 * si));
+            set_bit(parse_allele(sep + 1, gt_end), uint32_t(2 * si + 1));
         } else {
-            t = strchr(p, '\t');
-            char* fend = t ? t : p + strlen(p);
-            char* colon = (char*)memchr(p, ':', fend - p);
-            char* gt_end = colon ? colon : fend;
-            char* sep = nullptr;
-            for (char* q = p; q < gt_end; ++q) {
-                if (*q == '/' || *q == '|') {
-                    sep = q;
-                    break;
-                }
-            }
-            if (sep) {
-                a1 = parse_allele(p, sep);
-                a2 = parse_allele(sep + 1, gt_end);
-            } else {
-                a1 = parse_allele(p, gt_end);
-                a2 = -1;
-            }
-        }
-        if (a1 >= 0 && a1 < n_alleles) {
-            pr.calls[2 * si] = int16_t(a1);
-            pr.carried[size_t(a1)] = 1;
-        }
-        if (a2 >= 0 && a2 < n_alleles) {
-            pr.calls[2 * si + 1] = int16_t(a2);
-            pr.carried[size_t(a2)] = 1;
+            set_bit(parse_allele(p, gt_end), uint32_t(2 * si));
         }
         ++si;
         if (!t) break;
         p = t + 1;
     }
-    pr.ok = true;
+    rm.ok = 1;
 }
 
 // ---------------------------------------------------------------------------
-// Matrix builder (intern serial, fill parallel)
+// Matrix builder (word rows; intern + mask-OR fill in one serial pass)
 
 struct MatrixBuilder {
     std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_to_row;
-    std::vector<uint8_t> data;  // row-major [cap_rows, n_cols]
+    std::vector<uint32_t> data;  // row-major [cap_rows, W]
     std::vector<uint64_t> edges;
-    uint64_t n_cols = 0;
+    size_t W = 0;
     uint64_t cap_rows = 0;
 
-    void reset(uint64_t cols, uint64_t initial_rows) {
+    void reset(size_t n_words, uint64_t initial_rows) {
         edge_to_row.clear();
         edges.clear();
-        n_cols = cols;
+        W = n_words;
         cap_rows = initial_rows < 64 ? 64 : initial_rows;
-        data.assign(cap_rows * n_cols, 0);
+        data.assign(cap_rows * W, 0);
     }
 
     uint32_t intern(const EdgeKey& k) {
@@ -356,7 +372,7 @@ struct MatrixBuilder {
         edge_to_row.emplace(k, row);
         if (row >= cap_rows) {
             uint64_t new_cap = cap_rows * 2;
-            data.resize(new_cap * n_cols, 0);
+            data.resize(new_cap * W, 0);
             cap_rows = new_cap;
         }
         edges.push_back(k.a);
@@ -367,13 +383,39 @@ struct MatrixBuilder {
     }
 };
 
+// Serial pass over one worker arena range: intern rows in deterministic
+// record/allele/edge order, OR each allele's carrier mask into its rows.
+static void intern_and_fill(MatrixBuilder& mb, const Arena& ar) {
+    const size_t W = mb.W;
+    for (const RecMeta& rm : ar.recs) {
+        if (!rm.ok) continue;
+        const EdgeKey* ek = ar.edge_keys.data() + rm.edge_off;
+        const uint32_t* cnt = ar.allele_edge_cnt.data() + rm.edge_cnt_off;
+        const uint32_t* masks = ar.masks.data() + rm.mask_off;
+        for (uint32_t al = 0; al < rm.n_alleles; ++al) {
+            const uint32_t* mask = masks + size_t(al) * W;
+            uint32_t any = 0;
+            for (size_t w = 0; w < W; ++w) any |= mask[w];
+            if (any) {
+                for (uint32_t e = 0; e < cnt[al]; ++e) {
+                    uint32_t row = mb.intern(ek[e]);
+                    uint32_t* dst = mb.data.data() + size_t(row) * W;
+                    for (size_t w = 0; w < W; ++w) dst[w] |= mask[w];
+                }
+            }
+            ek += cnt[al];
+        }
+    }
+}
+
 struct Reader {
-    LineSource src;
+    BlockSource src;
     std::vector<std::string> samples;
     BatchQueue queue;
     std::thread producer;
     std::vector<std::string> pending;  // lines of the NEXT chromosome
-    bool started = false;
+    std::vector<char> carry;           // partial line handed to producer
+    std::vector<Arena> arenas;         // one per worker, reused
 
     ~Reader() {
         queue.shutdown();
@@ -382,36 +424,63 @@ struct Reader {
     }
 
     void start() {
-        started = true;
         producer = std::thread([this] {
-            Batch* b = new Batch();
-            b->text.reserve(kBatchBytes + 65536);
+            std::vector<char> rest = std::move(carry);
+            carry.clear();
             for (;;) {
-                if (queue.stop.load()) { delete b; return; }
-                char* line = src.next();
-                if (!line) break;
-                if (line[0] == '#' || line[0] == '\0') continue;
-                size_t len = strlen(line);
-                b->offs.push_back(b->text.size());
-                b->text.insert(b->text.end(), line, line + len + 1);
-                if (b->text.size() >= kBatchBytes ||
-                    b->n_lines() >= kBatchLines) {
-                    queue.push(b);
-                    b = new Batch();
-                    b->text.reserve(kBatchBytes + 65536);
+                if (queue.stop.load()) return;
+                Batch* b = new Batch();
+                b->text.resize(rest.size() + kBlockBytes + 1);
+                if (!rest.empty())
+                    memcpy(b->text.data(), rest.data(), rest.size());
+                size_t got = src.read(b->text.data() + rest.size(),
+                                      kBlockBytes);
+                size_t total = rest.size() + got;
+                rest.clear();
+                if (total == 0) { delete b; break; }
+                b->text.resize(total + 1);
+                char* base = b->text.data();
+                size_t pos = 0;
+                size_t line_start = 0;
+                while (pos < total) {
+                    char* nl = (char*)memchr(base + pos, '\n', total - pos);
+                    if (!nl) break;
+                    size_t eol = size_t(nl - base);
+                    base[eol] = '\0';
+                    if (eol > line_start && base[eol - 1] == '\r')
+                        base[eol - 1] = '\0';
+                    if (base[line_start] != '#' &&
+                        base[line_start] != '\0')
+                        b->offs.push_back(uint32_t(line_start));
+                    line_start = eol + 1;
+                    pos = eol + 1;
                 }
+                if (got == 0) {
+                    // EOF: whatever is left is a final unterminated line
+                    if (line_start < total) {
+                        base[total] = '\0';
+                        if (base[line_start] != '#')
+                            b->offs.push_back(uint32_t(line_start));
+                    }
+                } else if (line_start < total) {
+                    rest.assign(base + line_start, base + total);
+                    b->text.resize(line_start);  // drop the partial tail
+                }
+                bool eof = (got == 0);
+                if (b->n_lines()) queue.push(b);
+                else delete b;
+                if (eof) break;
             }
-            if (b->n_lines()) queue.push(b);
-            else delete b;
             queue.finish();
         });
     }
 };
 
 struct Chunk {
-    uint64_t n_rows = 0, n_cols = 0;
-    std::vector<uint8_t> matrix;
-    std::vector<uint64_t> edges;  // per row: a_id, a_rev, b_id, b_rev
+    uint64_t n_rows = 0, n_cols = 0, n_words = 0;
+    std::vector<uint32_t> words;   // [n_rows + 1, n_words], last row ~0
+    std::vector<uint8_t> dense;    // lazy [n_rows, n_cols] unpack
+    std::vector<uint64_t> edges;   // per row: a_id, a_rev, b_id, b_rev
     std::string chrom;
 };
 
@@ -420,79 +489,29 @@ static size_t chrom_len(const char* line) {
     return t ? size_t(t - line) : strlen(line);
 }
 
-// Parse lines [0, n) of `batch` into `recs` with `nt` threads total.
+// Parse lines [0, n) of `batch` into per-worker arenas with `nt` threads.
 static void parse_batch(Batch& batch, size_t n, size_t n_samples,
-                        std::vector<ParsedRecord>& recs, unsigned nt) {
-    recs.resize(n);
-    if (nt <= 1 || n < 64) {
-        for (size_t i = 0; i < n; ++i)
-            parse_line(batch.line_mut(i), n_samples, recs[i]);
-        return;
-    }
-    std::vector<std::thread> threads;
+                        std::vector<Arena>& arenas, unsigned nt, size_t W) {
+    if (arenas.size() < nt) arenas.resize(nt);
     size_t per = (n + nt - 1) / nt;
-    for (unsigned t = 1; t < nt; ++t) {
+    auto run = [&](unsigned t) {
         size_t lo = t * per, hi = std::min(n, lo + per);
-        if (lo >= hi) break;
-        threads.emplace_back([&, lo, hi] {
-            for (size_t i = lo; i < hi; ++i)
-                parse_line(batch.line_mut(i), n_samples, recs[i]);
-        });
-    }
-    for (size_t i = 0; i < std::min(per, n); ++i)
-        parse_line(batch.line_mut(i), n_samples, recs[i]);
-    for (auto& th : threads) th.join();
-}
-
-// Set bits for records [all] over sample range of this thread.
-static void fill_range(MatrixBuilder& mb, std::vector<ParsedRecord>& recs,
-                       size_t s_lo, size_t s_hi) {
-    const uint64_t cols = mb.n_cols;
-    uint8_t* data = mb.data.data();
-    for (ParsedRecord& pr : recs) {
-        if (!pr.ok) continue;
-        for (size_t si = s_lo; si < s_hi; ++si) {
-            for (int h = 0; h < 2; ++h) {
-                int a = pr.calls[2 * si + h];
-                if (a < 0) continue;
-                const std::vector<uint32_t>& rows = pr.rows[size_t(a)];
-                uint64_t col = 2 * si + h;
-                for (uint32_t row : rows)
-                    data[uint64_t(row) * cols + col] = 1;
-            }
-        }
-    }
-}
-
-static void process_records(MatrixBuilder& mb,
-                            std::vector<ParsedRecord>& recs,
-                            size_t n_samples, unsigned nt) {
-    // serial intern in deterministic record/allele order; only alleles
-    // with a carrier get rows (push_matrix semantics)
-    for (ParsedRecord& pr : recs) {
-        if (!pr.ok) continue;
-        pr.rows.resize(pr.alleles.size());
-        for (size_t a = 0; a < pr.alleles.size(); ++a) {
-            if (!pr.carried[a]) continue;
-            auto& rows = pr.rows[a];
-            rows.reserve(pr.alleles[a].size());
-            for (const EdgeKey& k : pr.alleles[a])
-                rows.push_back(mb.intern(k));
-        }
-    }
-    // parallel fill over disjoint sample ranges
-    if (nt <= 1 || n_samples < 32) {
-        fill_range(mb, recs, 0, n_samples);
+        Arena& ar = arenas[t];
+        ar.begin(lo < hi ? hi - lo : 0);
+        for (size_t i = lo; i < hi; ++i)
+            parse_line(batch.line_mut(i), n_samples, ar, i - lo, W);
+    };
+    if (nt <= 1 || n < 64) {
+        arenas[0].begin(n);
+        for (size_t i = 0; i < n; ++i)
+            parse_line(batch.line_mut(i), n_samples, arenas[0], i, W);
+        for (unsigned t = 1; t < nt; ++t) arenas[t].begin(0);
         return;
     }
     std::vector<std::thread> threads;
-    size_t per = (n_samples + nt - 1) / nt;
-    for (unsigned t = 1; t < nt; ++t) {
-        size_t lo = t * per, hi = std::min(n_samples, lo + per);
-        if (lo >= hi) break;
-        threads.emplace_back([&, lo, hi] { fill_range(mb, recs, lo, hi); });
-    }
-    fill_range(mb, recs, 0, std::min(per, n_samples));
+    for (unsigned t = 1; t < nt; ++t)
+        threads.emplace_back(run, t);
+    run(0);
     for (auto& th : threads) th.join();
 }
 
@@ -506,30 +525,52 @@ void* stoat_vcf_open(const char* path) {
         delete r;
         return nullptr;
     }
-    // header (synchronous, before the producer thread starts)
+    // Read blocks until the #CHROM header line is found; everything after
+    // it becomes the producer's initial carry.
+    std::vector<char> buf;
+    size_t pos = 0;
+    bool found = false;
     for (;;) {
-        char* line = r->src.next();
-        if (!line) {
+        size_t old = buf.size();
+        buf.resize(old + kBlockBytes);
+        size_t got = r->src.read(buf.data() + old, kBlockBytes);
+        buf.resize(old + got);
+        if (got == 0) break;
+        while (pos < buf.size()) {
+            char* nl = (char*)memchr(buf.data() + pos, '\n',
+                                     buf.size() - pos);
+            if (!nl) break;
+            size_t eol = size_t(nl - buf.data());
+            std::string line(buf.data() + pos, eol - pos);
+            if (!line.empty() && line.back() == '\r') line.pop_back();
+            pos = eol + 1;
+            if (line.rfind("##", 0) == 0 || line.empty()) continue;
+            if (line.rfind("#CHROM", 0) == 0) {
+                size_t col = 0, p = 0;
+                while (p <= line.size()) {
+                    size_t t = line.find('\t', p);
+                    if (t == std::string::npos) t = line.size();
+                    if (col >= 9)
+                        r->samples.emplace_back(line.substr(p, t - p));
+                    p = t + 1;
+                    ++col;
+                    if (t == line.size()) break;
+                }
+                found = true;
+                break;
+            }
             delete r;
             return nullptr;
         }
-        if (strncmp(line, "##", 2) == 0) continue;
-        if (strncmp(line, "#CHROM", 6) == 0) {
-            int col = 0;
-            char* p = line;
-            while (p) {
-                char* t = strchr(p, '\t');
-                if (t) *t = '\0';
-                if (col >= 9) r->samples.emplace_back(p);
-                p = t ? t + 1 : nullptr;
-                ++col;
-            }
-            r->start();
-            return r;
-        }
+        if (found) break;
+    }
+    if (!found) {
         delete r;
         return nullptr;
     }
+    r->carry.assign(buf.begin() + pos, buf.end());
+    r->start();
+    return r;
 }
 
 int64_t stoat_vcf_n_samples(void* rp) {
@@ -548,10 +589,10 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     Reader* r = static_cast<Reader*>(rp);
     const unsigned nt = num_threads();
     size_t n_samples = r->samples.size();
+    const size_t W = std::max<size_t>((2 * n_samples + 31) / 32, 1);
 
     std::string chrom;
     MatrixBuilder mb;
-    std::vector<ParsedRecord> recs;
     bool have_chrom = false;
     bool boundary_hit = false;
 
@@ -563,7 +604,7 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
         if (!have_chrom) {
             chrom.assign(b.line(0), chrom_len(b.line(0)));
             have_chrom = true;
-            mb.reset(2 * n_samples, initial_rows);
+            mb.reset(W, initial_rows);
         }
         size_t boundary = n;
         for (size_t i = 0; i < n; ++i) {
@@ -580,8 +621,9 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
             for (size_t i = boundary; i < n; ++i)
                 r->pending.emplace_back(b.line(i));
         }
-        parse_batch(b, boundary, n_samples, recs, nt);
-        process_records(mb, recs, n_samples, nt);
+        parse_batch(b, boundary, n_samples, r->arenas, nt, W);
+        for (unsigned t = 0; t < nt && t < r->arenas.size(); ++t)
+            intern_and_fill(mb, r->arenas[t]);
     };
 
     // lines stashed from the previous chunk's tail batch first (they may
@@ -591,7 +633,7 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
         r->pending.clear();
         Batch b;
         for (auto& s : pending) {
-            b.offs.push_back(b.text.size());
+            b.offs.push_back(uint32_t(b.text.size()));
             b.text.insert(b.text.end(), s.c_str(),
                           s.c_str() + s.size() + 1);
         }
@@ -611,9 +653,10 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     chunk->chrom = chrom;
     uint64_t rows = mb.edge_to_row.size();
     chunk->n_rows = rows;
-    chunk->n_cols = mb.n_cols;
-    chunk->matrix.assign(mb.data.begin(),
-                         mb.data.begin() + rows * mb.n_cols);
+    chunk->n_cols = 2 * n_samples;
+    chunk->n_words = W;
+    chunk->words.assign(mb.data.begin(), mb.data.begin() + rows * W);
+    chunk->words.resize((rows + 1) * W, 0xFFFFFFFFu);  // AND-identity row
     chunk->edges = std::move(mb.edges);
     return chunk;
 }
@@ -630,8 +673,28 @@ uint64_t stoat_chunk_cols(void* cp) {
     return static_cast<Chunk*>(cp)->n_cols;
 }
 
+uint64_t stoat_chunk_nwords(void* cp) {
+    return static_cast<Chunk*>(cp)->n_words;
+}
+
+// Bit-packed [n_rows + 1, n_words] uint32 matrix (last row all-ones).
+const uint32_t* stoat_chunk_words(void* cp) {
+    return static_cast<Chunk*>(cp)->words.data();
+}
+
+// Dense uint8 [n_rows, n_cols] view, unpacked lazily from the words.
 const uint8_t* stoat_chunk_matrix(void* cp) {
-    return static_cast<Chunk*>(cp)->matrix.data();
+    Chunk* c = static_cast<Chunk*>(cp);
+    if (c->dense.empty() && c->n_rows) {
+        c->dense.resize(c->n_rows * c->n_cols);
+        for (uint64_t row = 0; row < c->n_rows; ++row) {
+            const uint32_t* src = c->words.data() + row * c->n_words;
+            uint8_t* dst = c->dense.data() + row * c->n_cols;
+            for (uint64_t col = 0; col < c->n_cols; ++col)
+                dst[col] = (src[col >> 5] >> (col & 31)) & 1u;
+        }
+    }
+    return c->dense.data();
 }
 
 const uint64_t* stoat_chunk_edges(void* cp) {

@@ -72,23 +72,26 @@ def binary_tables_device(matrix_f32, coo_path, coo_row, n_edges_per_path,
         min_haplotypes, maf_threshold, tails=tails)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("tails",))
 def binary_tables_device_packed(words, path_idx, path_valid, tail,
                                 g1_words, snarl_path_idx, min_individuals,
-                                min_haplotypes, maf_threshold):
+                                min_haplotypes, maf_threshold,
+                                tails: bool = True):
     """Packed-words variant: 1 bit/haplotype end to end.
 
     Membership is a bitwise AND-reduce over each path's edge rows;
     carrier counts are population counts against the packed phenotype
     mask (pipeline/packed.py).  Identical outputs to
     ``binary_tables_device`` (pinned by tests), ~32x less HBM traffic.
+    ``tails=False`` defers the chi² tail exactly as in the dense entry
+    (for shard_map callers; see finish_chi2_pvalues).
     """
     mem_words = _pk.membership_words(words, path_idx)         # [P, W]
     g0_path, g1_path = _pk.packed_binary_counts(
         mem_words, path_valid, tail, g1_words)
     return _binary_from_path_counts(
         g0_path, g1_path, snarl_path_idx, min_individuals,
-        min_haplotypes, maf_threshold)
+        min_haplotypes, maf_threshold, tails=tails)
 
 
 def _binary_from_path_counts(g0_path, g1_path, snarl_path_idx,
@@ -181,11 +184,14 @@ def binary_analyze_chromosome(packed: PackedChromosome,
             # a caller-cached matrix decides the path by its dtype
             use_packed = device_matrix.dtype == jnp.uint32
         else:
-            use_packed = H >= PACKED_HAPLOTYPE_THRESHOLD
+            # native-ingested chromosomes arrive bit-packed — use them
+            # as-is; otherwise pack once the cohort is large enough to
+            # pay for the host repack
+            use_packed = (packed.words is not None
+                          or H >= PACKED_HAPLOTYPE_THRESHOLD)
     if use_packed:
         if device_matrix is None or device_matrix.dtype != jnp.uint32:
-            device_matrix = jnp.asarray(
-                _pk.pack_matrix_words(packed.matrix))
+            device_matrix = jnp.asarray(packed.packed_words())
         n_rows = int(device_matrix.shape[0]) - 1
         W = int(device_matrix.shape[1])
         path_idx = _pk.pack_path_edge_idx(
@@ -207,7 +213,7 @@ def binary_analyze_chromosome(packed: PackedChromosome,
     pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
     out = binary_tables_device(
         device_matrix if device_matrix is not None
-        else jnp.asarray(packed.matrix, jnp.float32),
+        else jnp.asarray(packed.dense_matrix(), jnp.float32),
         jnp.asarray(packed.coo_path),
         jnp.asarray(packed.coo_row),
         jnp.asarray(packed.n_edges_per_path),

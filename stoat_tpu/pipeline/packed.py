@@ -112,6 +112,13 @@ def pack_path_edge_idx(coo_path: np.ndarray, coo_row: np.ndarray,
     cr = coo_row[real].astype(np.int32)
     counts = np.bincount(cp, minlength=P)
     K = max(min_k, int(counts.max()) if counts.size else min_k)
+    # round K to a power of two: chunks of one chromosome then share the
+    # [P, K] shape and the jitted membership graph compiles once (padding
+    # gathers all hit the same AND-identity row)
+    k2 = 1
+    while k2 < K:
+        k2 *= 2
+    K = k2
     idx = np.full((P, K), n_rows, np.int32)
     order = np.argsort(cp, kind="stable")
     cp, cr = cp[order], cr[order]

@@ -43,6 +43,7 @@ from stoat_tpu.tables import PackedChromosome
 
 __all__ = [
     "quantitative_design_device",
+    "quantitative_design_packed",
     "quantitative_analyze_chromosome",
     "binary_covar_analyze_chromosome",
     "eqtl_design_for_chromosome",
@@ -68,7 +69,39 @@ def quantitative_design_device(matrix_f32, coo_path, coo_row,
     membership = path_membership(
         matrix_f32, coo_path, coo_row, n_edges_per_path, path_valid,
         num_paths)                                            # [P, H] bool
+    return _design_from_membership(
+        membership, snarl_path_idx, covar, min_individuals,
+        min_haplotypes, maf_threshold, with_covar=with_covar,
+        all_rows=all_rows)
 
+
+@partial(jax.jit,
+         static_argnames=("n_haplotypes", "with_covar", "all_rows"))
+def quantitative_design_packed(words, path_idx, path_valid, snarl_path_idx,
+                               covar, min_individuals, min_haplotypes,
+                               maf_threshold, n_haplotypes: int,
+                               with_covar: bool, all_rows: bool = False):
+    """Packed-words variant of ``quantitative_design_device``.
+
+    Membership is a bitwise AND-reduce over each path's edge rows of the
+    bit-packed [E+1, W] word matrix (1 bit/haplotype — 32x less gather
+    traffic than the f32 path); only the final [P, H] membership expands
+    to haplotype lanes before the dosage fold.  Identical outputs to the
+    dense entry (pinned by tests)."""
+    from stoat_tpu.pipeline import packed as _pk
+    mem_words = _pk.membership_words(words, path_idx)         # [P, W]
+    membership = _pk.unpack_membership(mem_words, path_valid,
+                                       n_haplotypes)          # [P, H]
+    return _design_from_membership(
+        membership, snarl_path_idx, covar, min_individuals,
+        min_haplotypes, maf_threshold, with_covar=with_covar,
+        all_rows=all_rows)
+
+
+def _design_from_membership(membership, snarl_path_idx, covar,
+                            min_individuals, min_haplotypes, maf_threshold,
+                            with_covar: bool, all_rows: bool):
+    """Shared design assembly from the [P, H] membership matrix."""
     counts_path = jnp.sum(membership, axis=1).astype(jnp.int32)   # [P]
     m_f32 = membership.astype(jnp.float32)
     # haplotypes (2i, 2i+1) collapse to a per-sample dosage count
@@ -188,8 +221,35 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
                 maf_threshold: float, with_covar: bool,
                 device_matrix=None, all_rows: bool = False):
     C = 0 if covar is None else covar.shape[1]
-    covar_in = (np.zeros((packed.matrix.shape[1] // 2, 0))
+    covar_in = (np.zeros((packed.n_haplotypes // 2, 0))
                 if covar is None else covar)
+    # Packed-words path when the chromosome arrived bit-packed from the
+    # native core (or the caller cached uint32 words on device); dense f32
+    # otherwise.  Value-identical (pinned by tests).
+    if device_matrix is not None:
+        use_packed = device_matrix.dtype == jnp.uint32
+    else:
+        use_packed = packed.words is not None
+    if use_packed:
+        from stoat_tpu.pipeline import packed as _pk
+        words = (device_matrix if device_matrix is not None
+                 else jnp.asarray(packed.packed_words()))
+        n_rows = int(words.shape[0]) - 1
+        path_idx = _pk.pack_path_edge_idx(
+            packed.coo_path, packed.coo_row, packed.path_valid, n_rows)
+        return quantitative_design_packed(
+            words,
+            jnp.asarray(path_idx),
+            jnp.asarray(packed.path_valid),
+            jnp.asarray(packed.snarl_path_idx),
+            jnp.asarray(covar_in, jnp.float64),
+            jnp.float64(min_individuals),
+            jnp.float64(min_haplotypes),
+            jnp.float64(maf_threshold),
+            n_haplotypes=packed.n_haplotypes,
+            with_covar=with_covar and C > 0,
+            all_rows=all_rows,
+        )
     return quantitative_design_device(
         device_matrix if device_matrix is not None
         else jnp.asarray(packed.matrix, jnp.float32),

@@ -51,10 +51,10 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
     if use_native:
         try:
             from stoat_tpu.native import NativeVcfMatrixReader
-            from stoat_tpu.matrix import PrebuiltEdgeMatrix
+            from stoat_tpu.matrix import PackedEdgeMatrix
             reader = NativeVcfMatrixReader(vcf_path)
-            for chrom, mat, edges in reader.chunks_arrays():
-                yield chrom, PrebuiltEdgeMatrix(mat, edges)
+            for chrom, words, n_haps, edges in reader.chunks_packed():
+                yield chrom, PackedEdgeMatrix(words, n_haps, edges)
             reader.close()
             return
         except (RuntimeError, OSError) as e:
@@ -171,19 +171,20 @@ def run_vcf_analysis(
             device_matrix = None
             for packed in pack_chromosome_chunks(snarls, matrix,
                                                  effective_chunk):
-                if device_matrix is None:
+                if device_matrix is None and chunk_mesh is None:
                     # upload the (possibly empty-padded) chromosome matrix
-                    # once; all chunks share it.  Large binary cohorts use
-                    # the bit-packed words (32 haplotypes/uint32 — 32x
-                    # less HBM than f32; see pipeline/packed.py)
+                    # once; all chunks share it.  Native-ingested
+                    # chromosomes arrive bit-packed (32 haplotypes/uint32
+                    # — 32x less HBM and upload than f32; pipeline/
+                    # packed.py) and every mode consumes the words
+                    # directly; the Python-reader path packs on host at
+                    # cohort scale, else ships dense f32.
                     from stoat_tpu.pipeline.binary import \
                         PACKED_HAPLOTYPE_THRESHOLD
-                    from stoat_tpu.pipeline.packed import pack_matrix_words
-                    if (mode == "binary" and chunk_mesh is None and
+                    if (packed.words is not None or
                             packed.n_haplotypes >=
                             PACKED_HAPLOTYPE_THRESHOLD):
-                        device_matrix = jnp.asarray(
-                            pack_matrix_words(packed.matrix))
+                        device_matrix = jnp.asarray(packed.packed_words())
                     else:
                         device_matrix = jnp.asarray(packed.matrix,
                                                     jnp.float32)

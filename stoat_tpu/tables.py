@@ -40,9 +40,18 @@ def next_pow2(n: int) -> int:
 
 @dataclass
 class PackedChromosome:
-    """Dense batch of one chromosome's snarls against its edge matrix."""
+    """Dense batch of one chromosome's snarls against its edge matrix.
 
-    matrix: np.ndarray          # [E, H] bool
+    Carries the edge×haplotype matrix in one (or both) of two layouts:
+    ``matrix`` — dense bool [E, H] — and ``words`` — bit-packed uint32
+    [E+1, W] in the device kernels' layout (pipeline/packed.py: 32
+    haplotypes/word, little bit order, trailing all-ones AND-identity
+    row).  When the native VCF core ingests, only ``words`` exists and
+    the dense view is derived lazily (and vice versa for the Python
+    reader), so the hot packed pipeline never pays a host unpack/repack.
+    """
+
+    matrix: Optional[np.ndarray]  # [E, H] bool (None if words-only)
     coo_path: np.ndarray        # [nnz] int32 — flat path index per edge ref
     coo_row: np.ndarray         # [nnz] int32 — edge matrix row per edge ref
     n_edges_per_path: np.ndarray  # [P] int32 (star edges excluded)
@@ -52,10 +61,37 @@ class PackedChromosome:
     n_paths: int                # real flat path count (pre-padding)
     n_snarls: int               # real snarl count
     snarls: List[SnarlData]     # host-side metadata, real snarls only
+    words: Optional[np.ndarray] = None  # [E+1, W] uint32 (see above)
+    n_haps: int = -1            # set when matrix is None
 
     @property
     def n_haplotypes(self) -> int:
-        return self.matrix.shape[1]
+        if self.matrix is not None:
+            return self.matrix.shape[1]
+        return self.n_haps
+
+    @property
+    def n_rows(self) -> int:
+        """Real edge rows (excluding the words' AND-identity row)."""
+        if self.matrix is not None:
+            return self.matrix.shape[0]
+        return self.words.shape[0] - 1
+
+    def dense_matrix(self) -> np.ndarray:
+        """The bool [E, H] matrix, unpacking from words if needed."""
+        if self.matrix is None:
+            E = self.words.shape[0] - 1
+            self.matrix = np.unpackbits(
+                self.words[:E].view(np.uint8).reshape(E, -1), axis=1,
+                bitorder="little")[:, : self.n_haps].astype(bool)
+        return self.matrix
+
+    def packed_words(self) -> np.ndarray:
+        """The uint32 [E+1, W] packed words, packing from dense if needed."""
+        if self.words is None:
+            from stoat_tpu.pipeline.packed import pack_matrix_words
+            self.words = pack_matrix_words(self.matrix)
+        return self.words
 
 
 def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
@@ -99,7 +135,7 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
             matrix=p.matrix, coo_path=coo_p, coo_row=coo_r,
             n_edges_per_path=n_e, path_valid=valid, snarl_path_idx=idx,
             snarl_mask=mask, n_paths=p.n_paths, n_snarls=p.n_snarls,
-            snarls=p.snarls))
+            snarls=p.snarls, words=p.words, n_haps=p.n_haps))
     return out
 
 
@@ -257,12 +293,19 @@ def pack_chromosome(snarls: Sequence[SnarlData],
         valid_arr = np.append(valid_arr, False)
         coo_path_arr[nnz:] = P - 1
 
-    matrix = edge_matrix.shrink()
-    if matrix.shape[0] == 0:
-        # no resolvable edges on this chromosome (e.g. AT-less records):
-        # keep one all-zero row so device gathers stay in bounds; every
-        # edge-bearing path is already invalid
-        matrix = np.zeros((1, matrix.shape[1]), bool)
+    # Matrix layout: a words-carrying source (PackedEdgeMatrix from the
+    # native core) flows through bit-packed with no host unpack; the
+    # Python reader's dense bool matrix flows through as-is.
+    words = getattr(edge_matrix, "words", None)
+    matrix = None
+    n_haps = edge_matrix.n_haplotypes
+    if words is None:
+        matrix = edge_matrix.shrink()
+        if matrix.shape[0] == 0:
+            # no resolvable edges on this chromosome (e.g. AT-less
+            # records): keep one all-zero row so device gathers stay in
+            # bounds; every edge-bearing path is already invalid
+            matrix = np.zeros((1, matrix.shape[1]), bool)
 
     return PackedChromosome(
         matrix=matrix,
@@ -275,4 +318,6 @@ def pack_chromosome(snarls: Sequence[SnarlData],
         n_paths=flat_index,
         n_snarls=S_real,
         snarls=list(snarls),
+        words=words,
+        n_haps=n_haps,
     )

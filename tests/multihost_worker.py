@@ -87,10 +87,13 @@ g_pheno = make_global(pheno_hap, repl_spec, None)
 
 
 def local_fn(matrix_a, coo_path, coo_row, n_edges, valid, idx, pheno_a):
+    # tails=False: the igammac chi2 tail compiles pathologically slowly
+    # under manual partitioning (same as binary_analyze_sharded); finish
+    # it on gathered host arrays after process_allgather below.
     out = binary_tables_device(
         matrix_a, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
         pheno_a, jnp.float64(3), jnp.float64(5), jnp.float64(0.05),
-        num_paths=num_paths)
+        num_paths=num_paths, tails=False)
     return {k: v[None] for k, v in out.items()}
 
 
@@ -105,18 +108,24 @@ out = fn(g_matrix, g_coo_path, g_coo_row, g_n_edges, g_valid, g_idx, g_pheno)
 from jax.experimental import multihost_utils
 
 gathered = {k: np.asarray(multihost_utils.process_allgather(v, tiled=True))
-            for k, v in out.items() if k in ("p_chi2", "p_fisher",
-                                             "filtered")}
+            for k, v in out.items()
+            if k in ("chi2_stat", "chi2_df", "chi2_invalid", "chi2_zexp",
+                     "p_fisher", "filtered")}
 
 if process_id == 0:
-    rows = []
+    from stoat_tpu.stats.chi2 import finish_chi2_pvalues
     sizes = sharded.shard_sizes
-    for key in ("p_chi2", "p_fisher"):
+
+    def unshard(key):
         arr = gathered[key]
-        parts = [arr[d, :sizes[d]] for d in range(8)]
-        rows.append(np.concatenate(parts))
+        return np.concatenate([arr[d, :sizes[d]] for d in range(8)])
+
+    p_chi2 = np.asarray(finish_chi2_pvalues(
+        jnp.asarray(unshard("chi2_stat")), jnp.asarray(unshard("chi2_df")),
+        jnp.asarray(unshard("chi2_invalid")),
+        jnp.asarray(unshard("chi2_zexp"))))
     np.savez(os.path.join(outdir, "multihost_result.npz"),
-             p_chi2=rows[0], p_fisher=rows[1])
+             p_chi2=p_chi2, p_fisher=unshard("p_fisher"))
     print("WROTE_RESULT")
 
 jax.distributed.shutdown()

@@ -131,3 +131,60 @@ def test_native_many_tiny_chromosomes(lib_available, tmp_path):
         assert pe.keys() == ne.keys()
         for edge, prow in pe.items():
             np.testing.assert_array_equal(pm[prow], nm[ne[edge]])
+
+
+def test_packed_words_match_dense_chunks(lib_available, fixture):
+    """chunks_packed words are exactly the bit-packed chunks_arrays matrix
+    (incl. the trailing AND-identity row), with identical edge order."""
+    r1 = native.NativeVcfMatrixReader(fixture["vcf"])
+    dense = list(r1.chunks_arrays())
+    r1.close()
+    r2 = native.NativeVcfMatrixReader(fixture["vcf"])
+    packed = list(r2.chunks_packed())
+    r2.close()
+
+    from stoat_tpu.pipeline.packed import pack_matrix_words
+    assert len(dense) == len(packed)
+    for (dc, dm, de), (pc, words, n_haps, pe) in zip(dense, packed):
+        assert dc == pc
+        assert n_haps == dm.shape[1]
+        np.testing.assert_array_equal(de, pe)
+        np.testing.assert_array_equal(words, pack_matrix_words(dm))
+        assert (words[-1] == 0xFFFFFFFF).all()
+
+
+@pytest.mark.parametrize("mode,flag,pheno_key", [
+    ("quantitative", "-q", "quantitative"),
+    ("binary_covar", "-b", "binary"),
+])
+def test_pipeline_native_packed_design_modes(lib_available, fixture,
+                                             tmp_path, mode, flag,
+                                             pheno_key):
+    """Quant/covar modes: native packed-words design == Python dense design
+    byte-for-byte through the full CLI."""
+    import filecmp
+    from stoat_tpu.cli import main as cli_main
+    extra = (["-c", fixture["covariate"], "--covar-name", "AGE,SEX"]
+             if mode == "binary_covar" else [])
+    out1 = str(tmp_path / "o_native")
+    cli_main(["vcf", "-s", fixture["snarl"], "-v", fixture["vcf"],
+              flag, fixture[pheno_key], *extra, "-o", out1])
+
+    import stoat_tpu.pipeline.runner as runner_mod
+    out2 = str(tmp_path / "o_python")
+    orig = runner_mod.iter_chromosome_matrices
+
+    def no_native(vcf_path, n_hap, snarls_chr, use_native=True):
+        return orig(vcf_path, n_hap, snarls_chr, use_native=False)
+
+    runner_mod.iter_chromosome_matrices = no_native
+    try:
+        cli_main(["vcf", "-s", fixture["snarl"], "-v", fixture["vcf"],
+                  flag, fixture[pheno_key], *extra, "-o", out2])
+    finally:
+        runner_mod.iter_chromosome_matrices = orig
+
+    name = ("quantitative_table_vcf.tsv" if mode == "quantitative"
+            else "binary_table_vcf.tsv")
+    f1, f2 = os.path.join(out1, name), os.path.join(out2, name)
+    assert filecmp.cmp(f1, f2, shallow=False), f"{mode}: TSVs differ"
