@@ -14,6 +14,7 @@ from stoat_tpu.parallel.mesh import (
 )
 from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
                                         binary_covar_analyze_sharded,
+                                        eqtl_regress_pairs_sharded,
                                         lmm_analyze_sharded,
                                         quantitative_analyze_sharded)
 
@@ -25,4 +26,5 @@ __all__ = [
     "binary_covar_analyze_sharded",
     "lmm_analyze_sharded",
     "quantitative_analyze_sharded",
+    "eqtl_regress_pairs_sharded",
 ]

@@ -41,9 +41,19 @@ def make_snarl_mesh(devices: Optional[Sequence] = None,
 
 @dataclass
 class ShardedChromosome:
-    """Per-device stacked arrays: leading axis = shard."""
+    """Per-device stacked arrays: leading axis = shard.
 
-    matrix: np.ndarray            # [E, H] (replicated)
+    The edge×haplotype matrix is carried bit-packed (``words``, uint32
+    [E+1, W] in the device kernels' layout, replicated across shards) and
+    each shard's path→edge-row references are pre-padded [P, K] indices
+    into it (``path_idx``, padding = the AND-identity row E).  The raw
+    COO arrays are kept for callers that build their own layouts; the
+    dense bool matrix is derived lazily for legacy paths only.
+    """
+
+    words: np.ndarray             # [E+1, W] uint32 (replicated)
+    n_haps: int                   # real haplotype count
+    path_idx: np.ndarray          # [D, P, K] int32 — rows per path
     coo_path: np.ndarray          # [D, nnz]
     coo_row: np.ndarray           # [D, nnz]
     n_edges_per_path: np.ndarray  # [D, P]
@@ -52,6 +62,7 @@ class ShardedChromosome:
     n_snarls: int                 # real total snarls
     snarls: List[SnarlData]
     shard_sizes: List[int]        # real snarls per shard
+    _dense: Optional[np.ndarray] = None
 
     @property
     def n_shards(self) -> int:
@@ -60,6 +71,17 @@ class ShardedChromosome:
     @property
     def paths_per_shard(self) -> int:
         return self.n_edges_per_path.shape[1]
+
+    @property
+    def matrix(self) -> np.ndarray:
+        """Dense bool [E, H] view (lazy; prefer ``words``)."""
+        if self._dense is None:
+            E = self.words.shape[0] - 1
+            self._dense = np.unpackbits(
+                self.words[:E].view(np.uint8).reshape(max(E, 1), -1)
+                if E else np.zeros((1, self.words.shape[1] * 4), np.uint8),
+                axis=1, bitorder="little")[:, : self.n_haps].astype(bool)
+        return self._dense
 
 
 def shard_packed_chromosome(snarls: Sequence[SnarlData],
@@ -102,11 +124,33 @@ def shard_packed_chromosome(snarls: Sequence[SnarlData],
         return coo_p, coo_r, n_e, valid, idx
 
     padded = [pad_shard(p) for p in packs]
-    matrix = edge_matrix.shrink()
-    if matrix.shape[0] == 0:
-        matrix = np.zeros((1, matrix.shape[1]), bool)
+
+    # Bit-packed words: straight from a native PackedEdgeMatrix, else
+    # packed once on host from the dense bool matrix.
+    words = getattr(edge_matrix, "words", None)
+    if words is None:
+        from stoat_tpu.pipeline.packed import pack_matrix_words
+        matrix = edge_matrix.shrink()
+        if matrix.shape[0] == 0:
+            matrix = np.zeros((1, matrix.shape[1]), bool)
+        words = pack_matrix_words(matrix)
+    n_rows = words.shape[0] - 1
+
+    # Per-shard [P, K] path->edge-row indices with one K across shards
+    # (pack_path_edge_idx rounds K to pow2, so shards agree by taking
+    # the max).
+    from stoat_tpu.pipeline.packed import pack_path_edge_idx
+    idx_shards = [pack_path_edge_idx(x[0], x[1], x[3], n_rows)
+                  for x in padded]
+    K = max(ix.shape[1] for ix in idx_shards)
+    path_idx = np.stack([
+        np.pad(ix, ((0, 0), (0, K - ix.shape[1])),
+               constant_values=n_rows) for ix in idx_shards])
+
     return ShardedChromosome(
-        matrix=matrix,
+        words=words,
+        n_haps=edge_matrix.n_haplotypes,
+        path_idx=path_idx,
         coo_path=np.stack([x[0] for x in padded]),
         coo_row=np.stack([x[1] for x in padded]),
         n_edges_per_path=np.stack([x[2] for x in padded]),

@@ -1,14 +1,21 @@
 """Sharded analysis dispatch via shard_map over the snarl mesh.
 
-Each device runs the identical batched per-snarl program on its shard;
-the matrix/phenotype are replicated, results gather back to host.  Value
-parity across mesh shapes is pinned by tests (the reference's multi-thread
-nondeterminism does not apply: output order is deterministic here).
+Each device runs the identical batched per-snarl program on its shard:
+the bit-packed edge-word matrix (uint32, 32 haplotypes/word — see
+pipeline/packed.py) and phenotype masks are replicated, the per-snarl
+path tables are sharded on the leading axis, and results gather back to
+host.  Value parity across mesh shapes is pinned by tests (the
+reference's multi-thread nondeterminism does not apply: output order is
+deterministic here).
+
+Special-function tails (igammac for chi², betainc for the t-test) are
+finished OUTSIDE the shard on gathered host arrays: XLA's manual
+partitioner unrolls their inner loops into minutes-long compiles when
+the inputs are partitioned.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 from stoat_tpu import jaxconfig  # noqa: F401
@@ -18,17 +25,21 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from stoat_tpu.pipeline.binary import binary_tables_device
+from stoat_tpu.pipeline.binary import binary_tables_device_packed
+from stoat_tpu.pipeline import packed as _pk
 from stoat_tpu.stats.chi2 import finish_chi2_pvalues
-from stoat_tpu.pipeline.quantitative import quantitative_design_device
+from stoat_tpu.pipeline.quantitative import quantitative_design_packed
 from stoat_tpu.stats.linreg import (finish_linear_pvalues,
                                     linear_regression_stats_batch)
 from stoat_tpu.stats.logreg import logistic_regression_batch
 from stoat_tpu.parallel.mesh import ShardedChromosome
 
 __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
-           "lmm_analyze_sharded",
-           "binary_covar_analyze_sharded"]
+           "lmm_analyze_sharded", "binary_covar_analyze_sharded",
+           "eqtl_regress_pairs_sharded"]
+
+# Design outputs forwarded to the writer when -T table dumps are on.
+_TABLE_KEYS = ("norm", "used", "kept")
 
 
 def binary_analyze_sharded(sharded: ShardedChromosome,
@@ -39,39 +50,40 @@ def binary_analyze_sharded(sharded: ShardedChromosome,
     """Run the binary pipeline with snarls sharded over ``mesh``.
 
     Equivalent results to the single-device path; the leading shard axis of
-    every input lives on a different device.
+    every per-snarl input lives on a different device, the packed word
+    matrix and phenotype masks are replicated.
     """
-    pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
-    num_paths = sharded.paths_per_shard
+    W = sharded.words.shape[1]
+    tail = _pk.tail_mask_words(sharded.n_haps, W)
+    g1_words = _pk.pack_hap_mask_words(
+        np.repeat(binary_phenotype.astype(bool), 2), W)
 
     shard = NamedSharding(mesh, P("snarls"))
     repl = NamedSharding(mesh, P())
 
-    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, pheno,
+    def local_fn(words, path_idx, valid, tail_a, g1_a, idx,
                  min_ind, min_hap, maf):
-        # each arg's leading shard axis is 1 inside the shard body;
         # tails=False keeps the igammac chi2 tail *outside* the shard
         # (it compiles pathologically slowly under manual partitioning)
-        out = binary_tables_device(
-            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
-            pheno, min_ind, min_hap, maf, num_paths=num_paths, tails=False)
+        out = binary_tables_device_packed(
+            words, path_idx[0], valid[0], tail_a, g1_a, idx[0],
+            min_ind, min_hap, maf, tails=False)
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
-                  P("snarls"), P(), P(), P(), P()),
+        in_specs=(P(), P("snarls"), P("snarls"), P(), P(), P("snarls"),
+                  P(), P(), P()),
         out_specs=P("snarls"),
     ))
 
     out = fn(
-        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
-        jax.device_put(jnp.asarray(sharded.coo_path), shard),
-        jax.device_put(jnp.asarray(sharded.coo_row), shard),
-        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
+        jax.device_put(jnp.asarray(sharded.words), repl),
+        jax.device_put(jnp.asarray(sharded.path_idx), shard),
         jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(tail), repl),
+        jax.device_put(jnp.asarray(g1_words), repl),
         jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
-        jax.device_put(jnp.asarray(pheno_hap), repl),
         jnp.float64(min_individuals),
         jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),
@@ -101,28 +113,43 @@ def _unshard(out: Dict[str, jnp.ndarray],
     return result
 
 
+def _design_inputs(sharded: ShardedChromosome, covar, mesh: Mesh):
+    """(args, specs) for the replicated words + sharded path tables."""
+    n_samples = sharded.n_haps // 2
+    covar_in = np.zeros((n_samples, 0)) if covar is None else covar
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+    args = (
+        jax.device_put(jnp.asarray(sharded.words), repl),
+        jax.device_put(jnp.asarray(sharded.path_idx), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+    )
+    specs = (P(), P("snarls"), P("snarls"), P("snarls"), P())
+    return args, specs, covar_in
+
+
 def quantitative_analyze_sharded(sharded: ShardedChromosome,
                                  phenotype: np.ndarray,
                                  covar, mesh: Mesh,
                                  min_individuals: int, min_haplotypes: int,
-                                 maf_threshold: float) -> Dict[str, np.ndarray]:
+                                 maf_threshold: float,
+                                 return_tables: bool = False
+                                 ) -> Dict[str, np.ndarray]:
     """Snarl-sharded quantitative OLS: design assembly + regression run
-    per shard, phenotype/covariates replicated."""
-    num_paths = sharded.paths_per_shard
-    n_samples = sharded.matrix.shape[1] // 2
-    C = 0 if covar is None else covar.shape[1]
-    covar_in = np.zeros((n_samples, 0)) if covar is None else covar
-    with_covar = C > 0
-
-    shard = NamedSharding(mesh, P("snarls"))
+    per shard, phenotype/covariates replicated.  ``return_tables`` adds
+    the per-sample ``norm``/``used``/``kept`` arrays for -T dumps."""
+    n_haps = sharded.n_haps
+    with_covar = covar is not None and covar.shape[1] > 0
+    args, specs, _ = _design_inputs(sharded, covar, mesh)
     repl = NamedSharding(mesh, P())
 
-    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+    def local_fn(words, path_idx, valid, idx, covar_d,
                  pheno, min_ind, min_hap, maf):
-        d = quantitative_design_device(
-            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
-            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
-            with_covar=with_covar)
+        d = quantitative_design_packed(
+            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
+            min_hap, maf, n_haplotypes=n_haps, with_covar=with_covar)
         used = d["used"]
         y = pheno[None, :] * used
         t1, df_res, beta, se, r2 = linear_regression_stats_batch(
@@ -139,23 +166,17 @@ def quantitative_analyze_sharded(sharded: ShardedChromosome,
             "se": jnp.where(deg, nan, se),
             "r2": jnp.where(deg, nan, r2),
         }
+        if return_tables:
+            out.update({k: d[k] for k in _TABLE_KEYS})
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
-                  P("snarls"), P(), P(), P(), P(), P()),
+        in_specs=(*specs, P(), P(), P(), P()),
         out_specs=P("snarls"),
     ))
-
     out = fn(
-        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
-        jax.device_put(jnp.asarray(sharded.coo_path), shard),
-        jax.device_put(jnp.asarray(sharded.coo_row), shard),
-        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
-        jax.device_put(jnp.asarray(sharded.path_valid), shard),
-        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
-        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        *args,
         jax.device_put(jnp.asarray(phenotype, jnp.float64), repl),
         jnp.float64(min_individuals),
         jnp.float64(min_haplotypes),
@@ -181,25 +202,23 @@ def _finish_linear_sharded(out, sharded):
 def lmm_analyze_sharded(sharded: ShardedChromosome,
                         lmm_ctx, covar, mesh: Mesh,
                         min_individuals: int, min_haplotypes: int,
-                        maf_threshold: float) -> Dict[str, np.ndarray]:
+                        maf_threshold: float,
+                        return_tables: bool = False
+                        ) -> Dict[str, np.ndarray]:
     """Snarl-sharded kinship LMM: EMMAX designs per shard, rotation and
     rotated phenotype replicated (stats/lmm.py).  The rotation einsum and
     the rotated-OLS solve both run inside the shard."""
-    num_paths = sharded.paths_per_shard
-    n_samples = sharded.matrix.shape[1] // 2
-    C = 0 if covar is None else covar.shape[1]
-    covar_in = np.zeros((n_samples, 0)) if covar is None else covar
-    with_covar = C > 0
-
-    shard = NamedSharding(mesh, P("snarls"))
+    n_haps = sharded.n_haps
+    with_covar = covar is not None and covar.shape[1] > 0
+    args, specs, _ = _design_inputs(sharded, covar, mesh)
     repl = NamedSharding(mesh, P())
 
-    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+    def local_fn(words, path_idx, valid, idx, covar_d,
                  rot, y_rot, min_ind, min_hap, maf):
-        d = quantitative_design_device(
-            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
-            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
-            with_covar=with_covar, all_rows=True)
+        d = quantitative_design_packed(
+            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
+            min_hap, maf, n_haplotypes=n_haps, with_covar=with_covar,
+            all_rows=True)
         Xr = jnp.einsum("mn,snp->smp", rot, d["X"])
         S_, N = Xr.shape[0], Xr.shape[1]
         yr = jnp.broadcast_to(y_rot[None, :], (S_, N))
@@ -218,23 +237,17 @@ def lmm_analyze_sharded(sharded: ShardedChromosome,
             "se": jnp.where(deg, nan, se),
             "r2": jnp.where(deg, nan, r2),
         }
+        if return_tables:
+            out.update({k: d[k] for k in _TABLE_KEYS})
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
-                  P("snarls"), P(), P(), P(), P(), P(), P()),
+        in_specs=(*specs, P(), P(), P(), P(), P()),
         out_specs=P("snarls"),
     ))
-
     out = fn(
-        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
-        jax.device_put(jnp.asarray(sharded.coo_path), shard),
-        jax.device_put(jnp.asarray(sharded.coo_row), shard),
-        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
-        jax.device_put(jnp.asarray(sharded.path_valid), shard),
-        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
-        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        *args,
         jax.device_put(jnp.asarray(lmm_ctx.rot, jnp.float64), repl),
         jax.device_put(jnp.asarray(lmm_ctx.y_rot, jnp.float64), repl),
         jnp.float64(min_individuals),
@@ -248,22 +261,20 @@ def binary_covar_analyze_sharded(sharded: ShardedChromosome,
                                  binary_phenotype: np.ndarray,
                                  mesh: Mesh,
                                  min_individuals: int, min_haplotypes: int,
-                                 maf_threshold: float) -> Dict[str, np.ndarray]:
+                                 maf_threshold: float,
+                                 return_tables: bool = False
+                                 ) -> Dict[str, np.ndarray]:
     """Snarl-sharded IRLS logistic regression (covariates excluded from
     the design, as in the reference — see stats.logreg)."""
-    num_paths = sharded.paths_per_shard
-    n_samples = sharded.matrix.shape[1] // 2
-    covar_in = np.zeros((n_samples, 0))
-
-    shard = NamedSharding(mesh, P("snarls"))
+    n_haps = sharded.n_haps
+    args, specs, _ = _design_inputs(sharded, None, mesh)
     repl = NamedSharding(mesh, P())
 
-    def local_fn(matrix, coo_path, coo_row, n_edges, valid, idx, covar_d,
+    def local_fn(words, path_idx, valid, idx, covar_d,
                  pheno, min_ind, min_hap, maf):
-        d = quantitative_design_device(
-            matrix, coo_path[0], coo_row[0], n_edges[0], valid[0], idx[0],
-            covar_d, min_ind, min_hap, maf, num_paths=num_paths,
-            with_covar=False)
+        d = quantitative_design_packed(
+            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
+            min_hap, maf, n_haplotypes=n_haps, with_covar=False)
         used = d["used"]
         y = pheno[None, :] * used
         p, beta, se = logistic_regression_batch(d["X"], y, used, d["ncols"])
@@ -276,23 +287,17 @@ def binary_covar_analyze_sharded(sharded: ShardedChromosome,
             "beta": jnp.where(deg, nan, beta),
             "se": jnp.where(deg, nan, se),
         }
+        if return_tables:
+            out.update({k: d[k] for k in _TABLE_KEYS})
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P("snarls"),
-                  P("snarls"), P(), P(), P(), P(), P()),
+        in_specs=(*specs, P(), P(), P(), P()),
         out_specs=P("snarls"),
     ))
-
     out = fn(
-        jax.device_put(jnp.asarray(sharded.matrix, jnp.float32), repl),
-        jax.device_put(jnp.asarray(sharded.coo_path), shard),
-        jax.device_put(jnp.asarray(sharded.coo_row), shard),
-        jax.device_put(jnp.asarray(sharded.n_edges_per_path), shard),
-        jax.device_put(jnp.asarray(sharded.path_valid), shard),
-        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
-        jax.device_put(jnp.asarray(covar_in, jnp.float64), repl),
+        *args,
         jax.device_put(jnp.asarray(binary_phenotype.astype(np.float64)),
                        repl),
         jnp.float64(min_individuals),
@@ -300,3 +305,66 @@ def binary_covar_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(maf_threshold),
     )
     return _unshard(out, sharded.shard_sizes)
+
+
+def eqtl_regress_pairs_sharded(design, pair_snarl: np.ndarray,
+                               expr: np.ndarray,
+                               mesh: Mesh) -> Dict[str, np.ndarray]:
+    """(snarl, gene)-pair OLS sharded over the mesh.
+
+    The per-chromosome design (single-device arrays from
+    ``eqtl_design_for_chromosome``) is gathered per pair on host, the
+    pair axis is padded to the mesh size and sharded, and the t-tail is
+    finished on the gathered results (see ``_finish_linear_sharded``).
+    """
+    D = mesh.devices.size
+    B = len(pair_snarl)
+    per = -(-B // D)
+    B_pad = per * D
+
+    ps = np.asarray(pair_snarl)
+    X = np.asarray(design["X"])[ps]
+    used = np.asarray(design["used"])[ps]
+    ncols = np.asarray(design["ncols"])[ps]
+    degenerate = np.asarray(design["degenerate"])[ps]
+    y = np.asarray(expr, np.float64) * used
+
+    def pad(a):
+        widths = [(0, B_pad - B)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths)
+
+    pair_mesh = Mesh(mesh.devices.reshape(-1), ("pairs",))
+    shard = NamedSharding(pair_mesh, P("pairs"))
+
+    def local_fn(X_a, y_a, used_a, ncols_a, deg_a):
+        t1, df_res, beta, se, r2 = linear_regression_stats_batch(
+            X_a, y_a, used_a, ncols_a)
+        nan = jnp.nan
+        return {
+            "t1": t1,
+            "df_res": df_res,
+            "degenerate": deg_a,
+            "beta": jnp.where(deg_a, nan, beta),
+            "se": jnp.where(deg_a, nan, se),
+            "r2": jnp.where(deg_a, nan, r2),
+        }
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=pair_mesh,
+        in_specs=(P("pairs"), P("pairs"), P("pairs"), P("pairs"),
+                  P("pairs")),
+        out_specs=P("pairs"),
+    ))
+    out = fn(
+        jax.device_put(jnp.asarray(pad(X)), shard),
+        jax.device_put(jnp.asarray(pad(y)), shard),
+        jax.device_put(jnp.asarray(pad(used)), shard),
+        jax.device_put(jnp.asarray(pad(ncols)), shard),
+        jax.device_put(jnp.asarray(pad(degenerate)), shard),
+    )
+    result = {k: np.asarray(v)[:B] for k, v in out.items()}
+    p = finish_linear_pvalues(jnp.asarray(result.pop("t1")),
+                              jnp.asarray(result.pop("df_res")))
+    deg = jnp.asarray(result.pop("degenerate"))
+    result["p"] = np.asarray(jnp.where(deg, jnp.nan, p))
+    return result

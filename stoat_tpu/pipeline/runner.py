@@ -110,9 +110,9 @@ def run_vcf_analysis(
     """
     import jax as _jax
     if use_mesh is None:
-        use_mesh = _jax.device_count() > 1 and mode != "eqtl"
+        use_mesh = _jax.device_count() > 1
     mesh = None
-    if use_mesh and mode != "eqtl":
+    if use_mesh:
         from stoat_tpu.parallel import make_snarl_mesh
         mesh = make_snarl_mesh()
         logger.info("Sharding snarls over %d devices", _jax.device_count())
@@ -164,14 +164,13 @@ def run_vcf_analysis(
                                   256)
                 effective_chunk = min(snarl_chunk_size, budget_rows)
             filtered = 0
-            # -T table dumps need per-sample tables the sharded analyzers
-            # do not return; fall back to single-device for that feature
-            chunk_mesh = mesh if table_threshold == -1 else None
+            chunk_mesh = mesh
             from stoat_tpu.tables import pack_chromosome_chunks
             device_matrix = None
             for packed in pack_chromosome_chunks(snarls, matrix,
                                                  effective_chunk):
-                if device_matrix is None and chunk_mesh is None:
+                if device_matrix is None and (chunk_mesh is None
+                                              or mode == "eqtl"):
                     # upload the (possibly empty-padded) chromosome matrix
                     # once; all chunks share it.  Native-ingested
                     # chromosomes arrive bit-packed (32 haplotypes/uint32
@@ -194,10 +193,18 @@ def run_vcf_analysis(
                         chunk_mesh, packed, mode, binary_phenotype,
                         quantitative_phenotype, covariate,
                         min_individuals, min_haplotypes, maf_threshold,
-                        matrix, lmm_ctx=lmm_ctx)
+                        matrix, lmm_ctx=lmm_ctx,
+                        return_tables=table_threshold != -1)
                     filtered += _write_rows(
                         outf, chrom, holder, res, mode, table_threshold,
                         regression_dir, samples)
+                elif chunk_mesh is not None and mode == "eqtl":
+                    filtered += _write_eqtl(
+                        outf, chrom, packed, eqtl_map.get(chrom, []),
+                        covariate, min_individuals, min_haplotypes,
+                        maf_threshold, windows_gene_threshold,
+                        table_threshold, regression_dir, samples,
+                        device_matrix, mesh=chunk_mesh)
                 elif mode == "binary":
                     filtered += _write_binary(
                         outf, chrom, packed, binary_phenotype,
@@ -250,7 +257,8 @@ class _SnarlHolder:
 
 def _analyze_sharded(mesh, packed, mode, binary_phenotype,
                      quantitative_phenotype, covariate, min_individuals,
-                     min_haplotypes, maf_threshold, matrix, lmm_ctx=None):
+                     min_haplotypes, maf_threshold, matrix, lmm_ctx=None,
+                     return_tables: bool = False):
     """Dispatch a chunk through the shard_map analyzers."""
     import jax as _jax
     from stoat_tpu.parallel import (binary_analyze_sharded,
@@ -267,21 +275,23 @@ def _analyze_sharded(mesh, packed, mode, binary_phenotype,
     elif mode == "binary_covar":
         res = binary_covar_analyze_sharded(
             sharded, binary_phenotype, mesh, min_individuals,
-            min_haplotypes, maf_threshold)
+            min_haplotypes, maf_threshold, return_tables=return_tables)
     elif mode == "lmm":
         res = lmm_analyze_sharded(
             sharded, lmm_ctx, covariate, mesh, min_individuals,
-            min_haplotypes, maf_threshold)
+            min_haplotypes, maf_threshold, return_tables=return_tables)
     else:
         res = quantitative_analyze_sharded(
             sharded, quantitative_phenotype, covariate, mesh,
-            min_individuals, min_haplotypes, maf_threshold)
+            min_individuals, min_haplotypes, maf_threshold,
+            return_tables=return_tables)
     return res, _SnarlHolder(packed.snarls)
 
 
 def _write_rows(outf, chrom, holder, res, mode, table_threshold,
                 regression_dir, samples) -> int:
-    """Write rows from sharded results (no per-sample tables)."""
+    """Write rows from sharded results (incl. -T per-sample tables when
+    the analyzer returned them)."""
     filtered = 0
     for s, snarl in enumerate(holder.snarls):
         if res["filtered"][s]:
@@ -297,16 +307,24 @@ def _write_rows(outf, chrom, holder, res, mode, table_threshold,
                 W.format_p(res["p_chi2"][s]),
                 W.format_group_paths(g0, g1))
         elif mode == "binary_covar":
+            p_str = W.format_p(res["p"][s])
+            if "norm" in res:
+                _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                                   regression_dir, samples)
             allele_paths = res["allele_paths"][s][: len(snarl.paths)]
             W.write_binary_covar_row(
                 outf, chrom, snarl, snarl.type_var_str,
-                W.format_p(res["p"][s]), W.format_p(res["beta"][s]),
+                p_str, W.format_p(res["beta"][s]),
                 W.format_p(res["se"][s]), allele_paths)
         else:
+            p_str = W.format_p(res["p"][s])
+            if "norm" in res:
+                _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                                   regression_dir, samples)
             allele_paths = res["allele_paths"][s][: len(snarl.paths)]
             W.write_quantitative_row(
                 outf, chrom, snarl, snarl.type_var_str,
-                W.format_p(res["p"][s]), W.format_p(res["r2"][s]),
+                p_str, W.format_p(res["r2"][s]),
                 W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
                 allele_paths)
     return filtered
@@ -422,7 +440,8 @@ def _write_lmm(outf, chrom, packed, lmm_ctx, covariate, min_individuals,
 
 def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
                 min_haplotypes, maf_threshold, window, table_threshold,
-                regression_dir, samples, device_matrix=None) -> int:
+                regression_dir, samples, device_matrix=None,
+                mesh=None) -> int:
     design = eqtl_design_for_chromosome(
         packed, covariate, min_individuals, min_haplotypes, maf_threshold,
         device_matrix=device_matrix)
@@ -444,7 +463,12 @@ def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
 
     if pair_snarl:
         expr = np.stack([gene_list[g].sample_expression for g in pair_gene])
-        res = eqtl_regress_pairs(design, np.array(pair_snarl), expr)
+        if mesh is not None:
+            from stoat_tpu.parallel import eqtl_regress_pairs_sharded
+            res = eqtl_regress_pairs_sharded(design, np.array(pair_snarl),
+                                             expr, mesh)
+        else:
+            res = eqtl_regress_pairs(design, np.array(pair_snarl), expr)
         for b, (s, g) in enumerate(zip(pair_snarl, pair_gene)):
             snarl = packed.snarls[s]
             p_str = W.format_p(res["p"][b])

@@ -53,3 +53,35 @@ def test_eqtl_pairs_gspmd_parity(tmp_path):
             continue
         assert format_p(float(np.asarray(p)[i])) == format_p(base["p"][i])
         assert format_p(float(np.asarray(beta)[i])) == format_p(base["beta"][i])
+
+
+def test_eqtl_pairs_shard_map_parity(tmp_path):
+    """eqtl_regress_pairs_sharded (shard_map over the pair axis) matches
+    the single-device pair regression string-for-string."""
+    from stoat_tpu.parallel import eqtl_regress_pairs_sharded
+
+    paths = make_fixture(str(tmp_path), n_samples=40, n_snarls=16, seed=23)
+    reader = VcfReader(paths["vcf"])
+    _, records = next(iter(reader.chromosome_chunks()))
+    matrix = EdgeHaplotypeMatrix(80)
+    for rec in records:
+        matrix.add_record(rec)
+    snarls = parse_snarl_path(paths["snarl"])["ref"]
+    packed = pack_chromosome(snarls, matrix)
+
+    design = eqtl_design_for_chromosome(packed, None, 3, 5, 0.05)
+    rng = np.random.default_rng(1)
+    B = 19  # deliberately not a multiple of the device count
+    pair_snarl = rng.integers(0, packed.n_snarls, B)
+    expr = rng.standard_normal((B, 40))
+
+    base = eqtl_regress_pairs(design, pair_snarl, expr)
+    mesh = make_snarl_mesh()
+    res = eqtl_regress_pairs_sharded(design, pair_snarl, expr, mesh)
+
+    deg = np.asarray(design["degenerate"])[pair_snarl]
+    for i in range(B):
+        if deg[i]:
+            continue
+        for key in ("p", "beta", "se", "r2"):
+            assert format_p(res[key][i]) == format_p(base[key][i]), (i, key)

@@ -40,3 +40,49 @@ def test_mesh_runner_matches_single_device(data, mode, tmp_path):
     run_vcf_analysis(paths["vcf"], snarls_chr, meshed, mode,
                      use_mesh=True, **kwargs)
     assert filecmp.cmp(single, meshed, shallow=False), mode
+
+
+def test_mesh_runner_table_dumps_match(data, tmp_path):
+    """-T table dumps: mesh and single-device produce identical result
+    TSVs AND identical per-snarl significant-table files."""
+    import os
+    paths, snarls_chr, pheno_b, pheno_q, covar, samples, _ = data
+    outs = {}
+    for label, use_mesh in (("single", False), ("mesh", True)):
+        rdir = str(tmp_path / f"tables_{label}")
+        os.makedirs(rdir, exist_ok=True)
+        tsv = str(tmp_path / f"{label}.tsv")
+        run_vcf_analysis(
+            paths["vcf"], snarls_chr, tsv, "quantitative",
+            quantitative_phenotype=pheno_q, covariate=covar,
+            sample_names=samples, snarl_chunk_size=7,
+            table_threshold=1.0, regression_dir=rdir, use_mesh=use_mesh)
+        outs[label] = (tsv, rdir)
+    assert filecmp.cmp(outs["single"][0], outs["mesh"][0], shallow=False)
+    single_tables = sorted(os.listdir(outs["single"][1]))
+    mesh_tables = sorted(os.listdir(outs["mesh"][1]))
+    assert single_tables == mesh_tables and single_tables, "no tables dumped"
+    for name in single_tables:
+        assert filecmp.cmp(os.path.join(outs["single"][1], name),
+                           os.path.join(outs["mesh"][1], name),
+                           shallow=False), name
+
+
+def test_mesh_runner_eqtl_matches_single_device(data, tmp_path):
+    """eQTL mode under the mesh (pair-axis shard_map) is byte-identical
+    to single-device."""
+    import numpy as np
+    from stoat_tpu.io.phenotype import QtlData
+    paths, snarls_chr, pheno_b, pheno_q, covar, samples, _ = data
+    rng = np.random.default_rng(5)
+    genes = [QtlData(f"gene{i}", rng.standard_normal(len(samples)),
+                     100 + 400 * i, 300 + 400 * i) for i in range(6)]
+    eqtl_map = {"ref": genes}
+    single = str(tmp_path / "single_eqtl.tsv")
+    meshed = str(tmp_path / "mesh_eqtl.tsv")
+    for out, use_mesh in ((single, False), (meshed, True)):
+        run_vcf_analysis(paths["vcf"], snarls_chr, out, "eqtl",
+                         eqtl_map=eqtl_map, covariate=covar,
+                         sample_names=samples, snarl_chunk_size=7,
+                         use_mesh=use_mesh)
+    assert filecmp.cmp(single, meshed, shallow=False)
