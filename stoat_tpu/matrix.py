@@ -92,6 +92,15 @@ class EdgeHaplotypeMatrix:
             [d.get(((int(q[0]), bool(q[1])), (int(q[2]), bool(q[3]))), -1)
              for q in quads], np.int64).reshape(-1)
 
+    def edges_array(self) -> np.ndarray:
+        """[E, 4] uint64 (a_id, a_rev, b_id, b_rev) rows in row order
+        (the native resolver's table input)."""
+        out = np.zeros((self.n_rows, 4), np.uint64)
+        for (a, b), row in self.edge_to_row.items():
+            out[row, 0], out[row, 1] = a[0], a[1]
+            out[row, 2], out[row, 3] = b[0], b[1]
+        return out
+
     def shrink(self) -> np.ndarray:
         """Return the populated [n_edges, n_haplotypes] boolean matrix."""
         return self._data[: self.n_rows]

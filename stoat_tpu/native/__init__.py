@@ -33,18 +33,21 @@ _graph_tried = False
 
 
 def _compile(src: str, lib: str, extra=("-lz",)) -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", src,
-           *extra, "-o", lib]
-    try:
-        res = subprocess.run(cmd, capture_output=True, timeout=300)
-    except (OSError, subprocess.TimeoutExpired) as e:
-        logger.warning("native build failed to launch: %s", e)
-        return False
-    if res.returncode != 0:
-        logger.warning("native build failed:\n%s",
-                       res.stderr.decode(errors="replace"))
-        return False
-    return True
+    # -march=native first (the .so is always built on the machine that
+    # runs it); retry portable if the toolchain rejects it
+    for arch in (("-march=native",), ()):
+        cmd = ["g++", "-O3", "-std=c++17", *arch, "-shared", "-fPIC",
+               "-pthread", src, *extra, "-o", lib]
+        try:
+            res = subprocess.run(cmd, capture_output=True, timeout=300)
+        except (OSError, subprocess.TimeoutExpired) as e:
+            logger.warning("native build failed to launch: %s", e)
+            return False
+        if res.returncode == 0:
+            return True
+    logger.warning("native build failed:\n%s",
+                   res.stderr.decode(errors="replace"))
+    return False
 
 
 def _build() -> bool:
@@ -93,8 +96,53 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_chunk_edges.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_free.argtypes = [ctypes.c_void_p]
     lib.stoat_vcf_close.argtypes = [ctypes.c_void_p]
+    lib.stoat_resolve_paths.restype = ctypes.c_int64
+    lib.stoat_resolve_paths.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+    lib.stoat_free_buf.argtypes = [ctypes.c_void_p]
     _lib = lib
     return _lib
+
+
+def resolve_paths_native(edges: np.ndarray, blob: str):
+    """Resolve a chromosome's path-string blob to edge rows in C++.
+
+    ``edges`` is the [E, 4] uint64 (a_id, a_rev, b_id, b_rev) row table;
+    ``blob`` the comma-joined path strings.  Returns (rows uint32 [nnz],
+    offsets uint64 [P+1], valid uint8 [P]) or None when the native core
+    is unavailable (callers fall back to the numpy tokenizer).
+    Semantics match identify_path: node-0 edges skipped, unknown edges
+    invalidate the path (snarl_analyzer.cpp:326-336)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    edges = np.ascontiguousarray(edges, np.uint64).reshape(-1, 4)
+    try:
+        data = blob.encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    rows_p = ctypes.POINTER(ctypes.c_uint32)()
+    offs_p = ctypes.POINTER(ctypes.c_uint64)()
+    valid_p = ctypes.POINTER(ctypes.c_uint8)()
+    P = lib.stoat_resolve_paths(
+        edges.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        edges.shape[0], data, len(data),
+        ctypes.byref(rows_p), ctypes.byref(offs_p), ctypes.byref(valid_p))
+    if P < 0:
+        return None
+    offs = np.ctypeslib.as_array(offs_p, shape=(P + 1,)).astype(np.int64)
+    nnz = int(offs[-1])
+    rows = (np.ctypeslib.as_array(rows_p, shape=(max(nnz, 1),))
+            [:nnz].copy())
+    valid = np.ctypeslib.as_array(valid_p, shape=(max(P, 1),))[:P].copy()
+    lib.stoat_free_buf(rows_p)
+    lib.stoat_free_buf(offs_p)
+    lib.stoat_free_buf(valid_p)
+    return rows, offs, valid
 
 
 def get_graph_lib() -> Optional[ctypes.CDLL]:

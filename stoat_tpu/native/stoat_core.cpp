@@ -45,7 +45,6 @@
 #include <mutex>
 #include <string>
 #include <thread>
-#include <unordered_map>
 #include <vector>
 
 #include <zlib.h>
@@ -57,19 +56,6 @@ struct EdgeKey {
     uint8_t arev, brev; // orientations
     bool operator==(const EdgeKey& o) const {
         return a == o.a && b == o.b && arev == o.arev && brev == o.brev;
-    }
-};
-
-struct EdgeKeyHash {
-    size_t operator()(const EdgeKey& e) const {
-        // golden-ratio combine in the spirit of the reference's Edge_t
-        // hash (snarl_data_t.hpp:221-235)
-        size_t h = std::hash<uint64_t>()(e.a);
-        h ^= std::hash<uint64_t>()(e.b) + 0x9e3779b97f4a7c15ULL + (h << 6) +
-             (h >> 2);
-        h ^= std::hash<uint32_t>()((uint32_t(e.arev) << 1) | e.brev) +
-             0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
-        return h;
     }
 };
 
@@ -350,15 +336,83 @@ static void parse_line(char* line, size_t n_samples, Arena& ar, size_t ri,
 // ---------------------------------------------------------------------------
 // Matrix builder (word rows; intern + mask-OR fill in one serial pass)
 
+// Open-addressed (linear probe) edge→row table: the intern loop is the
+// serial section of ingestion and std::unordered_map's chained nodes
+// were its hottest cache misses.  Keys are the two oriented node handles
+// packed (id<<1|rev); emptiness is tracked in val (row+1, 0 = empty).
+struct EdgeSlot {
+    uint64_t ka, kb;
+    uint32_t val;
+};
+
+static inline uint64_t mix64(uint64_t x) {
+    x ^= x >> 30;
+    x *= 0xbf58476d1ce4e5b9ULL;
+    x ^= x >> 27;
+    x *= 0x94d049bb133111ebULL;
+    x ^= x >> 31;
+    return x;
+}
+
+struct EdgeTable {
+    std::vector<EdgeSlot> slots;
+    size_t mask = 0;
+    size_t count = 0;
+
+    void reset(size_t cap_hint) {
+        size_t c = 64;
+        while (c < cap_hint * 2) c *= 2;
+        slots.assign(c, EdgeSlot{0, 0, 0});
+        mask = c - 1;
+        count = 0;
+    }
+
+    void grow() {
+        std::vector<EdgeSlot> old = std::move(slots);
+        slots.assign(old.size() * 2, EdgeSlot{0, 0, 0});
+        mask = slots.size() - 1;
+        for (const EdgeSlot& s : old) {
+            if (!s.val) continue;
+            size_t i = (mix64(s.ka) ^ mix64(s.kb + 1)) & mask;
+            while (slots[i].val) i = (i + 1) & mask;
+            slots[i] = s;
+        }
+    }
+
+    // Returns row for (ka, kb); `added` set when newly interned.
+    uint32_t get_or_add(uint64_t ka, uint64_t kb, bool& added) {
+        size_t i = (mix64(ka) ^ mix64(kb + 1)) & mask;
+        for (;;) {
+            EdgeSlot& s = slots[i];
+            if (!s.val) {
+                s.ka = ka;
+                s.kb = kb;
+                s.val = uint32_t(count) + 1;
+                ++count;
+                added = true;
+                if (count * 4 > slots.size() * 3) grow();
+                return uint32_t(count) - 1;
+            }
+            if (s.ka == ka && s.kb == kb) {
+                added = false;
+                return s.val - 1;
+            }
+            i = (i + 1) & mask;
+        }
+    }
+};
+
 struct MatrixBuilder {
-    std::unordered_map<EdgeKey, uint32_t, EdgeKeyHash> edge_to_row;
+    EdgeTable table;
     std::vector<uint32_t> data;  // row-major [cap_rows, W]
     std::vector<uint64_t> edges;
     size_t W = 0;
     uint64_t cap_rows = 0;
 
+    size_t n_rows() const { return table.count; }
+
     void reset(size_t n_words, uint64_t initial_rows) {
-        edge_to_row.clear();
+        table.reset(size_t(initial_rows));
         edges.clear();
         W = n_words;
         cap_rows = initial_rows < 64 ? 64 : initial_rows;
@@ -366,19 +420,20 @@ struct MatrixBuilder {
     }
 
     uint32_t intern(const EdgeKey& k) {
-        auto it = edge_to_row.find(k);
-        if (it != edge_to_row.end()) return it->second;
-        uint32_t row = uint32_t(edge_to_row.size());
-        edge_to_row.emplace(k, row);
-        if (row >= cap_rows) {
-            uint64_t new_cap = cap_rows * 2;
-            data.resize(new_cap * W, 0);
-            cap_rows = new_cap;
+        bool added = false;
+        uint32_t row = table.get_or_add((k.a << 1) | k.arev,
+                                        (k.b << 1) | k.brev, added);
+        if (added) {
+            if (row >= cap_rows) {
+                uint64_t new_cap = cap_rows * 2;
+                data.resize(new_cap * W, 0);
+                cap_rows = new_cap;
+            }
+            edges.push_back(k.a);
+            edges.push_back(k.arev);
+            edges.push_back(k.b);
+            edges.push_back(k.brev);
         }
-        edges.push_back(k.a);
-        edges.push_back(k.arev);
-        edges.push_back(k.b);
-        edges.push_back(k.brev);
         return row;
     }
 };
@@ -651,7 +706,7 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
 
     Chunk* chunk = new Chunk();
     chunk->chrom = chrom;
-    uint64_t rows = mb.edge_to_row.size();
+    uint64_t rows = mb.n_rows();
     chunk->n_rows = rows;
     chunk->n_cols = 2 * n_samples;
     chunk->n_words = W;
@@ -707,6 +762,100 @@ void stoat_chunk_free(void* cp) {
 
 void stoat_vcf_close(void* rp) {
     delete static_cast<Reader*>(rp);
+}
+
+// ---------------------------------------------------------------------------
+// Snarl-path resolution against a chunk's edge rows.
+//
+// The packing step's hot host loop: turn every snarl path string
+// (">123>213<234", comma-separated across all paths of a chromosome)
+// into the list of edge-matrix rows it references.  Semantics mirror
+// identify_path (snarl_analyzer.cpp:315-356): '*'/node-0 edges are
+// skipped, a path referencing an edge absent from the matrix is invalid
+// (matches no haplotype), zero-edge paths stay valid.
+//
+// Outputs (malloc'd, caller frees via stoat_free_buf):
+//   rows    u32[nnz]  — edge rows, concatenated in path order
+//   offs    u64[P+1]  — per-path [start, end) into rows
+//   valid   u8[P]     — 0 if the path referenced an unknown edge
+// Returns P (number of paths = comma count + 1), or -1 on error.
+
+int64_t stoat_resolve_paths(const uint64_t* edges, uint64_t n_edge_rows,
+                            const char* blob, int64_t blob_len,
+                            uint32_t** rows_out, uint64_t** offs_out,
+                            uint8_t** valid_out) {
+    EdgeTable table;
+    table.reset(size_t(n_edge_rows) + 1);
+    for (uint64_t r = 0; r < n_edge_rows; ++r) {
+        const uint64_t* e = edges + 4 * r;
+        bool added = false;
+        table.get_or_add((e[0] << 1) | e[1], (e[2] << 1) | e[3], added);
+    }
+
+    std::vector<uint32_t> rows;
+    std::vector<uint64_t> offs;
+    std::vector<uint8_t> valid;
+    rows.reserve(size_t(blob_len) / 4 + 1);
+    offs.push_back(0);
+
+    const char* p = blob;
+    const char* end = blob + blob_len;
+    uint64_t prev_key = 0;
+    bool have_prev = false;
+    bool ok = true;
+    size_t path_row_start = 0;
+    while (true) {
+        if (p >= end || *p == ',') {
+            if (!ok) rows.resize(path_row_start);   // drop partial rows
+            offs.push_back(rows.size());
+            valid.push_back(ok ? 1 : 0);
+            if (p >= end) break;
+            ++p;
+            prev_key = 0;
+            have_prev = false;
+            ok = true;
+            path_row_start = rows.size();
+            continue;
+        }
+        char c = *p;
+        if (c == '>' || c == '<') {
+            uint64_t rev = (c == '<');
+            ++p;
+            uint64_t id = 0;
+            while (p < end && *p >= '0' && *p <= '9') {
+                id = id * 10 + uint64_t(*p - '0');
+                ++p;
+            }
+            uint64_t key = (id << 1) | rev;
+            if (have_prev && ok && (prev_key >> 1) != 0 && id != 0) {
+                bool added = false;
+                uint32_t row = table.get_or_add(prev_key, key, added);
+                // Unknown edges intern like any other (keeping the load
+                // factor honest) but land at rows >= n_edge_rows: the
+                // path is invalid (identify_path's early abort).
+                if (row < n_edge_rows) rows.push_back(row);
+                else ok = false;
+            }
+            prev_key = key;
+            have_prev = true;
+        } else {
+            ++p;   // stray characters: skip (parity with the tokenizer)
+        }
+    }
+
+    int64_t P = int64_t(valid.size());
+    *rows_out = (uint32_t*)malloc(rows.size() * sizeof(uint32_t) + 1);
+    *offs_out = (uint64_t*)malloc(offs.size() * sizeof(uint64_t));
+    *valid_out = (uint8_t*)malloc(valid.size() + 1);
+    if (!*rows_out || !*offs_out || !*valid_out) return -1;
+    memcpy(*rows_out, rows.data(), rows.size() * sizeof(uint32_t));
+    memcpy(*offs_out, offs.data(), offs.size() * sizeof(uint64_t));
+    memcpy(*valid_out, valid.data(), valid.size());
+    return P;
+}
+
+void stoat_free_buf(void* p) {
+    free(p);
 }
 
 }  // extern "C"

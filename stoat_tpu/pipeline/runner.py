@@ -72,6 +72,73 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
     reader.close()
 
 
+def _prefetched(gen, depth: int = 1):
+    """Run a generator on a background thread, ``depth`` items ahead.
+
+    Used to overlap the next chromosome's native VCF ingestion (ctypes
+    releases the GIL inside the C++ core) with the current chromosome's
+    packing, device dispatch, and TSV writing — the reference runs these
+    phases strictly serially (snarl_analyzer.cpp:110-188)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # re-raised on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class _QuadTokenizer:
+    """Tokenizes every chromosome's snarl paths on a background thread.
+
+    The path-string tokenize (tables.tokenize_chromosome) depends only on
+    the snarl file, so it runs concurrently with the first chromosome's
+    VCF ingestion; ``get`` blocks until that chromosome's cache is ready
+    (in practice it already is)."""
+
+    def __init__(self, snarls_chr: Dict[str, List[SnarlData]]):
+        import threading
+
+        from stoat_tpu.tables import tokenize_chromosome
+        self._tokenize = tokenize_chromosome
+        self._results: Dict[str, object] = {}
+        self._events = {c: threading.Event() for c in snarls_chr}
+        self._snarls_chr = snarls_chr
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def _run(self):
+        for chrom, snarls in self._snarls_chr.items():
+            try:
+                self._results[chrom] = self._tokenize(snarls)
+            except Exception:                      # fall back in-line
+                self._results[chrom] = None
+            self._events[chrom].set()
+
+    def get(self, chrom: str):
+        event = self._events.get(chrom)
+        if event is None:
+            return None
+        event.wait()
+        return self._results.get(chrom)
+
+
 def found_gene_snarl(gene_position: List[QtlData], start_pos: int,
                      end_pos: int, window: int) -> List[int]:
     """Genes overlapping [start-window, end+window]
@@ -134,7 +201,12 @@ def run_vcf_analysis(
         else:
             raise ValueError(f"unknown mode {mode}")
 
-        matrices = iter_chromosome_matrices(vcf_path, n_hap, snarls_chr)
+        # Overlap host phases: the next chromosome ingests on a prefetch
+        # thread while this one packs/dispatches/writes, and the path
+        # tokenizes run ahead on their own thread (see _QuadTokenizer).
+        matrices = _prefetched(
+            iter_chromosome_matrices(vcf_path, n_hap, snarls_chr))
+        tokenizer = _QuadTokenizer(snarls_chr)
         while True:
             t0 = time.time()
             try:
@@ -167,8 +239,9 @@ def run_vcf_analysis(
             chunk_mesh = mesh
             from stoat_tpu.tables import pack_chromosome_chunks
             device_matrix = None
-            for packed in pack_chromosome_chunks(snarls, matrix,
-                                                 effective_chunk):
+            for packed in pack_chromosome_chunks(
+                    snarls, matrix, effective_chunk,
+                    quad_cache=tokenizer.get(chrom)):
                 if device_matrix is None and (chunk_mesh is None
                                               or mode == "eqtl"):
                     # upload the (possibly empty-padded) chromosome matrix

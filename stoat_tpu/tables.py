@@ -28,7 +28,8 @@ import numpy as np
 from stoat_tpu.io.snarl_file import SnarlData, path_to_edges
 from stoat_tpu.matrix import EdgeHaplotypeMatrix
 
-__all__ = ["PackedChromosome", "pack_chromosome", "next_pow2"]
+__all__ = ["PackedChromosome", "pack_chromosome", "pack_chromosome_chunks",
+           "tokenize_chromosome", "next_pow2"]
 
 
 def next_pow2(n: int) -> int:
@@ -94,19 +95,127 @@ class PackedChromosome:
         return self.words
 
 
+def tokenize_chromosome(snarls: Sequence[SnarlData]):
+    """Prepare a chromosome's snarl paths for resolution (cacheable).
+
+    Returns ``(blob, n_per, offsets)``: all path strings comma-joined
+    (the native resolver's input — and the numpy tokenizer's), per-snarl
+    path counts, and their cumulative offsets.  Cheap and pure-host —
+    safe to run on a background thread overlapped with VCF ingestion.
+    Returns None when a snarl's cached path strings are out of sync with
+    its parsed tuples (callers fall back to the per-chunk tuple walk).
+    """
+    n_per = np.fromiter((len(s.path_strings) for s in snarls),
+                        np.int64, len(snarls))
+    n_tup = np.fromiter((s.n_paths for s in snarls),
+                        np.int64, len(snarls))
+    if not np.array_equal(n_per, n_tup):
+        return None
+    blob = ",".join(p for s in snarls for p in s.path_strings)
+    offsets = np.zeros(len(snarls) + 1, np.int64)
+    np.cumsum(n_per, out=offsets[1:])
+    return blob, n_per, offsets
+
+
+class ResolvedPaths:
+    """A chromosome's snarl paths resolved against its edge matrix.
+
+    Per-path edge rows in COO form (sorted by path), resolvable once per
+    chromosome and sliced per chunk."""
+
+    __slots__ = ("coo_path", "coo_row", "n_edges", "valid", "n_per",
+                 "offsets")
+
+    def __init__(self, coo_path, coo_row, n_edges, valid, n_per, offsets):
+        self.coo_path = coo_path    # [nnz] int64, nondecreasing
+        self.coo_row = coo_row      # [nnz] int32
+        self.n_edges = n_edges      # [P] int32
+        self.valid = valid          # [P] bool
+        self.n_per = n_per          # [S] int64
+        self.offsets = offsets      # [S+1] int64 path offsets
+
+
+def resolve_chromosome(snarls: Sequence[SnarlData], edge_matrix,
+                       cache=None) -> ResolvedPaths:
+    """Resolve every snarl path of a chromosome to edge-matrix rows.
+
+    Prefers the native C++ resolver (tokenize + open-addressed edge
+    lookup in one pass, stoat_core.cpp stoat_resolve_paths); falls back
+    to the numpy blob tokenizer + vectorized sorted-key lookup, then to
+    the scalar tuple walk.  Semantics in all three: '*' (node-0) edges
+    skipped, unknown edges invalidate the whole path
+    (snarl_analyzer.cpp:326-336)."""
+    if cache is None:
+        cache = tokenize_chromosome(snarls)
+
+    if cache is not None:
+        blob, n_per, offsets = cache
+        flat_index = int(offsets[-1])
+        edges_arr = getattr(edge_matrix, "_edges_arr", None)
+        if edges_arr is None:
+            to_arr = getattr(edge_matrix, "edges_array", None)
+            if to_arr is not None:
+                edges_arr = to_arr()
+        if edges_arr is not None and flat_index > 0:
+            from stoat_tpu.native import resolve_paths_native
+            got = resolve_paths_native(edges_arr, blob)
+            if got is not None and got[1].shape[0] == flat_index + 1:
+                rows, offs, valid = got
+                n_edges = np.diff(offs).astype(np.int32)
+                coo_path = np.repeat(
+                    np.arange(flat_index, dtype=np.int64),
+                    n_edges)
+                return ResolvedPaths(coo_path, rows.astype(np.int32),
+                                     n_edges, valid.astype(bool),
+                                     n_per, offsets)
+        # numpy fallback: tokenize the blob, vectorized lookup
+        got = _quads_from_blob(blob, n_per)
+        if got is not None:
+            return _resolve_quads(got, edge_matrix, n_per, offsets)
+
+    got = _quads_from_tuples(snarls)
+    n_per = got[3]
+    offsets = np.zeros(len(snarls) + 1, np.int64)
+    np.cumsum(n_per, out=offsets[1:])
+    return _resolve_quads(got, edge_matrix, n_per, offsets)
+
+
+def _resolve_quads(got, edge_matrix, n_per, offsets) -> ResolvedPaths:
+    quads_arr, key_path_arr, flat_index, _ = got
+    rows = edge_matrix.resolve_edges(quads_arr)
+    path_ok = np.ones(max(flat_index, 1), bool)
+    path_ok[key_path_arr[rows < 0]] = False
+    keep = (path_ok[key_path_arr] if key_path_arr.size else
+            np.zeros(0, bool))
+    coo_path = key_path_arr[keep]
+    coo_row = rows[keep].astype(np.int32)
+    n_edges = np.bincount(coo_path, minlength=max(flat_index, 1)
+                          ).astype(np.int32)[:flat_index]
+    return ResolvedPaths(coo_path, coo_row, n_edges,
+                         path_ok[:flat_index], n_per, offsets)
+
+
 def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
-                           chunk_size: int) -> List["PackedChromosome"]:
+                           chunk_size: int,
+                           quad_cache=None) -> List["PackedChromosome"]:
     """Pack a chromosome's snarls in chunks with UNIFORM padded shapes.
 
     Every chunk gets the same (S, Pmax, P, nnz) padding, so the jitted
     device pipeline compiles exactly once per mode — essential when the
-    compiler sits behind a slow remote tunnel.
+    compiler sits behind a slow remote tunnel.  The paths resolve ONCE
+    per chromosome (natively where possible) and each chunk slices the
+    resolved COO; ``quad_cache`` (from ``tokenize_chromosome``, possibly
+    computed on a background thread while the VCF streamed in) feeds the
+    resolver.
     """
+    resolved = resolve_chromosome(snarls, edge_matrix, cache=quad_cache)
     chunks = [list(snarls[lo:lo + chunk_size])
               for lo in range(0, len(snarls), chunk_size)]
     if not chunks:
         return []
-    packs = [pack_chromosome(c, edge_matrix) for c in chunks]
+    packs = [_pack_from_resolved(resolved, c, edge_matrix, lo,
+                                 min(lo + chunk_size, len(snarls)))
+             for lo, c in zip(range(0, len(snarls), chunk_size), chunks)]
     S = max(p.snarl_path_idx.shape[0] for p in packs)
     Pmax = max(p.snarl_path_idx.shape[1] for p in packs)
     P = max(p.n_edges_per_path.shape[0] for p in packs)
@@ -139,26 +248,17 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
     return out
 
 
-def _quads_from_path_strings(snarls: Sequence[SnarlData]):
-    """Tokenize ALL path strings of a chromosome as one numpy byte blob.
+def _quads_from_blob(blob: str, n_per: np.ndarray):
+    """Tokenize a chromosome's `,`-joined path-string blob with numpy.
 
-    The per-node Python walk over ``snarl.paths`` tuples is the packing
-    hot loop (~85% of pack time at reference scale); this replaces it with
-    vectorized byte ops: one `,`-joined blob, `<`/`>` token starts, and a
-    reduceat-based integer decode.  Returns ``(quads, key_path, flat_index,
-    n_per_snarl)`` with identical semantics to the tuple walk (node-0
-    ``*`` edges skipped, snarl_analyzer.cpp:328-330), or ``None`` when a
-    snarl lacks cached path strings or the blob contains characters the
-    scalar parser treats specially (callers then use the tuple walk)."""
-    n_per = np.fromiter((len(s.path_strings) for s in snarls),
-                        np.int64, len(snarls))
-    n_tup = np.fromiter((len(s.paths) for s in snarls),
-                        np.int64, len(snarls))
-    if not np.array_equal(n_per, n_tup):
-        return None
-    path_strs = [p for s in snarls for p in s.path_strings]
-    flat_index = len(path_strs)
-    blob = ",".join(path_strs)
+    Fallback for when the native resolver is unavailable: vectorized
+    byte ops — `<`/`>` token starts and a reduceat-based integer decode.
+    Returns ``(quads, key_path, flat_index, n_per)`` with identical
+    semantics to the tuple walk (node-0 ``*`` edges skipped,
+    snarl_analyzer.cpp:328-330), or ``None`` when the blob contains
+    characters the scalar parser treats specially (callers then use the
+    tuple walk)."""
+    flat_index = int(np.sum(n_per))
     try:
         b = np.frombuffer(blob.encode("ascii"), np.uint8)
     except UnicodeEncodeError:
@@ -186,7 +286,9 @@ def _quads_from_path_strings(snarls: Sequence[SnarlData]):
     tok_of_char = np.cumsum(is_open) - 1
     exp = np.where(digit, ends[np.maximum(tok_of_char, 0)] - 1
                    - np.arange(b.size), 0)
-    contrib = np.where(digit, b - 48, 0).astype(np.int64) * 10 ** exp
+    # table lookup: elementwise integer 10**exp is ~10x slower
+    pow10 = 10 ** np.arange(20, dtype=np.int64)
+    contrib = np.where(digit, b - 48, 0).astype(np.int64) * pow10[exp]
     node_ids = np.add.reduceat(contrib, starts).astype(np.uint64)
     revs = (b[starts] == 60).astype(np.uint64)           # '<'
     path_of_tok = np.searchsorted(np.flatnonzero(b == 44), starts)
@@ -231,30 +333,32 @@ def _quads_from_tuples(snarls: Sequence[SnarlData]):
 
 def pack_chromosome(snarls: Sequence[SnarlData],
                     edge_matrix: EdgeHaplotypeMatrix,
-                    pad_snarls: bool = True) -> PackedChromosome:
+                    pad_snarls: bool = True,
+                    cache=None) -> PackedChromosome:
     """Resolve snarl paths against the chromosome edge matrix and pack.
 
-    Edge resolution is one vectorized sorted-key lookup for the whole
-    chromosome (``resolve_edges``) rather than a per-edge dict probe —
-    semantics identical to identify_path's: '*' (node-0) edges are skipped
-    unresolved edges invalidate the whole path (snarl_analyzer.cpp:
-    326-336)."""
-    got = _quads_from_path_strings(snarls)
-    if got is None:
-        got = _quads_from_tuples(snarls)
-    quads_arr, key_path_arr, flat_index, n_per_snarl = got
-    max_paths = max(2, int(n_per_snarl.max()) if n_per_snarl.size else 2)
+    Resolution runs once for the whole chromosome (natively where
+    possible — ``resolve_chromosome``); ``cache`` optionally supplies a
+    precomputed ``tokenize_chromosome`` result."""
+    resolved = resolve_chromosome(snarls, edge_matrix, cache=cache)
+    return _pack_from_resolved(resolved, list(snarls), edge_matrix,
+                               0, len(snarls), pad_snarls=pad_snarls)
 
-    rows = edge_matrix.resolve_edges(quads_arr)
-    path_ok = np.ones(max(flat_index, 1), bool)
-    path_ok[key_path_arr[rows < 0]] = False
-    keep = path_ok[key_path_arr] if key_path_arr.size else \
-        np.zeros(0, bool)
-    coo_path = key_path_arr[keep]
-    coo_row = rows[keep]
-    n_edges = np.bincount(coo_path, minlength=max(flat_index, 1)
-                          ).astype(np.int32)[:flat_index]
-    valid = path_ok[:flat_index]
+
+def _pack_from_resolved(resolved: ResolvedPaths, snarls: List[SnarlData],
+                        edge_matrix, s_lo: int, s_hi: int,
+                        pad_snarls: bool = True) -> PackedChromosome:
+    """Pad one snarl range of a resolved chromosome into device tensors."""
+    p_lo = int(resolved.offsets[s_lo])
+    p_hi = int(resolved.offsets[s_hi])
+    flat_index = p_hi - p_lo
+    lo, hi = np.searchsorted(resolved.coo_path, [p_lo, p_hi])
+    coo_path = resolved.coo_path[lo:hi] - p_lo
+    coo_row = resolved.coo_row[lo:hi]
+    n_edges = resolved.n_edges[p_lo:p_hi]
+    valid = resolved.valid[p_lo:p_hi]
+    n_per_snarl = resolved.n_per[s_lo:s_hi]
+    max_paths = max(2, int(n_per_snarl.max()) if n_per_snarl.size else 2)
 
     P = next_pow2(max(flat_index, 1))
     Pmax = next_pow2(max_paths)
