@@ -175,16 +175,33 @@ def _is_regular_snarl(g: GfaGraph, forest: SnarlForest,
 
 def _snarl_min_max_len(g: GfaGraph, forest: SnarlForest,
                        snarl_idx: int) -> Tuple[int, int]:
-    from stoat_tpu.graph.decompose import enumerate_snarl_paths
-    try:
-        _p, _t, lens = enumerate_snarl_paths(
-            g, forest, snarl_idx, children_threshold=10**9,
-            path_length_threshold=10**5, cycle_threshold=1)
-    except Exception:
+    """Min/max interior sequence length over SIMPLE start→end traversals.
+
+    Matches SnarlDistanceIndex::{minimum,maximum}_length semantics (the
+    reference prints these as PATH_LENGTHS, graph_path_association_finder
+    .cpp:63-71): boundary nodes excluded, loops not unrolled — pinned by
+    graph_simu_test.cpp (loop_with_indel 6_1 -> "3,4")."""
+    snarl = forest.snarls[snarl_idx]
+    interior = snarl.interior_nodes
+    end_node = snarl.end_node
+    best_min, best_max = None, None
+    budget = 200000
+    stack = [(snarl.start, frozenset(), 0)]
+    while stack and budget > 0:
+        budget -= 1
+        h, visited, total = stack.pop()
+        for v in g.successors(h):
+            if v[0] == end_node:
+                best_min = total if best_min is None else min(best_min,
+                                                              total)
+                best_max = total if best_max is None else max(best_max,
+                                                              total)
+            elif v[0] in interior and v[0] not in visited:
+                stack.append((v, visited | {v[0]},
+                              total + g.node_length(v[0])))
+    if best_min is None:
         return 0, 0
-    if not lens:
-        return 0, 0
-    return min(l[0] for l in lens), max(l[1] for l in lens)
+    return best_min, best_max
 
 
 def test_snarls(g: GfaGraph, forest: SnarlForest,
@@ -332,6 +349,19 @@ def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
     (writer.cpp:89-178)."""
     snarl = forest.snarls[snarl_idx]
     name = f"snarl:{snarl.start_node}-{snarl.end_node}"
+    bounds = {snarl.start_node, snarl.end_node}
+    interior = snarl.interior_nodes
+
+    def traversals(steps):
+        """All [i, j] step pairs where a path crosses the snarl: both ends
+        on boundary nodes (either direction), every step between strictly
+        interior.  A sample looping back through the snarl yields one
+        record per crossing (graph_simu_test.cpp:393-410 pins two records
+        for path1 through loop_with_indel's 2-4)."""
+        idxs = [i for i, st in enumerate(steps) if st[0] in bounds]
+        for i, j in zip(idxs, idxs[1:]):
+            if all(steps[k][0] in interior for k in range(i + 1, j)):
+                yield i, j
 
     # reference range through the snarl ("NOREF:?:?" when absent,
     # writer.cpp:106)
@@ -347,38 +377,27 @@ def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
         for st in path.steps:
             offs.append(pos)
             pos += g.node_length(st[0])
-        try:
-            si = next(i for i, st in enumerate(path.steps)
-                      if st[0] == snarl.start_node)
-            ei = next(i for i in range(si + 1, len(path.steps))
-                      if path.steps[i][0] == snarl.end_node)
-        except StopIteration:
-            continue
-        start_off = offs[si] + g.node_length(path.steps[si][0])
-        ref_coordinates = f"{path.name}:{start_off}-{offs[ei]}"
-        break
+        for si, ei in traversals(path.steps):
+            start_off = offs[si] + g.node_length(path.steps[si][0])
+            ref_coordinates = f"{path.name}:{start_off}-{offs[ei]}"
+            break
+        if ref_coordinates != "NOREF:?:?":
+            break
 
     for key, steps, offsets in partitioner.sample_paths:
         sample = key[0]
         if samples_to_write and sample not in samples_to_write:
             continue
-        # find a traversal start->...->end within the path
-        try:
-            si = next(i for i, st in enumerate(steps)
-                      if st[0] == snarl.start_node)
-            ei = next(i for i in range(si + 1, len(steps))
-                      if steps[i][0] == snarl.end_node)
-        except StopIteration:
-            continue
-        seq = "".join(g.node_seq(steps[i]) for i in range(si + 1, ei))
-        start_off = offsets[si] + g.node_length(steps[si][0])
-        end_off = offsets[ei]
-        out_fh.write(f">{name}|{ref_coordinates}|"
-                     f"{sample}:{start_off}-{end_off}\n")
-        for i in range(0, len(seq), 80):
-            out_fh.write(seq[i:i + 80] + "\n")
-        if len(seq) == 0:
-            out_fh.write("\n")
+        for si, ei in traversals(steps):
+            seq = "".join(g.node_seq(steps[i]) for i in range(si + 1, ei))
+            start_off = offsets[si] + g.node_length(steps[si][0])
+            end_off = offsets[ei]
+            out_fh.write(f">{name}|{ref_coordinates}|"
+                         f"{sample}:{start_off}-{end_off}\n")
+            for i in range(0, len(seq), 80):
+                out_fh.write(seq[i:i + 80] + "\n")
+            if len(seq) == 0:
+                out_fh.write("\n")
 
 
 def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
@@ -416,8 +435,9 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
         return 1
     partitioner = PathPartitioner(g, sample_paths)
 
-    out_name = ("associated_snarls.tsv" if output_format == "tsv"
-                else "associated_snarls.fasta")
+    # Contract filenames (graph_simu_test.cpp:38,72)
+    out_name = ("binary_table_graph.tsv" if output_format == "tsv"
+                else "binary_output.fasta")
     out_path = os.path.join(output_dir, out_name)
     with open(out_path, "w") as fh:
         n = test_snarls(g, forest, partitioner, case_set, control_set,

@@ -363,6 +363,14 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
         rs, rt = ref_order.get(a[0]), ref_order.get(end_handle[0])
         if rs is not None and rt is not None and rs > rt:
             a, end_handle = flip(end_handle), flip(a)
+        # NOTE on cyclic snarls: vg's cactus build reports some snarls
+        # with cyclic structure in the opposite orientation (e.g.
+        # loop_with_indel's top snarl is 6_1 in graph_simu_test.cpp:334
+        # yet loop_plus's top is 2_8 in snarl_data_t_unit.cpp:314 — two
+        # near-isomorphic graphs, opposite orientations).  The order is
+        # an artifact of vg's internal anchoring, not derivable from the
+        # graph; stoat-tpu always reports reference-path orientation
+        # (documented divergence, DESIGN.md §7).
         snarls.append(Snarl(start=a, end=end_handle, interior_nodes=U))
 
     # ---- nesting --------------------------------------------------------

@@ -80,7 +80,8 @@ class SnarlData:
     file loads without paying the per-node Python parse."""
 
     __slots__ = ("net_handle", "snarl_ids", "_paths", "start_pos",
-                 "end_pos", "type_variants", "depth", "path_strings")
+                 "end_pos", "type_variants", "depth", "path_strings",
+                 "_row_prefix")
 
     def __init__(self, net_handle: int, snarl_ids: Tuple[int, int],
                  paths=None, start_pos: int = 0, end_pos: int = 0,
@@ -92,6 +93,7 @@ class SnarlData:
         self.end_pos = end_pos
         self.type_variants = type_variants or []
         self.depth = depth
+        self._row_prefix = None
         if path_strings is None:
             path_strings = ([path_to_string(p) for p in paths]
                             if paths is not None else [])
@@ -121,6 +123,15 @@ class SnarlData:
     @property
     def type_var_str(self) -> str:
         return ",".join(self.type_variants)
+
+    @property
+    def row_prefix(self) -> str:
+        """``START\\tEND\\tSNARL\\tTYPES`` — the constant middle of every
+        output row (batch writers join these once per chunk)."""
+        if self._row_prefix is None:
+            self._row_prefix = (f"{self.start_pos}\t{self.end_pos}\t"
+                                f"{self.snarl_id_str}\t{self.type_var_str}")
+        return self._row_prefix
 
     def __repr__(self) -> str:  # pragma: no cover - debugging aid
         return (f"SnarlData({self.snarl_id_str}, "

@@ -104,8 +104,92 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     lib.stoat_free_buf.argtypes = [ctypes.c_void_p]
+    lib.stoat_format_binary_rows.restype = ctypes.c_void_p
+    lib.stoat_format_binary_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.stoat_format_quant_rows.restype = ctypes.c_void_p
+    lib.stoat_format_quant_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64)]
     _lib = lib
     return _lib
+
+
+def _dptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def format_binary_rows(chrom: str, prefixes: bytes, depths, filtered,
+                       p_fisher, p_chi2, g0, g1, keep, S: int):
+    """C++ batch formatter for binary result rows; returns bytes or None.
+
+    Exact twin of the per-row Python path (writer.write_binary_row +
+    format_p + format_group_paths), pinned by tests."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    depths = np.ascontiguousarray(depths, np.int64)
+    filtered = np.ascontiguousarray(filtered, np.uint8)
+    p_fisher = np.ascontiguousarray(p_fisher, np.float64)
+    p_chi2 = np.ascontiguousarray(p_chi2, np.float64)
+    g0 = np.ascontiguousarray(g0, np.float64)
+    g1 = np.ascontiguousarray(g1, np.float64)
+    keep = np.ascontiguousarray(keep, np.uint8)
+    out_len = ctypes.c_uint64()
+    ptr = lib.stoat_format_binary_rows(
+        chrom.encode(), prefixes,
+        depths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _dptr(p_fisher), _dptr(p_chi2), _dptr(g0), _dptr(g1),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        S, g0.shape[1], ctypes.byref(out_len))
+    if not ptr:
+        return None
+    blob = ctypes.string_at(ptr, out_len.value)
+    lib.stoat_free_buf(ptr)
+    return blob
+
+
+def format_quant_rows(chrom: str, prefixes: bytes, depths, filtered,
+                      p, r2, beta, se, allele_paths, n_paths, S: int,
+                      has_r2: bool):
+    """C++ batch formatter for quantitative/covar result rows."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    depths = np.ascontiguousarray(depths, np.int64)
+    filtered = np.ascontiguousarray(filtered, np.uint8)
+    p = np.ascontiguousarray(p, np.float64)
+    r2 = np.ascontiguousarray(r2 if r2 is not None else p, np.float64)
+    beta = np.ascontiguousarray(beta, np.float64)
+    se = np.ascontiguousarray(se, np.float64)
+    allele_paths = np.ascontiguousarray(allele_paths, np.int32)
+    n_paths = np.ascontiguousarray(n_paths, np.int64)
+    out_len = ctypes.c_uint64()
+    ptr = lib.stoat_format_quant_rows(
+        chrom.encode(), prefixes,
+        depths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        filtered.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _dptr(p), _dptr(r2), _dptr(beta), _dptr(se),
+        allele_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        S, allele_paths.shape[1], 1 if has_r2 else 0,
+        ctypes.byref(out_len))
+    if not ptr:
+        return None
+    blob = ctypes.string_at(ptr, out_len.value)
+    lib.stoat_free_buf(ptr)
+    return blob
 
 
 def resolve_paths_native(edges: np.ndarray, blob: str):

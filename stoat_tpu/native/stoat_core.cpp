@@ -37,6 +37,7 @@
 #include <algorithm>
 #include <atomic>
 #include <condition_variable>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -48,6 +49,19 @@
 #include <vector>
 
 #include <zlib.h>
+
+#if defined(__GLIBC__)
+#include <malloc.h>
+// Keep freed block buffers in the heap instead of returning them to the
+// kernel: the streaming reader allocates/frees a 4 MB batch per block and
+// multi-MB word matrices per chromosome, and the default mmap/trim
+// thresholds turn that into a page-fault storm (~12 ms/chromosome of sys
+// time at the 8k-snarl test scale — measured, it doubled ingest time).
+__attribute__((constructor)) static void stoat_tune_malloc() {
+    mallopt(M_MMAP_THRESHOLD, 1 << 30);
+    mallopt(M_TRIM_THRESHOLD, 1 << 30);
+}
+#endif
 
 namespace {
 
@@ -105,13 +119,29 @@ struct BlockSource {
     }
 };
 
-// A block of complete lines, NUL-terminated in place.
+// A block of complete lines, NUL-terminated in place.  The text buffer
+// is raw malloc'd storage grown without value-initialization: a
+// std::vector would memset 4 MB per block that fread immediately
+// overwrites.  Batches recycle through a free list (BatchQueue::recycle)
+// so a long VCF touches the same few buffers instead of faulting fresh
+// pages every block.
 struct Batch {
-    std::vector<char> text;
+    char* text = nullptr;
+    size_t cap = 0;
+    size_t len = 0;
     std::vector<uint32_t> offs;  // start of each data line in text
+
+    ~Batch() { free(text); }
+    void ensure(size_t n) {
+        if (cap < n) {
+            free(text);
+            text = (char*)malloc(n);
+            cap = n;
+        }
+    }
     size_t n_lines() const { return offs.size(); }
-    const char* line(size_t i) const { return text.data() + offs[i]; }
-    char* line_mut(size_t i) { return text.data() + offs[i]; }
+    const char* line(size_t i) const { return text + offs[i]; }
+    char* line_mut(size_t i) { return text + offs[i]; }
 };
 
 constexpr size_t kBlockBytes = 4u << 20;
@@ -119,11 +149,26 @@ constexpr size_t kQueueDepth = 3;
 
 struct BatchQueue {
     std::deque<Batch*> q;
+    std::vector<Batch*> freelist;
     std::mutex mu;
     std::condition_variable cv_push, cv_pop;
     bool done = false;
     std::atomic<bool> stop{false};
 
+    Batch* acquire() {
+        std::lock_guard<std::mutex> lk(mu);
+        if (freelist.empty()) return new Batch();
+        Batch* b = freelist.back();
+        freelist.pop_back();
+        b->offs.clear();
+        b->len = 0;
+        return b;
+    }
+    void recycle(Batch* b) {
+        std::lock_guard<std::mutex> lk(mu);
+        if (freelist.size() >= kQueueDepth + 2) delete b;
+        else freelist.push_back(b);
+    }
     void push(Batch* b) {
         std::unique_lock<std::mutex> lk(mu);
         cv_push.wait(lk, [&] { return q.size() < kQueueDepth ||
@@ -153,6 +198,8 @@ struct BatchQueue {
             std::lock_guard<std::mutex> lk(mu);
             for (Batch* b : q) delete b;
             q.clear();
+            for (Batch* b : freelist) delete b;
+            freelist.clear();
         }
         cv_pop.notify_all();
     }
@@ -412,10 +459,14 @@ struct MatrixBuilder {
     size_t n_rows() const { return table.count; }
 
     void reset(size_t n_words, uint64_t initial_rows) {
-        table.reset(size_t(initial_rows));
+        uint64_t want = initial_rows < 64 ? 64 : initial_rows;
+        // keep capacity grown by earlier chromosomes: assign() reuses the
+        // allocation, avoiding the doubling realloc+copy chain per chunk
+        if (W == n_words && cap_rows > want) want = cap_rows;
+        table.reset(size_t(want));
         edges.clear();
         W = n_words;
-        cap_rows = initial_rows < 64 ? 64 : initial_rows;
+        cap_rows = want;
         data.assign(cap_rows * W, 0);
     }
 
@@ -470,7 +521,9 @@ struct Reader {
     std::thread producer;
     std::vector<std::string> pending;  // lines of the NEXT chromosome
     std::vector<char> carry;           // partial line handed to producer
-    std::vector<Arena> arenas;         // one per worker, reused
+    std::vector<Arena> arenas;         // parse arenas (double-buffered
+    std::vector<Arena> arenas2;        //  across the parse/intern pipeline)
+    MatrixBuilder mb;                  // reused: keeps row capacity
 
     ~Reader() {
         queue.shutdown();
@@ -484,17 +537,17 @@ struct Reader {
             carry.clear();
             for (;;) {
                 if (queue.stop.load()) return;
-                Batch* b = new Batch();
-                b->text.resize(rest.size() + kBlockBytes + 1);
+                Batch* b = queue.acquire();
+                b->ensure(rest.size() + kBlockBytes + 1);
                 if (!rest.empty())
-                    memcpy(b->text.data(), rest.data(), rest.size());
-                size_t got = src.read(b->text.data() + rest.size(),
+                    memcpy(b->text, rest.data(), rest.size());
+                size_t got = src.read(b->text + rest.size(),
                                       kBlockBytes);
                 size_t total = rest.size() + got;
                 rest.clear();
-                if (total == 0) { delete b; break; }
-                b->text.resize(total + 1);
-                char* base = b->text.data();
+                if (total == 0) { queue.recycle(b); break; }
+                b->len = total + 1;
+                char* base = b->text;
                 size_t pos = 0;
                 size_t line_start = 0;
                 while (pos < total) {
@@ -519,11 +572,11 @@ struct Reader {
                     }
                 } else if (line_start < total) {
                     rest.assign(base + line_start, base + total);
-                    b->text.resize(line_start);  // drop the partial tail
+                    b->len = line_start;  // drop the partial tail
                 }
                 bool eof = (got == 0);
                 if (b->n_lines()) queue.push(b);
-                else delete b;
+                else queue.recycle(b);
                 if (eof) break;
             }
             queue.finish();
@@ -544,30 +597,28 @@ static size_t chrom_len(const char* line) {
     return t ? size_t(t - line) : strlen(line);
 }
 
-// Parse lines [0, n) of `batch` into per-worker arenas with `nt` threads.
-static void parse_batch(Batch& batch, size_t n, size_t n_samples,
-                        std::vector<Arena>& arenas, unsigned nt, size_t W) {
+// Kick off asynchronous parsing of lines [0, n) of `batch` into
+// per-worker arenas on `nt` detached worker threads (the CALLER does not
+// participate — it interns the previous batch concurrently; join the
+// returned threads before touching the arenas).
+static std::vector<std::thread> parse_batch_async(
+        Batch& batch, size_t n, size_t n_samples,
+        std::vector<Arena>& arenas, unsigned nt, size_t W) {
+    if (n < 64) nt = 1;
     if (arenas.size() < nt) arenas.resize(nt);
+    for (unsigned t = 0; t < arenas.size(); ++t) arenas[t].begin(0);
     size_t per = (n + nt - 1) / nt;
-    auto run = [&](unsigned t) {
-        size_t lo = t * per, hi = std::min(n, lo + per);
-        Arena& ar = arenas[t];
-        ar.begin(lo < hi ? hi - lo : 0);
-        for (size_t i = lo; i < hi; ++i)
-            parse_line(batch.line_mut(i), n_samples, ar, i - lo, W);
-    };
-    if (nt <= 1 || n < 64) {
-        arenas[0].begin(n);
-        for (size_t i = 0; i < n; ++i)
-            parse_line(batch.line_mut(i), n_samples, arenas[0], i, W);
-        for (unsigned t = 1; t < nt; ++t) arenas[t].begin(0);
-        return;
-    }
     std::vector<std::thread> threads;
-    for (unsigned t = 1; t < nt; ++t)
-        threads.emplace_back(run, t);
-    run(0);
-    for (auto& th : threads) th.join();
+    for (unsigned t = 0; t < nt; ++t) {
+        size_t lo = t * per, hi = std::min(n, lo + per);
+        threads.emplace_back([&batch, &arenas, t, lo, hi, n_samples, W] {
+            Arena& ar = arenas[t];
+            ar.begin(lo < hi ? hi - lo : 0);
+            for (size_t i = lo; i < hi; ++i)
+                parse_line(batch.line_mut(i), n_samples, ar, i - lo, W);
+        });
+    }
+    return threads;
 }
 
 }  // namespace
@@ -647,59 +698,99 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     const size_t W = std::max<size_t>((2 * n_samples + 31) / 32, 1);
 
     std::string chrom;
-    MatrixBuilder mb;
+    MatrixBuilder& mb = r->mb;
     bool have_chrom = false;
     bool boundary_hit = false;
 
-    // Process one batch: establish/extend the current chromosome, stash
-    // any lines beyond the first chromosome change into r->pending.
-    auto consume = [&](Batch& b) {
-        size_t n = b.n_lines();
-        if (n == 0) return;
-        if (!have_chrom) {
-            chrom.assign(b.line(0), chrom_len(b.line(0)));
-            have_chrom = true;
-            mb.reset(W, initial_rows);
-        }
-        size_t boundary = n;
-        for (size_t i = 0; i < n; ++i) {
-            const char* ln = b.line(i);
-            size_t cl = chrom_len(ln);
-            if (cl != chrom.size() ||
-                memcmp(ln, chrom.data(), cl) != 0) {
-                boundary = i;
-                break;
+    // Fetch the next batch of this chromosome's lines: the previous
+    // chunk's stashed tail first, then the producer queue.  Establishes
+    // the chromosome from the first line and stashes everything after a
+    // chromosome change into r->pending.  Returns (batch, n_lines) with
+    // batch == nullptr at EOF; the caller owns heap batches.
+    auto fetch = [&]() -> std::pair<Batch*, size_t> {
+        for (;;) {
+            Batch* bp;
+            if (!r->pending.empty()) {
+                std::vector<std::string> pending = std::move(r->pending);
+                r->pending.clear();
+                bp = r->queue.acquire();
+                size_t need = 0;
+                for (auto& s : pending) need += s.size() + 1;
+                bp->ensure(need);
+                for (auto& s : pending) {
+                    bp->offs.push_back(uint32_t(bp->len));
+                    memcpy(bp->text + bp->len, s.c_str(), s.size() + 1);
+                    bp->len += s.size() + 1;
+                }
+            } else {
+                bp = r->queue.pop();
+                if (!bp) return {nullptr, 0};
             }
+            size_t n = bp->n_lines();
+            if (n == 0) {
+                r->queue.recycle(bp);
+                continue;
+            }
+            if (!have_chrom) {
+                chrom.assign(bp->line(0), chrom_len(bp->line(0)));
+                have_chrom = true;
+                mb.reset(W, initial_rows);
+            }
+            size_t boundary = n;
+            for (size_t i = 0; i < n; ++i) {
+                const char* ln = bp->line(i);
+                size_t cl = chrom_len(ln);
+                if (cl != chrom.size() ||
+                    memcmp(ln, chrom.data(), cl) != 0) {
+                    boundary = i;
+                    break;
+                }
+            }
+            if (boundary < n) {
+                boundary_hit = true;
+                for (size_t i = boundary; i < n; ++i)
+                    r->pending.emplace_back(bp->line(i));
+                if (boundary == 0) {
+                    r->queue.recycle(bp);
+                    return {nullptr, 0};
+                }
+            }
+            return {bp, boundary};
         }
-        if (boundary < n) {
-            boundary_hit = true;
-            for (size_t i = boundary; i < n; ++i)
-                r->pending.emplace_back(b.line(i));
-        }
-        parse_batch(b, boundary, n_samples, r->arenas, nt, W);
-        for (unsigned t = 0; t < nt && t < r->arenas.size(); ++t)
-            intern_and_fill(mb, r->arenas[t]);
     };
 
-    // lines stashed from the previous chunk's tail batch first (they may
-    // themselves span several tiny chromosomes)
-    if (!r->pending.empty()) {
-        std::vector<std::string> pending = std::move(r->pending);
-        r->pending.clear();
-        Batch b;
-        for (auto& s : pending) {
-            b.offs.push_back(uint32_t(b.text.size()));
-            b.text.insert(b.text.end(), s.c_str(),
-                          s.c_str() + s.size() + 1);
+    // Two-stage pipeline: worker threads parse batch i+1 while this
+    // thread interns batch i (the serial section) — on top of the
+    // producer thread reading batch i+2 from disk.
+    auto [cur, cur_n] = fetch();
+    if (cur) {
+        std::vector<Arena>& setA = r->arenas;
+        std::vector<Arena>& setB = r->arenas2;
+        std::vector<Arena>* parsing = &setA;
+        std::vector<Arena>* interning = &setB;
+        auto threads = parse_batch_async(*cur, cur_n, n_samples,
+                                         *parsing, nt, W);
+        while (true) {
+            Batch* nxt = nullptr;
+            size_t nxt_n = 0;
+            if (!boundary_hit) {
+                auto got = fetch();
+                nxt = got.first;
+                nxt_n = got.second;
+            }
+            for (auto& th : threads) th.join();
+            std::swap(parsing, interning);
+            std::vector<std::thread> next_threads;
+            if (nxt)
+                next_threads = parse_batch_async(*nxt, nxt_n, n_samples,
+                                                 *parsing, nt, W);
+            for (Arena& ar : *interning)
+                intern_and_fill(mb, ar);
+            r->queue.recycle(cur);
+            cur = nxt;
+            threads = std::move(next_threads);
+            if (!cur) break;
         }
-        consume(b);
-    }
-
-    while (!boundary_hit) {
-        Batch* bp = r->queue.pop();
-        if (!bp) break;  // EOF
-        consume(*bp);
-        delete bp;
     }
 
     if (!have_chrom) return nullptr;
@@ -856,6 +947,130 @@ int64_t stoat_resolve_paths(const uint64_t* edges, uint64_t n_edge_rows,
 
 void stoat_free_buf(void* p) {
     free(p);
+}
+
+// ---------------------------------------------------------------------------
+// Output-row formatting (the writer's per-row hot loop).
+//
+// Twin of the reference's stoat::set_precision (utils.cpp:5-15): printf
+// %.4e when |x| < 0.1 && x != 0, else %.4g — identical to the Python
+// formatting.set_precision (pinned against it by tests).  NaN renders as
+// "NA" for statistics (format_p semantics).
+
+static inline void fmt_p(double v, std::string& out) {
+    char buf[48];
+    if (v != v) { out += "NA"; return; }
+    if (v == HUGE_VAL) { out += "inf"; return; }
+    if (v == -HUGE_VAL) { out += "-inf"; return; }
+    if (v != 0.0 && v < 0.1 && v > -0.1)
+        snprintf(buf, sizeof buf, "%.4e", v);
+    else
+        snprintf(buf, sizeof buf, "%.4g", v);
+    out += buf;
+}
+
+static inline void append_int(long long v, std::string& out) {
+    char buf[24];
+    snprintf(buf, sizeof buf, "%lld", v);
+    out += buf;
+}
+
+static char* finish_blob(std::string& out, uint64_t* out_len) {
+    char* buf = (char*)malloc(out.size() + 1);
+    if (!buf) { *out_len = 0; return nullptr; }
+    memcpy(buf, out.data(), out.size());
+    buf[out.size()] = '\0';
+    *out_len = out.size();
+    return buf;
+}
+
+// Binary rows (writer.cpp:23-35 layout):
+//   <chrom>\t<prefix>\t<P_FISHER>\t<P_CHI2>\t<g0:g1,...>\t<depth>\n
+// prefixes = S NUL-terminated "START\tEND\tSNARL\tTYPES" strings.
+// Skips filtered rows.  Caller frees via stoat_free_buf.
+char* stoat_format_binary_rows(
+        const char* chrom, const char* prefixes, const int64_t* depths,
+        const uint8_t* filtered, const double* p_fisher,
+        const double* p_chi2, const double* g0, const double* g1,
+        const uint8_t* keep, int64_t S, int64_t Pmax, uint64_t* out_len) {
+    std::string out;
+    out.reserve(size_t(S) * 64);
+    const char* pre = prefixes;
+    for (int64_t s = 0; s < S; ++s) {
+        size_t pre_len = strlen(pre);
+        if (!filtered[s]) {
+            out += chrom;
+            out += '\t';
+            out.append(pre, pre_len);
+            out += '\t';
+            fmt_p(p_fisher[s], out);
+            out += '\t';
+            fmt_p(p_chi2[s], out);
+            out += '\t';
+            bool first = true;
+            const double* g0r = g0 + s * Pmax;
+            const double* g1r = g1 + s * Pmax;
+            const uint8_t* kr = keep + s * Pmax;
+            for (int64_t c = 0; c < Pmax; ++c) {
+                if (!kr[c]) continue;
+                if (!first) out += ',';
+                first = false;
+                append_int((long long)g0r[c], out);
+                out += ':';
+                append_int((long long)g1r[c], out);
+            }
+            out += '\t';
+            append_int(depths[s], out);
+            out += '\n';
+        }
+        pre += pre_len + 1;
+    }
+    return finish_blob(out, out_len);
+}
+
+// Quantitative-family rows (writer.cpp:37-87 layouts):
+//   has_r2=1:  ...\t<P>\t<RSQUARE>\t<BETA>\t<SE>\t<allele_paths>\t<depth>
+//   has_r2=0:  ...\t<P>\t<BETA>\t<SE>\t<allele_paths>\t<depth>   (covar)
+// allele_paths joins the first n_paths[s] columns with commas.
+char* stoat_format_quant_rows(
+        const char* chrom, const char* prefixes, const int64_t* depths,
+        const uint8_t* filtered, const double* p, const double* r2,
+        const double* beta, const double* se, const int32_t* allele_paths,
+        const int64_t* n_paths, int64_t S, int64_t Pmax, int has_r2,
+        uint64_t* out_len) {
+    std::string out;
+    out.reserve(size_t(S) * 72);
+    const char* pre = prefixes;
+    for (int64_t s = 0; s < S; ++s) {
+        size_t pre_len = strlen(pre);
+        if (!filtered[s]) {
+            out += chrom;
+            out += '\t';
+            out.append(pre, pre_len);
+            out += '\t';
+            fmt_p(p[s], out);
+            out += '\t';
+            if (has_r2) {
+                fmt_p(r2[s], out);
+                out += '\t';
+            }
+            fmt_p(beta[s], out);
+            out += '\t';
+            fmt_p(se[s], out);
+            out += '\t';
+            const int32_t* ap = allele_paths + s * Pmax;
+            int64_t n = n_paths[s] < Pmax ? n_paths[s] : Pmax;
+            for (int64_t c = 0; c < n; ++c) {
+                if (c) out += ',';
+                append_int(ap[c], out);
+            }
+            out += '\t';
+            append_int(depths[s], out);
+            out += '\n';
+        }
+        pre += pre_len + 1;
+    }
+    return finish_blob(out, out_len);
 }
 
 }  // extern "C"

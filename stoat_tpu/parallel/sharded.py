@@ -105,6 +105,10 @@ def _unshard(out: Dict[str, jnp.ndarray],
              sizes) -> Dict[str, np.ndarray]:
     """Flatten [D, S_local, ...] back to global snarl order, dropping
     per-shard padding."""
+    for value in out.values():
+        copy_async = getattr(value, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()        # overlap all device->host transfers
     result: Dict[str, np.ndarray] = {}
     for key, value in out.items():
         arr = np.asarray(value)

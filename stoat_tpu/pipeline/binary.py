@@ -208,7 +208,8 @@ def binary_analyze_chromosome(packed: PackedChromosome,
             jnp.float64(min_haplotypes),
             jnp.float64(maf_threshold),
         )
-        return {key: np.asarray(value) for key, value in out.items()}
+        from stoat_tpu.pipeline.fetch import fetch_all
+        return fetch_all(out)
 
     pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
     out = binary_tables_device(
@@ -225,4 +226,5 @@ def binary_analyze_chromosome(packed: PackedChromosome,
         jnp.float64(maf_threshold),
         num_paths=int(packed.n_edges_per_path.shape[0]),
     )
-    return {key: np.asarray(value) for key, value in out.items()}
+    from stoat_tpu.pipeline.fetch import fetch_all
+    return fetch_all(out)

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stoat_tpu.pipeline.fetch import fetch_all
 from stoat_tpu.pipeline.membership import path_membership
 from stoat_tpu.stats.linreg import linear_regression_batch
 from stoat_tpu.stats.logreg import logistic_regression_batch
@@ -274,7 +275,9 @@ def lmm_analyze_chromosome(packed: PackedChromosome,
                            min_individuals: int,
                            min_haplotypes: int,
                            maf_threshold: float,
-                           device_matrix=None) -> Dict[str, np.ndarray]:
+                           device_matrix=None,
+                           return_tables: bool = False
+                           ) -> Dict[str, np.ndarray]:
     """Kinship-corrected GLS per snarl (EMMAX; stats/lmm.py).
 
     Same table construction and filtration as the OLS path, but EMMAX
@@ -296,11 +299,11 @@ def lmm_analyze_chromosome(packed: PackedChromosome,
         "beta": jnp.where(degenerate, nan, beta),
         "se": jnp.where(degenerate, nan, se),
         "r2": jnp.where(degenerate, nan, r2),
-        "norm": design["norm"],
-        "used": design["used"],
-        "kept": design["kept"],
     }
-    return {key: np.asarray(value) for key, value in out.items()}
+    if return_tables:
+        out.update(norm=design["norm"], used=design["used"],
+                   kept=design["kept"])
+    return fetch_all(out)
 
 
 def quantitative_analyze_chromosome(packed: PackedChromosome,
@@ -309,7 +312,9 @@ def quantitative_analyze_chromosome(packed: PackedChromosome,
                                     min_individuals: int,
                                     min_haplotypes: int,
                                     maf_threshold: float,
-                                    device_matrix=None) -> Dict[str, np.ndarray]:
+                                    device_matrix=None,
+                                    return_tables: bool = False
+                                    ) -> Dict[str, np.ndarray]:
     """OLS per snarl.  Returns per-snarl arrays incl. formatted inputs."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
                          maf_threshold, with_covar=True,
@@ -327,11 +332,10 @@ def quantitative_analyze_chromosome(packed: PackedChromosome,
         "beta": jnp.where(degenerate, nan, beta),
         "se": jnp.where(degenerate, nan, se),
         "r2": jnp.where(degenerate, nan, r2),
-        "norm": design["norm"],
-        "used": used,
-        "kept": design["kept"],
     }
-    return {key: np.asarray(value) for key, value in out.items()}
+    if return_tables:
+        out.update(norm=design["norm"], used=used, kept=design["kept"])
+    return fetch_all(out)
 
 
 def binary_covar_analyze_chromosome(packed: PackedChromosome,
@@ -340,7 +344,9 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
                                     min_individuals: int,
                                     min_haplotypes: int,
                                     maf_threshold: float,
-                                    device_matrix=None) -> Dict[str, np.ndarray]:
+                                    device_matrix=None,
+                                    return_tables: bool = False
+                                    ) -> Dict[str, np.ndarray]:
     """IRLS logistic per snarl (covariates ignored in the model, as in the
     reference — see module docstring)."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
@@ -358,11 +364,10 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
         "p": jnp.where(degenerate, nan, p),
         "beta": jnp.where(degenerate, nan, beta),
         "se": jnp.where(degenerate, nan, se),
-        "norm": design["norm"],
-        "used": used,
-        "kept": design["kept"],
     }
-    return {key: np.asarray(value) for key, value in out.items()}
+    if return_tables:
+        out.update(norm=design["norm"], used=used, kept=design["kept"])
+    return fetch_all(out)
 
 
 def eqtl_design_for_chromosome(packed: PackedChromosome,
@@ -401,4 +406,4 @@ def eqtl_regress_pairs(design, pair_snarl: np.ndarray,
         "se": jnp.where(degenerate, nan, se),
         "r2": jnp.where(degenerate, nan, r2),
     }
-    return {key: np.asarray(value) for key, value in out.items()}
+    return fetch_all(out)

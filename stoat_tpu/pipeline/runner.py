@@ -365,36 +365,28 @@ def _write_rows(outf, chrom, holder, res, mode, table_threshold,
                 regression_dir, samples) -> int:
     """Write rows from sharded results (incl. -T per-sample tables when
     the analyzer returned them)."""
+    snarls = holder.snarls
+    if mode == "binary":
+        return W.write_binary_rows_batch(outf, chrom, snarls, res)
+    if "norm" not in res:
+        return W.write_quant_rows_batch(outf, chrom, snarls, res,
+                                        has_r2=mode != "binary_covar")
+    # -T table dumps: per-row path (needs per-snarl significance checks)
     filtered = 0
-    for s, snarl in enumerate(holder.snarls):
+    for s, snarl in enumerate(snarls):
         if res["filtered"][s]:
             filtered += 1
             continue
-        if mode == "binary":
-            keep = res["keep"][s]
-            g0 = res["g0"][s][keep].astype(np.int64)
-            g1 = res["g1"][s][keep].astype(np.int64)
-            W.write_binary_row(
-                outf, chrom, snarl, snarl.type_var_str,
-                W.format_p(res["p_fisher"][s]),
-                W.format_p(res["p_chi2"][s]),
-                W.format_group_paths(g0, g1))
-        elif mode == "binary_covar":
-            p_str = W.format_p(res["p"][s])
-            if "norm" in res:
-                _maybe_write_table(res, s, snarl, p_str, table_threshold,
-                                   regression_dir, samples)
-            allele_paths = res["allele_paths"][s][: len(snarl.paths)]
+        p_str = W.format_p(res["p"][s])
+        _maybe_write_table(res, s, snarl, p_str, table_threshold,
+                           regression_dir, samples)
+        allele_paths = res["allele_paths"][s][: snarl.n_paths]
+        if mode == "binary_covar":
             W.write_binary_covar_row(
                 outf, chrom, snarl, snarl.type_var_str,
                 p_str, W.format_p(res["beta"][s]),
                 W.format_p(res["se"][s]), allele_paths)
         else:
-            p_str = W.format_p(res["p"][s])
-            if "norm" in res:
-                _maybe_write_table(res, s, snarl, p_str, table_threshold,
-                                   regression_dir, samples)
-            allele_paths = res["allele_paths"][s][: len(snarl.paths)]
             W.write_quantitative_row(
                 outf, chrom, snarl, snarl.type_var_str,
                 p_str, W.format_p(res["r2"][s]),
@@ -409,19 +401,7 @@ def _write_binary(outf, chrom, packed, phenotype, min_individuals,
     res = binary_analyze_chromosome(packed, phenotype, min_individuals,
                                     min_haplotypes, maf_threshold,
                                     device_matrix=device_matrix)
-    filtered = 0
-    for s, snarl in enumerate(packed.snarls):
-        if res["filtered"][s]:
-            filtered += 1
-            continue
-        keep = res["keep"][s]
-        g0 = res["g0"][s][keep].astype(np.int64)
-        g1 = res["g1"][s][keep].astype(np.int64)
-        W.write_binary_row(
-            outf, chrom, snarl, snarl.type_var_str,
-            W.format_p(res["p_fisher"][s]), W.format_p(res["p_chi2"][s]),
-            W.format_group_paths(g0, g1))
-    return filtered
+    return W.write_binary_rows_batch(outf, chrom, packed.snarls, res)
 
 
 def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,
@@ -441,13 +421,15 @@ def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,
                               used_samples)
 
 
-def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix=None) -> int:
-    res = binary_covar_analyze_chromosome(
-        packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix)
+def _write_quant_family(outf, chrom, packed, res, table_threshold,
+                        regression_dir, samples, has_r2: bool) -> int:
+    """Shared writer for the quantitative-layout modes.
+
+    Fast path: one C++ batch-format call per chunk.  With -T on, the
+    per-row loop runs instead (it interleaves significant-table dumps)."""
+    if table_threshold == -1:
+        return W.write_quant_rows_batch(outf, chrom, packed.snarls, res,
+                                        has_r2=has_r2)
     filtered = 0
     for s, snarl in enumerate(packed.snarls):
         if res["filtered"][s]:
@@ -456,12 +438,30 @@ def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
         p_str = W.format_p(res["p"][s])
         _maybe_write_table(res, s, snarl, p_str, table_threshold,
                            regression_dir, samples)
-        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
-        W.write_binary_covar_row(
-            outf, chrom, snarl, snarl.type_var_str, p_str,
-            W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
-            allele_paths)
+        allele_paths = res["allele_paths"][s][: snarl.n_paths]
+        if has_r2:
+            W.write_quantitative_row(
+                outf, chrom, snarl, snarl.type_var_str, p_str,
+                W.format_p(res["r2"][s]), W.format_p(res["beta"][s]),
+                W.format_p(res["se"][s]), allele_paths)
+        else:
+            W.write_binary_covar_row(
+                outf, chrom, snarl, snarl.type_var_str, p_str,
+                W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
+                allele_paths)
     return filtered
+
+
+def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, regression_dir, samples,
+                        device_matrix=None) -> int:
+    res = binary_covar_analyze_chromosome(
+        packed, phenotype, covariate, min_individuals, min_haplotypes,
+        maf_threshold, device_matrix=device_matrix,
+        return_tables=table_threshold != -1)
+    return _write_quant_family(outf, chrom, packed, res, table_threshold,
+                               regression_dir, samples, has_r2=False)
 
 
 def _write_quantitative(outf, chrom, packed, phenotype, covariate,
@@ -470,21 +470,10 @@ def _write_quantitative(outf, chrom, packed, phenotype, covariate,
                         device_matrix=None) -> int:
     res = quantitative_analyze_chromosome(
         packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix)
-    filtered = 0
-    for s, snarl in enumerate(packed.snarls):
-        if res["filtered"][s]:
-            filtered += 1
-            continue
-        p_str = W.format_p(res["p"][s])
-        _maybe_write_table(res, s, snarl, p_str, table_threshold,
-                           regression_dir, samples)
-        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
-        W.write_quantitative_row(
-            outf, chrom, snarl, snarl.type_var_str, p_str,
-            W.format_p(res["r2"][s]), W.format_p(res["beta"][s]),
-            W.format_p(res["se"][s]), allele_paths)
-    return filtered
+        maf_threshold, device_matrix=device_matrix,
+        return_tables=table_threshold != -1)
+    return _write_quant_family(outf, chrom, packed, res, table_threshold,
+                               regression_dir, samples, has_r2=True)
 
 
 def _write_lmm(outf, chrom, packed, lmm_ctx, covariate, min_individuals,
@@ -494,21 +483,10 @@ def _write_lmm(outf, chrom, packed, lmm_ctx, covariate, min_individuals,
     from stoat_tpu.pipeline.quantitative import lmm_analyze_chromosome
     res = lmm_analyze_chromosome(
         packed, lmm_ctx, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix)
-    filtered = 0
-    for s, snarl in enumerate(packed.snarls):
-        if res["filtered"][s]:
-            filtered += 1
-            continue
-        p_str = W.format_p(res["p"][s])
-        _maybe_write_table(res, s, snarl, p_str, table_threshold,
-                           regression_dir, samples)
-        allele_paths = res["allele_paths"][s][: len(snarl.paths)]
-        W.write_quantitative_row(
-            outf, chrom, snarl, snarl.type_var_str, p_str,
-            W.format_p(res["r2"][s]), W.format_p(res["beta"][s]),
-            W.format_p(res["se"][s]), allele_paths)
-    return filtered
+        maf_threshold, device_matrix=device_matrix,
+        return_tables=table_threshold != -1)
+    return _write_quant_family(outf, chrom, packed, res, table_threshold,
+                               regression_dir, samples, has_r2=True)
 
 
 def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
@@ -545,7 +523,7 @@ def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,
         for b, (s, g) in enumerate(zip(pair_snarl, pair_gene)):
             snarl = packed.snarls[s]
             p_str = W.format_p(res["p"][b])
-            allele_paths = allele_arr[s][: len(snarl.paths)]
+            allele_paths = allele_arr[s][: snarl.n_paths]
             W.write_eqtl_row(
                 outf, chrom, snarl, snarl.type_var_str,
                 gene_list[g].gene_name, p_str, W.format_p(res["r2"][b]),

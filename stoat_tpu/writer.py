@@ -24,6 +24,7 @@ __all__ = [
     "write_quantitative_header", "write_quantitative_row",
     "write_eqtl_header", "write_eqtl_row",
     "write_significant_table",
+    "write_binary_rows_batch", "write_quant_rows_batch",
 ]
 
 BINARY_HEADER = ("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tP_FISHER\t"
@@ -113,3 +114,90 @@ def write_significant_table(path: str, table: np.ndarray,
             for value in row:
                 fh.write(f"\t{value:g}")
             fh.write("\n")
+
+
+def _prefix_blob(snarls) -> bytes:
+    return ("\0".join(s.row_prefix for s in snarls) + "\0").encode()
+
+
+def write_binary_rows_batch(fh, chrom: str, snarls, res) -> int:
+    """Write all of a chunk's binary rows; returns the filtered count.
+
+    One C++ batch-format call + one fh.write (the per-row Python loop is
+    the writer's hot path at scale); value-identical fallback to the
+    per-row path when the native core is unavailable (pinned by tests).
+    """
+    S = len(snarls)
+    filtered_arr = np.asarray(res["filtered"])[:S]
+    n_filtered = int(np.sum(filtered_arr))
+    try:
+        from stoat_tpu import native
+        blob = native.format_binary_rows(
+            chrom, _prefix_blob(snarls),
+            np.fromiter((s.depth for s in snarls), np.int64, S),
+            filtered_arr, np.asarray(res["p_fisher"])[:S],
+            np.asarray(res["p_chi2"])[:S], np.asarray(res["g0"])[:S],
+            np.asarray(res["g1"])[:S], np.asarray(res["keep"])[:S], S)
+    except (OSError, AttributeError):
+        blob = None
+    if blob is not None:
+        fh.write(blob.decode())
+        return n_filtered
+    for s, snarl in enumerate(snarls):
+        if filtered_arr[s]:
+            continue
+        keep = np.asarray(res["keep"])[s]
+        g0 = np.asarray(res["g0"])[s][keep].astype(np.int64)
+        g1 = np.asarray(res["g1"])[s][keep].astype(np.int64)
+        write_binary_row(fh, chrom, snarl, snarl.type_var_str,
+                         format_p(float(np.asarray(res["p_fisher"])[s])),
+                         format_p(float(np.asarray(res["p_chi2"])[s])),
+                         format_group_paths(g0, g1))
+    return n_filtered
+
+
+def write_quant_rows_batch(fh, chrom: str, snarls, res,
+                           has_r2: bool = True,
+                           skip=None) -> int:
+    """Write a chunk's quantitative/covar rows; returns filtered count.
+
+    ``skip`` (bool [S]) rows are written by the caller instead (the -T
+    significant-table path needs per-row handling)."""
+    S = len(snarls)
+    filtered_arr = np.asarray(res["filtered"])[:S]
+    n_filtered = int(np.sum(filtered_arr))
+    drop = filtered_arr if skip is None else (filtered_arr | skip[:S])
+    try:
+        from stoat_tpu import native
+        blob = native.format_quant_rows(
+            chrom, _prefix_blob(snarls),
+            np.fromiter((s.depth for s in snarls), np.int64, S),
+            drop, np.asarray(res["p"])[:S],
+            np.asarray(res["r2"])[:S] if has_r2 else None,
+            np.asarray(res["beta"])[:S], np.asarray(res["se"])[:S],
+            np.asarray(res["allele_paths"])[:S],
+            np.fromiter((s.n_paths for s in snarls), np.int64, S),
+            S, has_r2)
+    except (OSError, AttributeError):
+        blob = None
+    if blob is not None:
+        fh.write(blob.decode())
+        return n_filtered
+    allele_arr = np.asarray(res["allele_paths"])
+    for s, snarl in enumerate(snarls):
+        if drop[s]:
+            continue
+        p_str = format_p(float(np.asarray(res["p"])[s]))
+        ap = allele_arr[s][: snarl.n_paths]
+        if has_r2:
+            write_quantitative_row(
+                fh, chrom, snarl, snarl.type_var_str, p_str,
+                format_p(float(np.asarray(res["r2"])[s])),
+                format_p(float(np.asarray(res["beta"])[s])),
+                format_p(float(np.asarray(res["se"])[s])), ap)
+        else:
+            write_binary_covar_row(
+                fh, chrom, snarl, snarl.type_var_str, p_str,
+                format_p(float(np.asarray(res["beta"])[s])),
+                format_p(float(np.asarray(res["se"])[s])), ap)
+    return n_filtered

@@ -15,19 +15,29 @@ import numpy as np
 
 
 def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
-                 seed: int = 7, chrom: str = "ref") -> Dict[str, str]:
-    """Write snarl file, VCF, phenotype, covariate files; return paths."""
+                 seed: int = 7, chrom: str = "ref",
+                 n_chroms: int = 1) -> Dict[str, str]:
+    """Write snarl file, VCF, phenotype, covariate files; return paths.
+
+    ``n_chroms > 1`` splits the ``n_snarls`` evenly over chromosomes
+    ``{chrom}0..{chrom}N-1`` (the realistic GWAS shape; exercises the
+    runner's per-chromosome pipelining)."""
     rng = np.random.default_rng(seed)
     os.makedirs(tmpdir, exist_ok=True)
 
     samples = [f"samp{i}" for i in range(n_samples)]
 
+    chroms = ([chrom] if n_chroms <= 1
+              else [f"{chrom}{c}" for c in range(n_chroms)])
+    per_chrom = -(-n_snarls // len(chroms))
+
     # --- snarl chain: snarl k spans nodes base..base+n_alleles+1 ---------
     snarl_rows = []
     vcf_rows = []
     node = 1
-    pos = 100
     for k in range(n_snarls):
+        this_chrom = chroms[k // per_chrom]
+        pos = 100 + (k % per_chrom) * 120
         n_alleles = int(rng.integers(2, 5))   # 2-4 paths
         start = node
         end = node + n_alleles + 1
@@ -47,7 +57,7 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
                 types.append("1")
         snarl_id = f"{start}_{end}"
         snarl_rows.append("\t".join([
-            chrom, str(pos), str(pos + 10), str(1000 + k), snarl_id,
+            this_chrom, str(pos), str(pos + 10), str(1000 + k), snarl_id,
             ",".join(paths), ",".join(types), "1", "1"]))
 
         # --- VCF record: allele index == path index ----------------------
@@ -60,11 +70,10 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
                for m, (a1, a2) in zip(missing, draws)]
         alts = ",".join(["T"] * max(n_alleles - 1, 1))
         vcf_rows.append("\t".join([
-            chrom, str(pos), snarl_id, "A", alts, "99", "PASS",
+            this_chrom, str(pos), snarl_id, "A", alts, "99", "PASS",
             f"AT={','.join(paths)};LV=0", "GT"] + gts))
 
         node = end
-        pos += 120
 
     snarl_path = os.path.join(tmpdir, "snarl_analyse.tsv")
     with open(snarl_path, "w") as fh:
@@ -75,7 +84,8 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
     vcf_path = os.path.join(tmpdir, "test.vcf")
     with open(vcf_path, "w") as fh:
         fh.write("##fileformat=VCFv4.2\n")
-        fh.write(f"##contig=<ID={chrom}>\n")
+        for c in chroms:
+            fh.write(f"##contig=<ID={c}>\n")
         fh.write('##INFO=<ID=AT,Number=R,Type=String,Description="Allele '
                  'Traversal">\n')
         fh.write('##INFO=<ID=LV,Number=1,Type=Integer,Description="Level">\n')

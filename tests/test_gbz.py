@@ -127,7 +127,7 @@ def test_graph_association_from_gbz(tmp_path):
     rc = run_graph_association(GBZ, "", str(pheno), "chi2", "tsv",
                                0, "ref", str(out))
     assert rc == 0
-    rows = (out / "associated_snarls.tsv").read_text()
+    rows = (out / "binary_table_graph.tsv").read_text()
     assert rows.count("\n") >= 1
 
 

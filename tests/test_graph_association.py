@@ -67,7 +67,7 @@ def test_graph_association_chi2_tsv(tmp_path):
         test_method="chi2", output_format="tsv", allele_size_limit=0,
         reference_sample="ref", output_dir=str(out))
     assert rc == 0
-    with open(out / "associated_snarls.tsv") as fh:
+    with open(out / "binary_table_graph.tsv") as fh:
         header = fh.readline().rstrip("\n").split("\t")
         rows = [line.rstrip("\n").split("\t") for line in fh]
     assert header[0] == "#CHR"
@@ -91,7 +91,7 @@ def test_graph_association_exact(tmp_path):
         test_method="exact", output_format="tsv", allele_size_limit=0,
         reference_sample="ref", output_dir=str(out))
     assert rc == 0
-    with open(out / "associated_snarls.tsv") as fh:
+    with open(out / "binary_table_graph.tsv") as fh:
         fh.readline()
         rows = [line.rstrip("\n").split("\t") for line in fh]
     # the partition {s1,s2} equals the case set exactly -> written
@@ -111,7 +111,7 @@ def test_graph_association_exact_no_match(tmp_path):
         test_method="exact", output_format="tsv", allele_size_limit=0,
         reference_sample="ref", output_dir=str(out))
     assert rc == 0
-    with open(out / "associated_snarls.tsv") as fh:
+    with open(out / "binary_table_graph.tsv") as fh:
         fh.readline()
         rows = [l for l in fh if l.strip()]
     assert rows == []
@@ -128,7 +128,7 @@ def test_graph_association_fasta(tmp_path):
         test_method="chi2", output_format="fasta", allele_size_limit=0,
         reference_sample="ref", output_dir=str(out))
     assert rc == 0
-    with open(out / "associated_snarls.fasta") as fh:
+    with open(out / "binary_output.fasta") as fh:
         content = fh.read()
     # one representative per partition: sequences C and G
     records = [r for r in content.split(">") if r.strip()]

@@ -37,7 +37,7 @@ def run(gfa, pheno, out, method, limit=0):
                    "-T", method, "-O", "tsv", "-l", str(limit),
                    "-r", "ref", "-o", out])
     assert rc == 0
-    with open(os.path.join(out, "associated_snarls.tsv")) as fh:
+    with open(os.path.join(out, "binary_table_graph.tsv")) as fh:
         fh.readline()
         return [l.rstrip("\n").split("\t") for l in fh if l.strip()]
 

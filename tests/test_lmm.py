@@ -200,7 +200,8 @@ def test_pipeline_identity_kinship_matches_ols_on_full_snarls(tmp_path):
     ctx = fit_null_reml(pheno_q, np.eye(n))
     res_lmm = lmm_analyze_chromosome(packed, ctx, None, 3, 5, 0.05)
     res_ols = quantitative_analyze_chromosome(packed, pheno_q, None,
-                                              3, 5, 0.05)
+                                              3, 5, 0.05,
+                                              return_tables=True)
     full = res_ols["used"].all(axis=1) & ~res_ols["filtered"]
     assert full.sum() >= 3, "fixture should have fully-covered snarls"
     np.testing.assert_allclose(res_lmm["p"][full], res_ols["p"][full],
