@@ -27,8 +27,10 @@ __version__ = "0.1.0"
 
 logger = logging.getLogger("stoat")
 
+from stoat_tpu.logsetup import TRACE
+
 _LOG_LEVELS = {0: logging.ERROR, 1: logging.WARNING, 2: logging.INFO,
-               3: logging.DEBUG, 4: logging.DEBUG}
+               3: logging.DEBUG, 4: TRACE}
 
 
 def _setup_logging(verbosity: int) -> None:

@@ -251,6 +251,15 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
         regular = _is_regular_snarl(g, forest, i)
         partitions = partitioner.partition_samples_in_snarl(
             forest, i, regular)
+        # trace-level partition dump (graph_path_association_finder
+        # .cpp:55,80-95 logs the same shape at LOG_TRACE)
+        from stoat_tpu.logsetup import TRACE
+        if logger.isEnabledFor(TRACE):
+            logger.trace("Test snarl %s", snarl.id_str)
+            for part in partitions:
+                logger.trace("\tPARTITION")
+                for sample in sorted(part):
+                    logger.trace("\t\t%s", sample)
         descend = True
         if len(partitions) > 1:
             if test_method == "exact":

@@ -88,6 +88,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_chunk_cols.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_nwords.restype = ctypes.c_uint64
     lib.stoat_chunk_nwords.argtypes = [ctypes.c_void_p]
+    lib.stoat_chunk_n_records.restype = ctypes.c_uint64
+    lib.stoat_chunk_n_records.argtypes = [ctypes.c_void_p]
+    lib.stoat_chunk_n_with_at.restype = ctypes.c_uint64
+    lib.stoat_chunk_n_with_at.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_words.restype = ctypes.POINTER(ctypes.c_uint32)
     lib.stoat_chunk_words.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_matrix.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -388,6 +392,8 @@ class NativeVcfMatrixReader:
             cols = int(lib.stoat_chunk_cols(cp))
             nwords = int(lib.stoat_chunk_nwords(cp))
             chrom = lib.stoat_chunk_chrom(cp).decode()
+            self.last_counts = (int(lib.stoat_chunk_n_records(cp)),
+                                int(lib.stoat_chunk_n_with_at(cp)))
             if rows == 0:
                 # e.g. a chromosome whose records all lack AT fields
                 words = np.full((1, nwords), 0xFFFFFFFF, np.uint32)

@@ -586,6 +586,7 @@ struct Reader {
 
 struct Chunk {
     uint64_t n_rows = 0, n_cols = 0, n_words = 0;
+    uint64_t n_records = 0, n_with_at = 0;  // diagnostics counters
     std::vector<uint32_t> words;   // [n_rows + 1, n_words], last row ~0
     std::vector<uint8_t> dense;    // lazy [n_rows, n_cols] unpack
     std::vector<uint64_t> edges;   // per row: a_id, a_rev, b_id, b_rev
@@ -699,6 +700,7 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
 
     std::string chrom;
     MatrixBuilder& mb = r->mb;
+    uint64_t n_records = 0, n_with_at = 0;
     bool have_chrom = false;
     bool boundary_hit = false;
 
@@ -784,8 +786,12 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
             if (nxt)
                 next_threads = parse_batch_async(*nxt, nxt_n, n_samples,
                                                  *parsing, nt, W);
-            for (Arena& ar : *interning)
+            for (Arena& ar : *interning) {
                 intern_and_fill(mb, ar);
+                n_records += ar.recs.size();
+                for (const RecMeta& rm : ar.recs)
+                    if (rm.ok) ++n_with_at;
+            }
             r->queue.recycle(cur);
             cur = nxt;
             threads = std::move(next_threads);
@@ -799,6 +805,8 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     chunk->chrom = chrom;
     uint64_t rows = mb.n_rows();
     chunk->n_rows = rows;
+    chunk->n_records = n_records;
+    chunk->n_with_at = n_with_at;
     chunk->n_cols = 2 * n_samples;
     chunk->n_words = W;
     chunk->words.assign(mb.data.begin(), mb.data.begin() + rows * W);
@@ -817,6 +825,17 @@ uint64_t stoat_chunk_rows(void* cp) {
 
 uint64_t stoat_chunk_cols(void* cp) {
     return static_cast<Chunk*>(cp)->n_cols;
+}
+
+uint64_t stoat_chunk_n_records(void* cp) {
+    return static_cast<Chunk*>(cp)->n_records;
+}
+
+// Records whose INFO carried a usable AT (and LV==0) — for the
+// degenerate-input diagnostics (a header-only output with zero warnings
+// is a support ticket, not a result).
+uint64_t stoat_chunk_n_with_at(void* cp) {
+    return static_cast<Chunk*>(cp)->n_with_at;
 }
 
 uint64_t stoat_chunk_nwords(void* cp) {

@@ -54,7 +54,10 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             from stoat_tpu.matrix import PackedEdgeMatrix
             reader = NativeVcfMatrixReader(vcf_path)
             for chrom, words, n_haps, edges in reader.chunks_packed():
-                yield chrom, PackedEdgeMatrix(words, n_haps, edges)
+                matrix = PackedEdgeMatrix(words, n_haps, edges)
+                matrix.n_records, matrix.n_with_at = \
+                    getattr(reader, "last_counts", (-1, -1))
+                yield chrom, matrix
             reader.close()
             return
         except (RuntimeError, OSError) as e:
@@ -66,8 +69,12 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
         matrix = EdgeHaplotypeMatrix(
             n_haplotypes,
             initial_rows=max(4 * len(snarls_chr.get(chrom, [])), 64))
+        n_records = n_with_at = 0
         for rec in records:
+            n_records += 1
+            n_with_at += 1 if rec.at_paths else 0
             matrix.add_record(rec)
+        matrix.n_records, matrix.n_with_at = n_records, n_with_at
         yield chrom, matrix
     reader.close()
 
@@ -189,6 +196,7 @@ def run_vcf_analysis(
     n_hap = 2 * len(samples)
 
     total_filtered = 0
+    total_analyzed = 0
     with open(output_tsv, "w", newline="") as outf:
         if mode == "binary":
             W.write_binary_header(outf)
@@ -223,6 +231,27 @@ def run_vcf_analysis(
                         chrom, t1 - t0)
 
             snarls = snarls_chr[chrom]
+            # Degenerate-input diagnostics: a header-only output with no
+            # explanation is a support ticket, not a result.
+            n_rec = getattr(matrix, "n_records", -1)
+            n_at = getattr(matrix, "n_with_at", -1)
+            if n_rec == 0:
+                logger.warning(
+                    "Chromosome %s: the VCF contains no records for this "
+                    "chromosome; all %d snarls will be filtered.",
+                    chrom, len(snarls))
+            elif n_at == 0:
+                logger.warning(
+                    "Chromosome %s: 0 of %d VCF records carry a usable "
+                    "AT INFO field (vg deconstruct emits it; plain VCFs "
+                    "do not) — no genotype matrix can be built and all "
+                    "%d snarls will be filtered.",
+                    chrom, n_rec, len(snarls))
+            elif matrix.n_rows == 0:
+                logger.warning(
+                    "Chromosome %s: %d/%d AT-carrying records produced "
+                    "no matrix rows (no called alleles?); all %d snarls "
+                    "will be filtered.", chrom, n_at, n_rec, len(snarls))
             import jax.numpy as jnp
             # Chunk the snarl axis so one chromosome's batch stays within
             # device memory regardless of scale (SURVEY.md §5.7: the
@@ -310,6 +339,13 @@ def run_vcf_analysis(
                         device_matrix)
 
             total_filtered += filtered
+            total_analyzed += len(snarls)
+            if filtered == len(snarls) and snarls:
+                logger.warning(
+                    "Chromosome %s: all %d snarls were filtered "
+                    "(min-individuals/min-haplotypes/MAF thresholds, or "
+                    "the snarl paths reference edges absent from the "
+                    "VCF's AT traversals).", chrom, filtered)
             t2 = time.time()
             logger.info("Number of snarl filtered in chr %s : %d",
                         chrom, filtered)
@@ -318,6 +354,13 @@ def run_vcf_analysis(
             logger.info("Total time for chr %s : %.3f s", chrom, t2 - t0)
 
     logger.info("Total number of snarl filtered : %d", total_filtered)
+    if total_analyzed and total_filtered == total_analyzed:
+        logger.warning(
+            "All %d snarls across every chromosome were filtered — the "
+            "output table has a header and no rows. Check that the VCF "
+            "carries AT INFO fields matching the snarl file's paths and "
+            "that the filter thresholds fit the cohort size.",
+            total_analyzed)
     return total_filtered
 
 
