@@ -415,21 +415,13 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
                           output_dir: str) -> int:
     """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
     refs = {reference_sample} if reference_sample else None
-    if graph_path.endswith(".hg"):
-        from stoat_tpu.graph.hashgraph import load_hg
-        g = load_hg(graph_path, refs)
-    elif graph_path.endswith(".pg"):
-        from stoat_tpu.graph.packedgraph import load_pg
-        g = load_pg(graph_path, refs)
-    elif graph_path.endswith(".gbz"):
-        from stoat_tpu.graph.gbz import load_gbz
-        g = load_gbz(graph_path, refs)
-    elif graph_path.endswith((".gfa", ".gfa.gz")):
-        g = load_gfa(graph_path, refs)
-    else:
-        raise SystemExit(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
-            "bdsg HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz).")
+    # format detected by content, like the reference's VPKG dispatch
+    # (register_io.cpp:20-26; graph/formats.py)
+    from stoat_tpu.graph.formats import load_graph
+    try:
+        g = load_graph(graph_path, refs)
+    except RuntimeError as e:
+        raise SystemExit(str(e))
     forest = find_snarls(g)
 
     samples: List[str] = []

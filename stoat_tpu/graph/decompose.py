@@ -495,55 +495,60 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
                             path_length_threshold: int = 10000,
                             cycle_threshold: int = 1
                             ) -> Dict[str, List[SnarlData]]:
-    """CLI entry: load graph (GFA), decompose, write the two TSVs.
+    """CLI entry: load graph, decompose, write the two TSVs.
 
     ``dist_path`` is accepted for interface parity but unused — the snarl
-    tree is computed from the graph itself.  All vg binary formats load
-    natively (.hg HashGraph, .pg PackedGraph, .gbz GBZ).
+    tree is computed from the graph itself.  The format is detected by
+    content like the reference's VPKG dispatch (graph/formats.py); all vg
+    binary formats (.hg HashGraph, .pg PackedGraph, .gbz GBZ) load
+    natively and feed the C++ core directly as arrays (no temporary GFA
+    round trip).
     """
+    from stoat_tpu.graph.formats import sniff_graph_format
     from stoat_tpu.graph.gfa import load_gfa
-    if graph_path.endswith((".hg", ".pg", ".gbz")):
-        # vg binary formats: load natively and round-trip through GFA so
-        # the C++ decomposition core can consume it
-        import tempfile
-        if graph_path.endswith(".hg"):
-            from stoat_tpu.graph.hashgraph import load_hg as _load
-        elif graph_path.endswith(".gbz"):
-            from stoat_tpu.graph.gbz import load_gbz as _load
-        else:
-            from stoat_tpu.graph.packedgraph import load_pg as _load
-        g_bin = _load(graph_path, ref_chr or None)
-        tmp_gfa = os.path.join(tempfile.mkdtemp(prefix="stoat_hg_"),
-                               os.path.basename(graph_path) + ".gfa")
-        g_bin.write_gfa(tmp_gfa)
-        graph_path = tmp_gfa
-    if not graph_path.endswith((".gfa", ".gfa.gz")):
-        raise RuntimeError(
-            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
-            "bdsg HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz).")
+    fmt = sniff_graph_format(graph_path)
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")
     out_fail_path = os.path.join(output_dir, "snarl_not_analyse.tsv")
 
-    # Prefer the native C++ decomposition core (parity-pinned against this
-    # module); fall back to the Python implementation.
-    if not graph_path.endswith(".gz"):
+    def finish_native(tsv: str, rejects: str):
+        from stoat_tpu.io.snarl_file import parse_snarl_path
+        with open(out_snarl_path, "w") as fh:
+            fh.write(tsv)
+        with open(out_fail_path, "w") as fh:
+            fh.write(rejects)
+        return parse_snarl_path(out_snarl_path)
+
+    if fmt in ("hg", "pg", "gbz"):
+        from stoat_tpu.graph.formats import load_graph
+        g = load_graph(graph_path, ref_chr or None)
         try:
-            from stoat_tpu.native import native_decompose_gfa
-            from stoat_tpu.io.snarl_file import parse_snarl_path
-            tsv, rejects = native_decompose_gfa(
-                graph_path, ref_chr, children_threshold,
-                path_length_threshold, cycle_threshold)
-            with open(out_snarl_path, "w") as fh:
-                fh.write(tsv)
-            with open(out_fail_path, "w") as fh:
-                fh.write(rejects)
-            return parse_snarl_path(out_snarl_path)
+            from stoat_tpu.native import native_decompose_graph
+            tsv, rejects = native_decompose_graph(
+                g, children_threshold, path_length_threshold,
+                cycle_threshold)
+            return finish_native(tsv, rejects)
         except (RuntimeError, OSError) as e:
             logger.warning("native decomposition unavailable (%s); using "
                            "the Python implementation", e)
-
-    g = load_gfa(graph_path, ref_chr or None)
+    elif fmt == "gfa":
+        # the C++ core parses plain GFA itself
+        try:
+            from stoat_tpu.native import native_decompose_gfa
+            tsv, rejects = native_decompose_gfa(
+                graph_path, ref_chr, children_threshold,
+                path_length_threshold, cycle_threshold)
+            return finish_native(tsv, rejects)
+        except (RuntimeError, OSError) as e:
+            logger.warning("native decomposition unavailable (%s); using "
+                           "the Python implementation", e)
+        g = load_gfa(graph_path, ref_chr or None)
+    elif fmt == "gfa.gz":
+        g = load_gfa(graph_path, ref_chr or None)
+    else:
+        raise RuntimeError(
+            f"Unsupported graph format: {graph_path}. stoat-tpu reads GFA, "
+            "bdsg HashGraph (.hg), PackedGraph (.pg), and GBZ (.gbz).")
     with open(out_snarl_path, "w") as out_snarl, \
             open(out_fail_path, "w") as out_fail:
         write_snarl_file_header(out_snarl)

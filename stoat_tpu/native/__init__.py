@@ -256,9 +256,93 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p)]
+    lib.stoat_decompose_arrays.restype = ctypes.c_int
+    lib.stoat_decompose_arrays.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_uint64, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p)]
     lib.stoat_free_str.argtypes = [ctypes.c_void_p]
     _graph_lib = lib
     return _graph_lib
+
+
+def native_decompose_graph(g, children_threshold: int = 50,
+                           path_length_threshold: int = 10000,
+                           cycle_threshold: int = 1) -> Tuple[str, str]:
+    """Run the C++ decomposition on an already-loaded graph object.
+
+    Feeds the natively-loaded binary formats (.hg/.pg/.gbz readers)
+    straight into graph_core as flat arrays — no temporary GFA round
+    trip.  The successor lists pass through verbatim, so enumeration
+    order (and thus the TSV) matches the Python decomposition of the
+    same graph.  Raises RuntimeError when unavailable/failed (callers
+    fall back to the Python implementation).
+    """
+    lib = get_graph_lib()
+    if lib is None:
+        raise RuntimeError("native graph core unavailable")
+
+    node_ids = np.fromiter(g.sequences.keys(), np.uint64,
+                           len(g.sequences))
+    order = np.argsort(node_ids, kind="stable")
+    node_ids = node_ids[order]
+    node_lens = np.fromiter((len(g.sequences[int(n)]) for n in node_ids),
+                            np.uint32, len(node_ids))
+
+    pairs: list = []
+    for u, vs in g._succ.items():
+        ku = (u[0] << 1) | int(u[1])
+        for v in vs:
+            pairs.append(ku)
+            pairs.append((v[0] << 1) | int(v[1]))
+    succ = np.array(pairs, np.uint64).reshape(-1, 2)
+
+    steps: list = []
+    offsets = [0]
+    names = []
+    samples = []
+    is_ref = np.zeros(len(g.paths), np.uint8)
+    for i, p in enumerate(g.paths):
+        steps.extend((st[0] << 1) | int(st[1]) for st in p.steps)
+        offsets.append(len(steps))
+        names.append(p.name)
+        samples.append(p.sample)
+        is_ref[i] = 1 if p.is_reference else 0
+    steps_arr = np.array(steps, np.uint64)
+    offsets_arr = np.array(offsets, np.uint64)
+    names_blob = ("\0".join(names) + "\0").encode()
+    samples_blob = ("\0".join(samples) + "\0").encode()
+
+    tsv = ctypes.c_char_p()
+    rejects = ctypes.c_char_p()
+    error = ctypes.c_char_p()
+
+    def u64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    rc = lib.stoat_decompose_arrays(
+        u64p(node_ids),
+        node_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(node_ids), u64p(succ), succ.shape[0],
+        u64p(steps_arr), u64p(offsets_arr), len(g.paths),
+        names_blob, samples_blob,
+        is_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        children_threshold, path_length_threshold, cycle_threshold,
+        ctypes.byref(tsv), ctypes.byref(rejects), ctypes.byref(error))
+    if rc != 0:
+        message = (error.value or b"unknown error").decode()
+        if error:
+            lib.stoat_free_str(error)
+        raise RuntimeError(f"native decomposition failed: {message}")
+    tsv_str = tsv.value.decode()
+    rejects_str = rejects.value.decode()
+    lib.stoat_free_str(tsv)
+    lib.stoat_free_str(rejects)
+    return tsv_str, rejects_str
 
 
 def native_decompose_gfa(gfa_path: str, ref_names,

@@ -1169,6 +1169,57 @@ int stoat_decompose_gfa(const char* gfa_path, const char* ref_names_csv,
     return 0;
 }
 
+// Decompose a graph handed over as flat arrays — the natively-loaded
+// binary formats (.hg/.pg/.gbz readers in Python) feed the C++ core
+// directly instead of round-tripping through a temporary GFA file.
+//
+//   node_ids/node_lens: [N] parallel arrays
+//   succ_pairs:         [n_succ, 2] packed handles ((id<<1)|rev) — the
+//                       EXACT successor lists of the loaded graph, in
+//                       order (edge symmetry already materialized), so
+//                       enumeration order matches the Python twin
+//   steps:              [T] packed handles, concatenated per path
+//   path_offsets:       [P+1]
+//   names/samples:      '\0'-joined blobs, P entries each
+//   is_ref:             [P]
+int stoat_decompose_arrays(
+        const uint64_t* node_ids, const uint32_t* node_lens,
+        uint64_t n_nodes, const uint64_t* succ_pairs, uint64_t n_succ,
+        const uint64_t* steps, const uint64_t* path_offsets,
+        uint64_t n_paths, const char* names_blob, const char* samples_blob,
+        const uint8_t* is_ref, long children_threshold,
+        long path_length_threshold, long cycle_threshold, char** tsv_out,
+        char** rejects_out, char** error_out) {
+    Graph g;
+    for (uint64_t i = 0; i < n_nodes; ++i)
+        g.node_len[node_ids[i]] = node_lens[i];
+    for (uint64_t i = 0; i < n_succ; ++i)
+        g.succ[succ_pairs[2 * i]].push_back(succ_pairs[2 * i + 1]);
+    const char* name_p = names_blob;
+    const char* sample_p = samples_blob;
+    for (uint64_t p = 0; p < n_paths; ++p) {
+        GPath gp;
+        gp.name = name_p;
+        name_p += gp.name.size() + 1;
+        gp.sample = sample_p;
+        sample_p += gp.sample.size() + 1;
+        gp.is_ref = is_ref[p] != 0;
+        for (uint64_t t = path_offsets[p]; t < path_offsets[p + 1]; ++t)
+            gp.steps.push_back(steps[t]);
+        g.paths.push_back(std::move(gp));
+    }
+    std::set<std::string> refs;  // is_ref is already resolved per path
+    auto res = decompose(g, refs, children_threshold,
+                         path_length_threshold, cycle_threshold);
+    if (!res.ok) {
+        *error_out = strdup(res.error.c_str());
+        return 2;
+    }
+    *tsv_out = strdup(res.tsv.c_str());
+    *rejects_out = strdup(res.rejects.c_str());
+    return 0;
+}
+
 void stoat_free_str(char* s) { free(s); }
 
 }  // extern "C"

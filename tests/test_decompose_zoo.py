@@ -7,6 +7,8 @@ reference's orientation is a .dist artifact), so those compare as
 unordered node pairs.
 """
 
+import os
+
 import pytest
 
 from stoat_tpu.graph.gfa import load_gfa
@@ -157,3 +159,53 @@ def test_loop_simple(tmp_path):
     s = decompose(gfa)["ref"][0]
     assert frozenset(s.snarl_ids) == frozenset((2, 5))
     assert sorted(s.path_strings) == [">2>3>3>5", ">2>3>5", ">2>4>5"]
+
+
+def test_magic_byte_dispatch(tmp_path):
+    """Format detection is by content like the reference's VPKG
+    (register_io.cpp:20-26): a misnamed binary graph still loads and a
+    misnamed GFA still parses."""
+    import shutil
+
+    from stoat_tpu.graph.formats import load_graph, sniff_graph_format
+
+    zoo = "/root/reference/tests/graph_test"
+    if not os.path.isdir(zoo):
+        import pytest
+        pytest.skip("reference fixtures unavailable")
+    # .hg content behind a misleading name
+    masked = str(tmp_path / "mystery.graph")
+    shutil.copy(os.path.join(zoo, "simple_snp.hg"), masked)
+    assert sniff_graph_format(masked) == "hg"
+    g = load_graph(masked, {"ref"})
+    assert sorted(g.sequences) == [1, 2, 3, 4, 5, 6]
+    # .pg and .gbz magics
+    assert sniff_graph_format(os.path.join(zoo, "simple_snp.pg")) == "pg"
+    assert sniff_graph_format(os.path.join(zoo, "simple_snp.gbz")) == "gbz"
+    # GFA by content
+    gfa = str(tmp_path / "noext")
+    with open(gfa, "w") as fh:
+        fh.write("H\tVN:Z:1.0\nS\t1\tA\n")
+    assert sniff_graph_format(gfa) == "gfa"
+
+
+def test_native_array_decomposition_matches_temp_gfa_path(tmp_path):
+    """Binary graphs feed graph_core directly as arrays; the TSV must be
+    identical to decomposing the same graph written out as GFA."""
+    import pytest
+    zoo = "/root/reference/tests/graph_test"
+    if not os.path.isdir(zoo):
+        pytest.skip("reference fixtures unavailable")
+    from stoat_tpu.graph.hashgraph import load_hg
+    from stoat_tpu.native import (get_graph_lib, native_decompose_gfa,
+                                  native_decompose_graph)
+    if get_graph_lib() is None:
+        pytest.skip("native graph core toolchain unavailable")
+    for name in ("simple_snp", "loop_plus", "complex_ins", "nested_plus"):
+        g = load_hg(os.path.join(zoo, f"{name}.hg"), {"ref"})
+        tsv_arrays, rej_arrays = native_decompose_graph(g)
+        gfa = str(tmp_path / f"{name}.gfa")
+        g.write_gfa(gfa)
+        tsv_gfa, rej_gfa = native_decompose_gfa(gfa, {"ref"}, 50, 10000, 1)
+        assert tsv_arrays == tsv_gfa, name
+        assert rej_arrays == rej_gfa, name

@@ -62,3 +62,13 @@ def test_simple_bubble():
     for regular in (False, True):
         assert sets_of(g, forest, part, (1, 5), regular) == [
             ["path0", "path1"], ["path2"], ["path3"]]
+
+
+def test_loop_with_indel_two_paths():
+    """path_partitioner_unit.cpp:378-467 ('looping snarl same edges
+    different order'): outer snarl partitions to one set {path0, path1};
+    inner snarl separates them."""
+    g, forest, part = setup("loop_with_indel_two_paths")
+    assert sets_of(g, forest, part, (1, 6), False) == [["path0", "path1"]]
+    inner = sets_of(g, forest, part, (2, 4), False)
+    assert inner == [["path0"], ["path1"]]

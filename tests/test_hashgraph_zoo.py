@@ -175,3 +175,79 @@ def test_nested_plus():
     check(get(cm, (2, 8)), {
         ">2>8": "0", ">2>3>0>6>7>8": "5", ">2>3>0>6>8": "4"}, 8, 12)
     check(get(cm, (3, 6)), {">3>5>6": "2", ">3>4>6": "2"}, 9, 11)
+
+
+# --- fixtures without reference unit truths --------------------------------
+# The reference's snarl_data_t_unit.cpp covers 16 fixtures; the remaining
+# zoo members are pinned here as regression truths (our own canonical
+# output, orientation along the reference path) plus reference-parity
+# error behavior for the snarl-less graphs (the reference throws on
+# total paths == 0, snarl_data_t.cpp:765 — its own "linear" unit section
+# is commented out for the same reason).
+
+def run_ref(name, ref, cycle_threshold=1):
+    g = load_hg(os.path.join(ZOO, f"{name}.hg"), {ref})
+    return decompose_graph(g, {ref}, cycle_threshold=cycle_threshold)
+
+
+def test_jean():
+    cm = run("jean", 1)
+    assert len(cm["ref"]) == 1
+    s = get(cm, (2, 6))
+    # 63-step ref path wanders the 3<->4<->5 braid; cycle cap 1 allows one
+    # revisit per node: 8 enumerated walks incl. inversions (regression pin)
+    assert sorted(s.path_strings) == sorted([
+        ">2>3>4>3>4>5<5<4<3<4>5>6", ">2>3>4>3>4>5<5<4>5>6",
+        ">2>3>4>3>4>5>6", ">2>3>4>5<5>4>5>6", ">2>3>4>5<5<4<3<4>5>6",
+        ">2>3>4>5<5<4>5>6", ">2>3>4>5>6", ">2>6"])
+    assert (s.start_pos, s.end_pos) == (8, 14)
+
+
+def test_looping_chain():
+    cm = run("looping_chain", 1)
+    ids = sorted(s.snarl_id_str for s in cm["ref"])
+    assert ids == ["2_12", "3_6", "8_11"]
+    top = get(cm, (2, 12))
+    # the chain 3..11 collapses to * in the top-level deletion bubble
+    assert sorted(top.path_strings) == [">2>12", ">2>3>0>11>12"]
+    assert get(cm, (3, 6)).depth == 2
+    assert get(cm, (8, 11)).depth == 2
+
+
+def test_simple_bubble_decomposition():
+    cm = run_ref("simple_bubble", "path0")
+    assert len(cm["path0"]) == 1
+    s = get({"ref": cm["path0"]}, (1, 5))
+    assert sorted(s.path_strings) == [">1>2>5", ">1>3>5", ">1>4>5"]
+    assert s.type_variants == ["1", "1", "1"]
+
+
+def test_simple_nested_chain_decomposition():
+    cm = run_ref("simple_nested_chain", "path0")
+    ids = sorted(s.snarl_id_str for s in cm["path0"])
+    assert ids == ["1_4", "4_8", "5_7", "8_10"]
+    s = get({"ref": cm["path0"]}, (4, 8))
+    assert sorted(s.path_strings) == [">4>5>0>7>8", ">4>8"]
+    assert get({"ref": cm["path0"]}, (5, 7)).depth == 2
+
+
+def test_loop_with_indel_decomposition():
+    for name in ("loop_with_indel", "loop_with_indel_two_paths"):
+        cm = run_ref(name, "path0")
+        ids = sorted(s.snarl_id_str for s in cm["path0"])
+        assert ids == ["1_6", "2_4"], name
+        top = get({"ref": cm["path0"]}, (1, 6))
+        # one loop unroll at cycle cap 1; types are min/max lengths
+        assert sorted(top.path_strings) == [
+            ">1>2>0>5>2>0>5>6", ">1>2>0>5>6"], name
+        assert sorted(top.type_variants) == ["3/4", "6/8"], name
+
+
+def test_snarl_less_graphs_error_like_reference():
+    """linear/one_node/multicomponent_chain have no reference-path snarl
+    paths; the reference throws 'Total number of paths = 0'
+    (snarl_data_t.cpp:765) and so do we."""
+    for name, ref in (("linear", "ref"), ("one_node", "path"),
+                      ("multicomponent_chain", "ref")):
+        with pytest.raises(RuntimeError, match="Total number of paths = 0"):
+            run_ref(name, ref)
