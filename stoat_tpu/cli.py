@@ -375,7 +375,44 @@ def print_help() -> None:
         "  BHcorrect  Benjamini-Hochberg correction of a results TSV\n"
         "  simulate   generate a simulated dataset with truth labels\n"
         "  truth      precision/recall of results vs simulated truth\n"
+        "  plot       QQ / Manhattan / per-snarl boxplots from results\n"
         "  version    print version\n")
+
+
+def main_plot(argv: List[str]) -> int:
+    """QQ/Manhattan plots from a results TSV and per-snarl boxplots from
+    -T table dumps (plot_script/qq_mahanttan_plot.py + box_plox.R)."""
+    ap = argparse.ArgumentParser(prog="stoat plot", add_help=True)
+    ap.add_argument("kind", choices=["qq", "manhattan", "boxplot"])
+    ap.add_argument("-t", "--tsv", metavar="FILE",
+                    help="results TSV (qq/manhattan)")
+    ap.add_argument("-c", "--column", metavar="NAME",
+                    help="p-value column (default: the mode's P column)")
+    ap.add_argument("-d", "--tables", metavar="DIR",
+                    help="-T per-snarl table directory (boxplot)")
+    ap.add_argument("-p", "--phenotype", metavar="FILE",
+                    help="FID/IID/PHENO phenotype file (boxplot)")
+    ap.add_argument("-o", "--output", required=True,
+                    help="output PNG (qq/manhattan) or directory (boxplot)")
+    args = ap.parse_args(argv)
+
+    from stoat_tpu import plots
+    if args.kind == "boxplot":
+        if not args.tables or not args.phenotype:
+            ap.error("boxplot requires -d/--tables and -p/--phenotype")
+        written = plots.snarl_boxplots(args.phenotype, args.tables,
+                                       args.output)
+        logger.info("Wrote %d boxplots to %s", len(written), args.output)
+        return 0
+    if not args.tsv:
+        ap.error(f"{args.kind} requires -t/--tsv")
+    _check_file(args.tsv)
+    if args.kind == "qq":
+        plots.qq_plot(args.tsv, args.output, args.column)
+    else:
+        plots.manhattan_plot(args.tsv, args.output, args.column)
+    logger.info("Wrote %s", args.output)
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -394,6 +431,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return main_simulate(rest)
     if cmd == "truth":
         return main_truth(rest)
+    if cmd == "plot":
+        return main_plot(rest)
     if cmd == "version":
         print(f"stoat-tpu {__version__}")
         return 0

@@ -13,7 +13,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["read_pvalues", "qq_plot", "manhattan_plot"]
+__all__ = ["read_pvalues", "qq_plot", "manhattan_plot",
+           "snarl_boxplots"]
 
 
 def read_pvalues(tsv_path: str, p_column: Optional[str] = None
@@ -106,3 +107,84 @@ def manhattan_plot(tsv_path: str, output_png: str,
     ax.set_title("Manhattan plot")
     fig.savefig(output_png, dpi=120)
     plt.close(fig)
+
+
+def snarl_boxplots(phenotype_path: str, tables_dir: str,
+                   output_dir: str) -> List[str]:
+    """Per-snarl genotype/phenotype violin+boxplots.
+
+    Equivalent of /root/reference/plot_script/box_plox.R: for every
+    per-snarl sample×path table dumped by ``-T`` (writer.cpp:181-208),
+    classify each sample's genotype from its normalized dosage row —
+    a single value ≈1 is homozygous ``path/path``, two values ≈0.5 are
+    heterozygous ``pathA/pathB``, anything else is ``Other`` — then plot
+    the phenotype distribution per genotype class (counts in the tick
+    labels, as in the R script).  Returns the written file paths.
+    """
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pheno: dict = {}
+    with open(phenotype_path) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        iid_col = header.index("IID")
+        p_col = header.index("PHENO")
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            try:
+                pheno[cols[iid_col]] = float(cols[p_col])
+            except (ValueError, IndexError):
+                continue
+
+    os.makedirs(output_dir, exist_ok=True)
+    written: List[str] = []
+    tol = 1e-6
+    for name in sorted(os.listdir(tables_dir)):
+        table_path = os.path.join(tables_dir, name)
+        if not os.path.isfile(table_path):
+            continue
+        base = os.path.splitext(name)[0]
+        with open(table_path) as fh:
+            cols = fh.readline().rstrip("\n").split("\t")[1:]
+            by_genotype: dict = {}
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                sample = parts[0]
+                if sample not in pheno:
+                    continue
+                values = np.array([float(v) for v in parts[1:]])
+                if values.size == 0 or np.all(np.isnan(values)):
+                    continue
+                order = np.argsort(values)[::-1]
+                top1, top2 = values[order[0]], (values[order[1]]
+                                                if values.size > 1 else 0.0)
+                if abs(top1 - 1.0) < tol:
+                    genotype = f"{cols[order[0]]}/{cols[order[0]]}"
+                elif abs(top1 - 0.5) < tol and abs(top2 - 0.5) < tol:
+                    genotype = f"{cols[order[0]]}/{cols[order[1]]}"
+                else:
+                    genotype = "Other"
+                by_genotype.setdefault(genotype, []).append(pheno[sample])
+        if not by_genotype:
+            continue
+        labels = sorted(by_genotype)
+        data = [by_genotype[g] for g in labels]
+        ticks = [f"{g.replace('/', chr(10))}\n({len(v)})"
+                 for g, v in zip(labels, data)]
+        fig, ax = plt.subplots(figsize=(8, 6), facecolor="w")
+        ax.violinplot(data, showextrema=False)
+        ax.boxplot(data, widths=0.2, flierprops=dict(
+            marker="o", markersize=4, markerfacecolor="red"))
+        ax.set_xticks(range(1, len(labels) + 1))
+        ax.set_xticklabels(ticks)
+        ax.set_xlabel("Genotype")
+        ax.set_ylabel("Phenotype")
+        ax.set_title(f"Boxplot - {base}")
+        out_path = os.path.join(output_dir, f"{base}_boxplot.png")
+        fig.savefig(out_path, dpi=120)
+        plt.close(fig)
+        written.append(out_path)
+    return written

@@ -120,3 +120,35 @@ def test_chunked_matches_unchunked(fixture, tmp_path):
                          binary_phenotype=pheno, sample_names=samples,
                          snarl_chunk_size=chunk)
     assert filecmp.cmp(out1, out2, shallow=False)
+
+
+def test_plot_subcommand(tmp_path):
+    """stoat plot qq/manhattan/boxplot produce non-empty PNGs
+    (plot_script/qq_mahanttan_plot.py + box_plox.R equivalents)."""
+    import numpy as np
+    from fixtures import make_fixture
+    from stoat_tpu.cli import main as cli_main
+
+    paths = make_fixture(str(tmp_path), n_samples=24, n_snarls=10, seed=11)
+    out = str(tmp_path / "res")
+    rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                   "-q", paths["quantitative"], "-T", "1.0", "-o", out])
+    assert rc == 0
+    tsv = os.path.join(out, "quantitative_table_vcf.tsv")
+    tables = os.path.join(out, "regression")
+    assert os.listdir(tables), "no -T tables dumped"
+
+    qq = str(tmp_path / "qq.png")
+    man = str(tmp_path / "man.png")
+    box = str(tmp_path / "box")
+    assert cli_main(["plot", "qq", "-t", tsv, "-o", qq]) == 0
+    assert cli_main(["plot", "manhattan", "-t", tsv, "-o", man]) == 0
+    assert cli_main(["plot", "boxplot", "-d", tables,
+                     "-p", paths["quantitative"], "-o", box]) == 0
+    for f in (qq, man):
+        with open(f, "rb") as fh:
+            assert fh.read(8).startswith(b"\x89PNG")
+    boxes = os.listdir(box)
+    assert boxes
+    with open(os.path.join(box, boxes[0]), "rb") as fh:
+        assert fh.read(8).startswith(b"\x89PNG")
