@@ -306,16 +306,21 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
             for c in sorted(snarl.children, reverse=True):
                 stack.append(c)
 
-    # Batch the statistical tests on device (chi2/Fisher kernels).
+    # Batch the statistical tests on device (chi2/Fisher kernels).  Both
+    # axes pad to powers of two: the remote TPU compile server's latency
+    # is unpredictable (seconds to minutes for the same HLO), so keeping
+    # the shape set tiny + the persistent compilation cache (jaxconfig)
+    # means each shape compiles once ever.
     if output_format == "tsv":
         tested = [r for r in rows if r[5] is not None]
         if tested:
-            Pmax = max(len(r[5][0]) for r in tested)
-            Pmax = max(Pmax, 2)
+            from stoat_tpu.tables import next_pow2
+            Pmax = next_pow2(max(2, max(len(r[5][0]) for r in tested)))
             B = len(tested)
-            G0 = np.zeros((B, Pmax))
-            G1 = np.zeros((B, Pmax))
-            mask = np.zeros((B, Pmax), bool)
+            B_pad = next_pow2(B)
+            G0 = np.zeros((B_pad, Pmax))
+            G1 = np.zeros((B_pad, Pmax))
+            mask = np.zeros((B_pad, Pmax), bool)
             for bi, r in enumerate(tested):
                 k = len(r[5][0])
                 G0[bi, :k] = r[5][0]
@@ -323,10 +328,10 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
                 mask[bi, :k] = True
             k_arr = mask.sum(axis=1)
             p22 = np.asarray(chi2_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
-                                      G1[:, 1]))
+                                      G1[:, 1]))[:B]
             pf = np.asarray(fisher_exact_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
-                                             G1[:, 1]))
-            pn = np.asarray(chi2_2xn(G0, G1, mask))
+                                             G1[:, 1]))[:B]
+            pn = np.asarray(chi2_2xn(G0, G1, mask))[:B]
             ti = 0
             for r in rows:
                 chrom, a, b, sid, pl, counts, _pf, gp, depth = r
