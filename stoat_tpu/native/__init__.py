@@ -441,6 +441,35 @@ def run_baseline_cpp(matrix: np.ndarray, path_rows: np.ndarray,
         len(pheno_bin), min_ind, min_hap, maf, ctypes.byref(sink))
 
 
+class _ChunkOwner:
+    """Keeps a native Chunk alive while numpy views reference its memory."""
+
+    def __init__(self, lib, cp):
+        self._lib = lib
+        self._cp = cp
+
+    def __del__(self):
+        if self._cp:
+            self._lib.stoat_chunk_free(self._cp)
+            self._cp = None
+
+
+def _owned_view(ptr, shape, dtype, owner):
+    """Zero-copy ndarray over native memory, lifetime tied to ``owner``.
+
+    The owner must hang off the ROOT buffer object: numpy collapses view
+    chains to the root base, so an attribute on an intermediate ndarray
+    (or subclass) is silently dropped by the first ``asarray``/slice —
+    measured as a chunk freed while device uploads still read it.  ctypes
+    array instances accept attributes and stay the root base of every
+    derived view."""
+    n = int(np.prod(shape))
+    buf = (ptr._type_ * n).from_address(
+        ctypes.addressof(ptr.contents))
+    buf._owner = owner
+    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+
+
 class NativeVcfMatrixReader:
     """Streams per-chromosome edge×haplotype matrices via the C++ core."""
 
@@ -482,14 +511,15 @@ class NativeVcfMatrixReader:
                 # e.g. a chromosome whose records all lack AT fields
                 words = np.full((1, nwords), 0xFFFFFFFF, np.uint32)
                 edges = np.zeros((0, 4), np.uint64)
+                lib.stoat_chunk_free(cp)
             else:
-                words = np.ctypeslib.as_array(
-                    lib.stoat_chunk_words(cp),
-                    shape=(rows + 1, nwords)).copy()
-                edges = np.ctypeslib.as_array(
-                    lib.stoat_chunk_edges(cp),
-                    shape=(rows, 4)).copy()
-            lib.stoat_chunk_free(cp)
+                # zero-copy: the arrays view the Chunk's buffers; the
+                # owner frees the Chunk when the last view is collected
+                owner = _ChunkOwner(lib, cp)
+                words = _owned_view(lib.stoat_chunk_words(cp),
+                                    (rows + 1, nwords), np.uint32, owner)
+                edges = _owned_view(lib.stoat_chunk_edges(cp),
+                                    (rows, 4), np.uint64, owner)
             yield chrom, words, cols, edges
 
     def chunks_arrays(self, initial_rows: int = 1024):

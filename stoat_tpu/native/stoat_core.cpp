@@ -36,6 +36,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cmath>
 #include <cstdint>
@@ -64,6 +65,24 @@ __attribute__((constructor)) static void stoat_tune_malloc() {
 #endif
 
 namespace {
+
+// Phase profiling (STOAT_PROFILE=1): nanoseconds per pipeline stage,
+// dumped to stderr when a reader is closed.
+std::atomic<uint64_t> g_ns_read{0}, g_ns_parse{0}, g_ns_intern{0};
+
+static bool profile_enabled() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("STOAT_PROFILE");
+        v = (e && e[0] == '1') ? 1 : 0;
+    }
+    return v == 1;
+}
+
+static inline uint64_t now_ns() {
+    return uint64_t(std::chrono::duration_cast<std::chrono::nanoseconds>(
+        std::chrono::steady_clock::now().time_since_epoch()).count());
+}
 
 struct EdgeKey {
     uint64_t a, b;      // node ids
@@ -529,6 +548,12 @@ struct Reader {
         queue.shutdown();
         if (producer.joinable()) producer.join();
         src.close();
+        if (profile_enabled())
+            fprintf(stderr,
+                    "[stoat_core] read=%.1fms parse(sum)=%.1fms "
+                    "intern=%.1fms\n",
+                    g_ns_read.load() / 1e6, g_ns_parse.load() / 1e6,
+                    g_ns_intern.load() / 1e6);
     }
 
     void start() {
@@ -541,8 +566,10 @@ struct Reader {
                 b->ensure(rest.size() + kBlockBytes + 1);
                 if (!rest.empty())
                     memcpy(b->text, rest.data(), rest.size());
+                uint64_t tr0 = profile_enabled() ? now_ns() : 0;
                 size_t got = src.read(b->text + rest.size(),
                                       kBlockBytes);
+                if (tr0) g_ns_read.fetch_add(now_ns() - tr0);
                 size_t total = rest.size() + got;
                 rest.clear();
                 if (total == 0) { queue.recycle(b); break; }
@@ -613,10 +640,12 @@ static std::vector<std::thread> parse_batch_async(
     for (unsigned t = 0; t < nt; ++t) {
         size_t lo = t * per, hi = std::min(n, lo + per);
         threads.emplace_back([&batch, &arenas, t, lo, hi, n_samples, W] {
+            uint64_t t0 = profile_enabled() ? now_ns() : 0;
             Arena& ar = arenas[t];
             ar.begin(lo < hi ? hi - lo : 0);
             for (size_t i = lo; i < hi; ++i)
                 parse_line(batch.line_mut(i), n_samples, ar, i - lo, W);
+            if (t0) g_ns_parse.fetch_add(now_ns() - t0);
         });
     }
     return threads;
@@ -786,12 +815,14 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
             if (nxt)
                 next_threads = parse_batch_async(*nxt, nxt_n, n_samples,
                                                  *parsing, nt, W);
+            uint64_t ti0 = profile_enabled() ? now_ns() : 0;
             for (Arena& ar : *interning) {
                 intern_and_fill(mb, ar);
                 n_records += ar.recs.size();
                 for (const RecMeta& rm : ar.recs)
                     if (rm.ok) ++n_with_at;
             }
+            if (ti0) g_ns_intern.fetch_add(now_ns() - ti0);
             r->queue.recycle(cur);
             cur = nxt;
             threads = std::move(next_threads);

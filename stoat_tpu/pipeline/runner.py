@@ -53,30 +53,36 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             from stoat_tpu.native import NativeVcfMatrixReader
             from stoat_tpu.matrix import PackedEdgeMatrix
             reader = NativeVcfMatrixReader(vcf_path)
-            for chrom, words, n_haps, edges in reader.chunks_packed():
-                matrix = PackedEdgeMatrix(words, n_haps, edges)
-                matrix.n_records, matrix.n_with_at = \
-                    getattr(reader, "last_counts", (-1, -1))
-                yield chrom, matrix
-            reader.close()
+            try:
+                for chrom, words, n_haps, edges in reader.chunks_packed():
+                    matrix = PackedEdgeMatrix(words, n_haps, edges)
+                    matrix.n_records, matrix.n_with_at = \
+                        getattr(reader, "last_counts", (-1, -1))
+                    yield chrom, matrix
+            finally:
+                # also runs on GeneratorExit when a consumer abandons the
+                # generator early — the producer thread must not leak
+                reader.close()
             return
         except (RuntimeError, OSError) as e:
             logger.warning("native VCF core unavailable (%s); using the "
                            "Python reader", e)
 
     reader = VcfReader(vcf_path)
-    for chrom, records in reader.chromosome_chunks():
-        matrix = EdgeHaplotypeMatrix(
-            n_haplotypes,
-            initial_rows=max(4 * len(snarls_chr.get(chrom, [])), 64))
-        n_records = n_with_at = 0
-        for rec in records:
-            n_records += 1
-            n_with_at += 1 if rec.at_paths else 0
-            matrix.add_record(rec)
-        matrix.n_records, matrix.n_with_at = n_records, n_with_at
-        yield chrom, matrix
-    reader.close()
+    try:
+        for chrom, records in reader.chromosome_chunks():
+            matrix = EdgeHaplotypeMatrix(
+                n_haplotypes,
+                initial_rows=max(4 * len(snarls_chr.get(chrom, [])), 64))
+            n_records = n_with_at = 0
+            for rec in records:
+                n_records += 1
+                n_with_at += 1 if rec.at_paths else 0
+                matrix.add_record(rec)
+            matrix.n_records, matrix.n_with_at = n_records, n_with_at
+            yield chrom, matrix
+    finally:
+        reader.close()
 
 
 def _prefetched(gen, depth: int = 1):

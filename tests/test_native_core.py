@@ -188,3 +188,38 @@ def test_pipeline_native_packed_design_modes(lib_available, fixture,
             else "binary_table_vcf.tsv")
     f1, f2 = os.path.join(out1, name), os.path.join(out2, name)
     assert filecmp.cmp(f1, f2, shallow=False), f"{mode}: TSVs differ"
+
+
+def test_packed_chunk_zero_copy_lifetime(lib_available, fixture):
+    """chunks_packed hands out zero-copy views whose native Chunk stays
+    alive through numpy's base-chain collapse (asarray/slice views point
+    at the ROOT buffer object; an owner hung on an intermediate array
+    would be dropped and the chunk freed under live views — regression
+    for a use-after-free that corrupted device inputs)."""
+    import gc
+
+    from stoat_tpu.matrix import PackedEdgeMatrix
+
+    reader = native.NativeVcfMatrixReader(fixture["vcf"])
+    chrom, words, n_haps, edges = next(iter(reader.chunks_packed()))
+    reader.close()
+
+    m = PackedEdgeMatrix(words, n_haps, edges)
+    snap_w = np.array(m.words)
+    snap_e = np.array(m._edges_arr)
+    # views must root at an owner-bearing buffer
+    root = m.words
+    while getattr(root, "base", None) is not None:
+        root = root.base
+    assert hasattr(root, "_owner")
+
+    # drop the original views, churn the heap: a freed chunk would be
+    # reused and the matrix views would change under us
+    del words, edges
+    gc.collect()
+    junk = [np.random.randint(0, 2**31, (256, 256), np.uint32)
+            for _ in range(64)]
+    assert np.array_equal(np.array(m.words), snap_w)
+    assert np.array_equal(np.array(m._edges_arr), snap_e)
+    del junk, m
+    gc.collect()  # owner frees the chunk without crashing
