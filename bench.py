@@ -19,6 +19,12 @@ kernels — the production path of pipeline/runner.py).  Two timings:
     ingestion, then packing and both device dispatches — exactly the
     overlap structure of run_vcf_analysis.
 
+  * ``full_run_snarls_per_s``: the wall an actual `stoat vcf` user
+    experiences — ``run_vcf_analysis`` from VCF path to finished TSV
+    (ingest, pack, dispatch, device→host fetch, C++ row formatting, TSV
+    write), one binary run + one quantitative run over a 4-chromosome
+    workload, pipelined across chromosomes and chunks by the runner.
+
 Baseline: a single-core scalar per-snarl C++ loop replicating the
 reference's per-snarl algorithm (native/baseline_core.cpp) — the honest
 stand-in for single-core C++ `stoat`; its per-snarl cost is measured on a
@@ -40,19 +46,26 @@ import jax
 import jax.numpy as jnp
 
 N_SAMPLES = 200
-N_SNARLS = 8192
+N_SNARLS = 8192          # per chromosome
+N_CHROMS = 4             # full-run workload: realistic multi-chromosome
 BASELINE_SAMPLE = 300
 SEED = 42
 
 
-def make_vcf_workload(tmpdir, rng, n_snarls=N_SNARLS, n_samples=N_SAMPLES):
-    """Generate a snarl file + VCF like the simulated reference datasets."""
+def make_vcf_workload(tmpdir, rng, n_snarls=N_SNARLS, n_samples=N_SAMPLES,
+                      n_chroms=N_CHROMS):
+    """Generate a snarl file + VCF like the simulated reference datasets.
+
+    ``n_chroms`` chromosomes × ``n_snarls`` snarls each: the device/e2e
+    phases measure one chromosome's pipeline pass; the full-run metric
+    runs the whole file through run_vcf_analysis."""
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "tests"))
     from fixtures import make_fixture
-    return make_fixture(tmpdir, n_samples=n_samples, n_snarls=n_snarls,
-                        seed=SEED)
+    return make_fixture(tmpdir, n_samples=n_samples,
+                        n_snarls=n_snarls * n_chroms, seed=SEED,
+                        n_chroms=n_chroms)
 
 
 def ingest_once(paths, snarls_chr, quad_cache_holder=None):
@@ -81,10 +94,8 @@ def device_args(packed):
     from stoat_tpu.pipeline import packed as _pk
 
     words = jnp.asarray(packed.packed_words())
-    n_rows = int(words.shape[0]) - 1
     W = int(words.shape[1])
-    path_idx = jnp.asarray(_pk.pack_path_edge_idx(
-        packed.coo_path, packed.coo_row, packed.path_valid, n_rows))
+    path_idx = jnp.asarray(packed.path_edge_idx())
     valid = jnp.asarray(packed.path_valid)
     sidx = jnp.asarray(packed.snarl_path_idx)
     tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
@@ -244,6 +255,46 @@ def run_baseline(packed, edge_matrix, pheno_bin, pheno_q,
         return 2 * sample / dt, "python_scalar"
 
 
+def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
+    """Wall of the complete CLI flow: run_vcf_analysis → finished TSV.
+
+    One binary + one quantitative run over the full multi-chromosome
+    workload — ingest, pack, dispatch, device→host fetch, C++ row
+    formatting, and TSV writes all included (the runner pipelines chunk
+    N's fetch/format/write behind chunk N+1's dispatch and the next
+    chromosome's ingest)."""
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+    samples = list(paths["samples"])
+    out_b = os.path.join(tmpdir, "bench_binary.tsv")
+    out_q = os.path.join(tmpdir, "bench_quant.tsv")
+
+    def bin_run():
+        run_vcf_analysis(paths["vcf"], snarls_chr, out_b, "binary",
+                         binary_phenotype=pheno_bin,
+                         sample_names=samples, use_mesh=False)
+
+    def quant_run():
+        run_vcf_analysis(paths["vcf"], snarls_chr, out_q, "quantitative",
+                         quantitative_phenotype=pheno_q,
+                         sample_names=samples, use_mesh=False)
+
+    bin_run()
+    quant_run()                      # warm (jit compiles, page cache)
+    times = []
+    for _ in range(repeats):
+        _settle()
+        t0 = time.perf_counter()
+        bin_run()
+        tb = time.perf_counter() - t0
+        _settle()
+        t0 = time.perf_counter()
+        quant_run()
+        tq = time.perf_counter() - t0
+        times.append(tb + tq)
+    n_total = sum(len(s) for s in snarls_chr.values())
+    return 2 * n_total / min(times), min(times)
+
+
 def main():
     rng = np.random.default_rng(SEED)
     tmpdir = tempfile.mkdtemp(prefix="stoat_bench_")
@@ -256,19 +307,26 @@ def main():
                                             list(paths["samples"]))
     pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
     snarls_chr = parse_snarl_path(paths["snarl"])
+    # device/e2e phases measure one chromosome's pipeline pass (the VCF's
+    # first); the full-run metric consumes all N_CHROMS chromosomes
+    first_chrom = next(iter(snarls_chr))
+    snarls_one = {first_chrom: snarls_chr[first_chrom]}
 
     # warm pass: page cache, native build, jit compiles
-    packed, matrix, t_ingest, t_pack = ingest_once(paths, snarls_chr)
+    packed, matrix, t_ingest, t_pack = ingest_once(paths, snarls_one)
     t_analysis = run_device(packed, pheno_bin, pheno_q)
 
     # measured phases (best-of-4, fair under host load)
     for _ in range(3):
         _settle()
-        packed, matrix, t_i2, t_p2 = ingest_once(paths, snarls_chr)
+        packed, matrix, t_i2, t_p2 = ingest_once(paths, snarls_one)
         t_ingest = min(t_ingest, t_i2)
         t_pack = min(t_pack, t_p2)
 
-    t_e2e = run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q)
+    t_e2e = run_end_to_end(paths, snarls_one, pheno_bin, pheno_q)
+
+    full_rate, t_full = run_full(paths, snarls_chr, pheno_bin, pheno_q,
+                                 tmpdir)
 
     snarls_tested = 2 * packed.n_snarls
     device_rate = snarls_tested / t_analysis
@@ -285,12 +343,16 @@ def main():
         "baseline_kind": baseline_kind,
         "end_to_end_snarls_per_s": round(e2e_rate, 1),
         "end_to_end_vs_baseline": round(e2e_rate / baseline_rate, 2),
+        "full_run_snarls_per_s": round(full_rate, 1),
+        "full_run_vs_baseline": round(full_rate / baseline_rate, 2),
+        "full_run_s": round(t_full, 4),
         "e2e_s": round(t_e2e, 4),
         "ingest_s": round(t_ingest, 4),
         "pack_s": round(t_pack, 4),
         "analysis_s": round(t_analysis, 4),
         "baseline_snarls_per_s": round(baseline_rate, 1),
         "n_snarls": int(packed.n_snarls),
+        "n_chroms": N_CHROMS,
         "n_samples": N_SAMPLES,
     }))
 

@@ -81,11 +81,12 @@ class SnarlData:
 
     __slots__ = ("net_handle", "snarl_ids", "_paths", "start_pos",
                  "end_pos", "type_variants", "depth", "path_strings",
-                 "_row_prefix")
+                 "_row_prefix", "raw_paths")
 
     def __init__(self, net_handle: int, snarl_ids: Tuple[int, int],
                  paths=None, start_pos: int = 0, end_pos: int = 0,
-                 type_variants=None, depth: int = 1, path_strings=None):
+                 type_variants=None, depth: int = 1, path_strings=None,
+                 raw_paths=None):
         self.net_handle = net_handle
         self.snarl_ids = snarl_ids
         self._paths = paths
@@ -98,6 +99,10 @@ class SnarlData:
             path_strings = ([path_to_string(p) for p in paths]
                             if paths is not None else [])
         self.path_strings = path_strings
+        # the file's raw comma-joined PATHS column when loaded from a
+        # snarl TSV (== ",".join(path_strings)); lets the chromosome
+        # tokenizer build its blob without re-joining per-path strings
+        self.raw_paths = raw_paths
 
     @property
     def paths(self) -> List[List[NodeTraversal]]:
@@ -181,6 +186,7 @@ def parse_snarl_path(file_path: str) -> Dict[str, List[SnarlData]]:
                 type_variants=type_s.split(","),
                 depth=int(depth_s),
                 path_strings=path_strings,
+                raw_paths=paths_s,
             ))
 
     if save_chr != "":

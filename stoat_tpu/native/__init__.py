@@ -100,6 +100,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_chunk_edges.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_free.argtypes = [ctypes.c_void_p]
     lib.stoat_vcf_close.argtypes = [ctypes.c_void_p]
+    lib.stoat_chunk_resolve_idx.restype = ctypes.c_int64
+    lib.stoat_chunk_resolve_idx.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
     lib.stoat_resolve_paths.restype = ctypes.c_int64
     lib.stoat_resolve_paths.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64,
@@ -467,7 +475,57 @@ def _owned_view(ptr, shape, dtype, owner):
     buf = (ptr._type_ * n).from_address(
         ctypes.addressof(ptr.contents))
     buf._owner = owner
-    return np.frombuffer(buf, dtype=dtype).reshape(shape)
+    arr = np.frombuffer(buf, dtype=dtype).reshape(shape)
+    # the views alias shared native buffers (siblings see the same bytes);
+    # keep the old copy semantics' safety by refusing in-place mutation
+    arr.flags.writeable = False
+    return arr
+
+
+def _make_chunk_resolver(lib, owner):
+    """Closure resolving a path blob against a live chunk's edge table.
+
+    Returns ``(idx, rows, offs, valid)`` — the fused C++ resolution
+    (stoat_chunk_resolve_idx): ``idx`` is the pack-ready padded
+    [P, K] int32 index matrix (padding = n_rows, the AND-identity row;
+    the exact pack_path_edge_idx contract), the rest mirror
+    resolve_paths_native.  Returns None on failure (callers fall back)."""
+
+    def resolve(blob: str):
+        if not getattr(owner, "_cp", None):
+            return None
+        try:
+            data = blob.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        k = ctypes.c_int64()
+        idx_p = ctypes.POINTER(ctypes.c_int32)()
+        rows_p = ctypes.POINTER(ctypes.c_uint32)()
+        offs_p = ctypes.POINTER(ctypes.c_uint64)()
+        valid_p = ctypes.POINTER(ctypes.c_uint8)()
+        P = lib.stoat_chunk_resolve_idx(
+            owner._cp, data, len(data), ctypes.byref(k),
+            ctypes.byref(idx_p), ctypes.byref(rows_p),
+            ctypes.byref(offs_p), ctypes.byref(valid_p))
+        if P < 0:
+            return None
+        K = int(k.value)
+        idx = np.ctypeslib.as_array(
+            idx_p, shape=(max(P, 1), K))[:P].copy()
+        offs = np.ctypeslib.as_array(
+            offs_p, shape=(P + 1,)).astype(np.int64)
+        nnz = int(offs[-1])
+        rows = (np.ctypeslib.as_array(rows_p, shape=(max(nnz, 1),))
+                [:nnz].copy())
+        valid = np.ctypeslib.as_array(
+            valid_p, shape=(max(P, 1),))[:P].copy()
+        lib.stoat_free_buf(idx_p)
+        lib.stoat_free_buf(rows_p)
+        lib.stoat_free_buf(offs_p)
+        lib.stoat_free_buf(valid_p)
+        return idx, rows, offs, valid
+
+    return resolve
 
 
 class NativeVcfMatrixReader:
@@ -511,6 +569,7 @@ class NativeVcfMatrixReader:
                 # e.g. a chromosome whose records all lack AT fields
                 words = np.full((1, nwords), 0xFFFFFFFF, np.uint32)
                 edges = np.zeros((0, 4), np.uint64)
+                self.last_resolver = None
                 lib.stoat_chunk_free(cp)
             else:
                 # zero-copy: the arrays view the Chunk's buffers; the
@@ -520,6 +579,9 @@ class NativeVcfMatrixReader:
                                     (rows + 1, nwords), np.uint32, owner)
                 edges = _owned_view(lib.stoat_chunk_edges(cp),
                                     (rows, 4), np.uint64, owner)
+                # fused path resolution against this chunk's own edge
+                # table (the resolver keeps the chunk alive)
+                self.last_resolver = _make_chunk_resolver(lib, owner)
             yield chrom, words, cols, edges
 
     def chunks_arrays(self, initial_rows: int = 1024):

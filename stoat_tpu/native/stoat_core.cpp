@@ -66,17 +66,17 @@ __attribute__((constructor)) static void stoat_tune_malloc() {
 
 namespace {
 
-// Phase profiling (STOAT_PROFILE=1): nanoseconds per pipeline stage,
-// dumped to stderr when a reader is closed.
+// Phase profiling (STOAT_PROFILE=1): nanoseconds per pipeline stage.
+// The counters are process-global but snapshotted per Reader at open and
+// diffed at close, so each close dumps that reader's own phases.
 std::atomic<uint64_t> g_ns_read{0}, g_ns_parse{0}, g_ns_intern{0};
 
 static bool profile_enabled() {
-    static int v = -1;
-    if (v < 0) {
+    static const bool v = [] {
         const char* e = getenv("STOAT_PROFILE");
-        v = (e && e[0] == '1') ? 1 : 0;
-    }
-    return v == 1;
+        return e && e[0] == '1';
+    }();
+    return v;
 }
 
 static inline uint64_t now_ns() {
@@ -445,6 +445,18 @@ struct EdgeTable {
         }
     }
 
+    // Find-only lookup: returns row or UINT32_MAX when absent.
+    uint32_t find(uint64_t ka, uint64_t kb) const {
+        if (slots.empty()) return UINT32_MAX;
+        size_t i = (mix64(ka) ^ mix64(kb + 1)) & mask;
+        for (;;) {
+            const EdgeSlot& s = slots[i];
+            if (!s.val) return UINT32_MAX;
+            if (s.ka == ka && s.kb == kb) return s.val - 1;
+            i = (i + 1) & mask;
+        }
+    }
+
     // Returns row for (ka, kb); `added` set when newly interned.
     uint32_t get_or_add(uint64_t ka, uint64_t kb, bool& added) {
         size_t i = (mix64(ka) ^ mix64(kb + 1)) & mask;
@@ -543,6 +555,16 @@ struct Reader {
     std::vector<Arena> arenas;         // parse arenas (double-buffered
     std::vector<Arena> arenas2;        //  across the parse/intern pipeline)
     MatrixBuilder mb;                  // reused: keeps row capacity
+    // profiling counter snapshots taken at open (per-reader deltas)
+    uint64_t ns_read0 = 0, ns_parse0 = 0, ns_intern0 = 0;
+
+    Reader() {
+        if (profile_enabled()) {
+            ns_read0 = g_ns_read.load();
+            ns_parse0 = g_ns_parse.load();
+            ns_intern0 = g_ns_intern.load();
+        }
+    }
 
     ~Reader() {
         queue.shutdown();
@@ -552,8 +574,9 @@ struct Reader {
             fprintf(stderr,
                     "[stoat_core] read=%.1fms parse(sum)=%.1fms "
                     "intern=%.1fms\n",
-                    g_ns_read.load() / 1e6, g_ns_parse.load() / 1e6,
-                    g_ns_intern.load() / 1e6);
+                    (g_ns_read.load() - ns_read0) / 1e6,
+                    (g_ns_parse.load() - ns_parse0) / 1e6,
+                    (g_ns_intern.load() - ns_intern0) / 1e6);
     }
 
     void start() {
@@ -617,6 +640,8 @@ struct Chunk {
     std::vector<uint32_t> words;   // [n_rows + 1, n_words], last row ~0
     std::vector<uint8_t> dense;    // lazy [n_rows, n_cols] unpack
     std::vector<uint64_t> edges;   // per row: a_id, a_rev, b_id, b_rev
+    EdgeTable table;               // edge→row (moved from the builder) so
+                                   // paths resolve without a table rebuild
     std::string chrom;
 };
 
@@ -843,6 +868,9 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     chunk->words.assign(mb.data.begin(), mb.data.begin() + rows * W);
     chunk->words.resize((rows + 1) * W, 0xFFFFFFFFu);  // AND-identity row
     chunk->edges = std::move(mb.edges);
+    // hand the edge table to the chunk: resolution runs against it with
+    // no rebuild (mb.reset() re-initializes a fresh one next chromosome)
+    chunk->table = std::move(mb.table);
     return chunk;
 }
 
@@ -992,6 +1020,106 @@ int64_t stoat_resolve_paths(const uint64_t* edges, uint64_t n_edge_rows,
     memcpy(*rows_out, rows.data(), rows.size() * sizeof(uint32_t));
     memcpy(*offs_out, offs.data(), offs.size() * sizeof(uint64_t));
     memcpy(*valid_out, valid.data(), valid.size());
+    return P;
+}
+
+// Fused variant: resolve a path blob against a CHUNK's own edge table
+// (moved out of the builder at chunk creation — no table rebuild) and
+// emit the pack-ready padded index matrix the packed device kernels
+// consume directly:
+//
+//   idx   i32[P, K] — edge rows per path; padding entries point at
+//                     n_rows (the all-ones AND-identity row of the words
+//                     matrix), K = pow2(max rows on any valid path), ≥1.
+//                     Invalid paths are entirely padding.
+//   rows  u32[nnz], offs u64[P+1], valid u8[P] — as stoat_resolve_paths.
+//
+// The idx layout is the exact output contract of
+// pipeline/packed.py:pack_path_edge_idx (pinned by tests); emitting it
+// here turns the Python-side packing into array slicing.
+// Returns P, or -1 on error.
+int64_t stoat_chunk_resolve_idx(void* cp, const char* blob,
+                                int64_t blob_len, int64_t* k_out,
+                                int32_t** idx_out, uint32_t** rows_out,
+                                uint64_t** offs_out, uint8_t** valid_out) {
+    Chunk* c = static_cast<Chunk*>(cp);
+    const EdgeTable& table = c->table;
+    const uint32_t n_rows = uint32_t(c->n_rows);
+
+    std::vector<uint32_t> rows;
+    std::vector<uint64_t> offs;
+    std::vector<uint8_t> valid;
+    rows.reserve(size_t(blob_len) / 4 + 1);
+    offs.push_back(0);
+
+    const char* p = blob;
+    const char* end = blob + blob_len;
+    uint64_t prev_key = 0;
+    bool have_prev = false;
+    bool ok = true;
+    size_t path_row_start = 0;
+    while (true) {
+        if (p >= end || *p == ',') {
+            if (!ok) rows.resize(path_row_start);   // drop partial rows
+            offs.push_back(rows.size());
+            valid.push_back(ok ? 1 : 0);
+            if (p >= end) break;
+            ++p;
+            prev_key = 0;
+            have_prev = false;
+            ok = true;
+            path_row_start = rows.size();
+            continue;
+        }
+        char ch = *p;
+        if (ch == '>' || ch == '<') {
+            uint64_t rev = (ch == '<');
+            ++p;
+            uint64_t id = 0;
+            while (p < end && *p >= '0' && *p <= '9') {
+                id = id * 10 + uint64_t(*p - '0');
+                ++p;
+            }
+            uint64_t key = (id << 1) | rev;
+            if (have_prev && ok && (prev_key >> 1) != 0 && id != 0) {
+                uint32_t row = table.find(prev_key, key);
+                if (row != UINT32_MAX) rows.push_back(row);
+                else ok = false;      // identify_path's early abort
+            }
+            prev_key = key;
+            have_prev = true;
+        } else {
+            ++p;   // stray characters: skip (parity with the tokenizer)
+        }
+    }
+
+    const int64_t P = int64_t(valid.size());
+    uint64_t max_k = 0;
+    for (int64_t i = 0; i < P; ++i) {
+        uint64_t n = offs[size_t(i) + 1] - offs[size_t(i)];
+        if (valid[size_t(i)] && n > max_k) max_k = n;
+    }
+    uint64_t K = 1;
+    while (K < max_k) K *= 2;
+
+    int32_t* idx = (int32_t*)malloc(size_t(P) * K * sizeof(int32_t) + 1);
+    *rows_out = (uint32_t*)malloc(rows.size() * sizeof(uint32_t) + 1);
+    *offs_out = (uint64_t*)malloc(offs.size() * sizeof(uint64_t));
+    *valid_out = (uint8_t*)malloc(valid.size() + 1);
+    if (!idx || !*rows_out || !*offs_out || !*valid_out) return -1;
+    for (int64_t i = 0; i < P; ++i) {
+        int32_t* dst = idx + size_t(i) * K;
+        uint64_t lo = offs[size_t(i)], hi = offs[size_t(i) + 1];
+        uint64_t n = hi - lo;
+        for (uint64_t e = 0; e < n; ++e)
+            dst[e] = int32_t(rows[size_t(lo + e)]);
+        for (uint64_t e = n; e < K; ++e) dst[e] = int32_t(n_rows);
+    }
+    memcpy(*rows_out, rows.data(), rows.size() * sizeof(uint32_t));
+    memcpy(*offs_out, offs.data(), offs.size() * sizeof(uint64_t));
+    memcpy(*valid_out, valid.data(), valid.size());
+    *idx_out = idx;
+    *k_out = int64_t(K);
     return P;
 }
 

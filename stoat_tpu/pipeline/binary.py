@@ -168,7 +168,9 @@ def binary_analyze_chromosome(packed: PackedChromosome,
                               min_individuals: int, min_haplotypes: int,
                               maf_threshold: float,
                               device_matrix=None,
-                              use_packed: bool | None = None
+                              use_packed: bool | None = None,
+                              pheno_device=None,
+                              block: bool = True
                               ) -> Dict[str, np.ndarray]:
     """Host wrapper: build the phenotype one-hot and run the device graph.
 
@@ -176,7 +178,11 @@ def binary_analyze_chromosome(packed: PackedChromosome,
     once and reuse it across snarl chunks (f32 [E, H] for the dense path,
     uint32 [E+1, W] packed words for the packed path).  ``use_packed``
     forces a path; by default cohorts over PACKED_HAPLOTYPE_THRESHOLD
-    haplotypes take the bit-packed one.
+    haplotypes take the bit-packed one.  ``pheno_device`` optionally
+    supplies the per-run (g1_words, tail) device arrays so the packed
+    phenotype masks upload once per run, not per chunk.  ``block=False``
+    returns device arrays with host copies started (fetch_async) for the
+    pipelined writer.
     """
     H = packed.n_haplotypes
     if use_packed is None:
@@ -192,24 +198,27 @@ def binary_analyze_chromosome(packed: PackedChromosome,
     if use_packed:
         if device_matrix is None or device_matrix.dtype != jnp.uint32:
             device_matrix = jnp.asarray(packed.packed_words())
-        n_rows = int(device_matrix.shape[0]) - 1
         W = int(device_matrix.shape[1])
-        path_idx = _pk.pack_path_edge_idx(
-            packed.coo_path, packed.coo_row, packed.path_valid, n_rows)
+        path_idx = packed.path_edge_idx()
+        if pheno_device is not None:
+            g1_words, tail = pheno_device
+        else:
+            tail = jnp.asarray(_pk.tail_mask_words(H, W))
+            g1_words = jnp.asarray(_pk.pack_hap_mask_words(
+                np.repeat(binary_phenotype.astype(bool), 2), W))
         out = binary_tables_device_packed(
             device_matrix,
             jnp.asarray(path_idx),
             jnp.asarray(packed.path_valid),
-            jnp.asarray(_pk.tail_mask_words(H, W)),
-            jnp.asarray(_pk.pack_hap_mask_words(
-                np.repeat(binary_phenotype.astype(bool), 2), W)),
+            tail,
+            g1_words,
             jnp.asarray(packed.snarl_path_idx),
             jnp.float64(min_individuals),
             jnp.float64(min_haplotypes),
             jnp.float64(maf_threshold),
         )
-        from stoat_tpu.pipeline.fetch import fetch_all
-        return fetch_all(out)
+        from stoat_tpu.pipeline.fetch import fetch_all, fetch_async
+        return fetch_all(out) if block else fetch_async(out)
 
     pheno_hap = np.repeat(binary_phenotype.astype(np.float32), 2)
     out = binary_tables_device(
@@ -226,5 +235,5 @@ def binary_analyze_chromosome(packed: PackedChromosome,
         jnp.float64(maf_threshold),
         num_paths=int(packed.n_edges_per_path.shape[0]),
     )
-    from stoat_tpu.pipeline.fetch import fetch_all
-    return fetch_all(out)
+    from stoat_tpu.pipeline.fetch import fetch_all, fetch_async
+    return fetch_all(out) if block else fetch_async(out)

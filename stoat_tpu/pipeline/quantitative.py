@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stoat_tpu.pipeline.fetch import fetch_all
+from stoat_tpu.pipeline.fetch import fetch_all, fetch_async
 from stoat_tpu.pipeline.membership import path_membership
 from stoat_tpu.stats.linreg import linear_regression_batch
 from stoat_tpu.stats.logreg import logistic_regression_batch
@@ -235,9 +235,7 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
         from stoat_tpu.pipeline import packed as _pk
         words = (device_matrix if device_matrix is not None
                  else jnp.asarray(packed.packed_words()))
-        n_rows = int(words.shape[0]) - 1
-        path_idx = _pk.pack_path_edge_idx(
-            packed.coo_path, packed.coo_row, packed.path_valid, n_rows)
+        path_idx = packed.path_edge_idx()
         return quantitative_design_packed(
             words,
             jnp.asarray(path_idx),
@@ -276,7 +274,8 @@ def lmm_analyze_chromosome(packed: PackedChromosome,
                            min_haplotypes: int,
                            maf_threshold: float,
                            device_matrix=None,
-                           return_tables: bool = False
+                           return_tables: bool = False,
+                           block: bool = True
                            ) -> Dict[str, np.ndarray]:
     """Kinship-corrected GLS per snarl (EMMAX; stats/lmm.py).
 
@@ -303,7 +302,7 @@ def lmm_analyze_chromosome(packed: PackedChromosome,
     if return_tables:
         out.update(norm=design["norm"], used=design["used"],
                    kept=design["kept"])
-    return fetch_all(out)
+    return fetch_all(out) if block else fetch_async(out)
 
 
 def quantitative_analyze_chromosome(packed: PackedChromosome,
@@ -313,7 +312,8 @@ def quantitative_analyze_chromosome(packed: PackedChromosome,
                                     min_haplotypes: int,
                                     maf_threshold: float,
                                     device_matrix=None,
-                                    return_tables: bool = False
+                                    return_tables: bool = False,
+                                    block: bool = True
                                     ) -> Dict[str, np.ndarray]:
     """OLS per snarl.  Returns per-snarl arrays incl. formatted inputs."""
     design = _design_for(packed, covar, min_individuals, min_haplotypes,
@@ -335,7 +335,7 @@ def quantitative_analyze_chromosome(packed: PackedChromosome,
     }
     if return_tables:
         out.update(norm=design["norm"], used=used, kept=design["kept"])
-    return fetch_all(out)
+    return fetch_all(out) if block else fetch_async(out)
 
 
 def binary_covar_analyze_chromosome(packed: PackedChromosome,
@@ -345,7 +345,8 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
                                     min_haplotypes: int,
                                     maf_threshold: float,
                                     device_matrix=None,
-                                    return_tables: bool = False
+                                    return_tables: bool = False,
+                                    block: bool = True
                                     ) -> Dict[str, np.ndarray]:
     """IRLS logistic per snarl (covariates ignored in the model, as in the
     reference — see module docstring)."""
@@ -367,7 +368,7 @@ def binary_covar_analyze_chromosome(packed: PackedChromosome,
     }
     if return_tables:
         out.update(norm=design["norm"], used=used, kept=design["kept"])
-    return fetch_all(out)
+    return fetch_all(out) if block else fetch_async(out)
 
 
 def eqtl_design_for_chromosome(packed: PackedChromosome,

@@ -58,6 +58,8 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
                     matrix = PackedEdgeMatrix(words, n_haps, edges)
                     matrix.n_records, matrix.n_with_at = \
                         getattr(reader, "last_counts", (-1, -1))
+                    matrix.resolve_idx_native = \
+                        getattr(reader, "last_resolver", None)
                     yield chrom, matrix
             finally:
                 # also runs on GeneratorExit when a consumer abandons the
@@ -152,6 +154,53 @@ class _QuadTokenizer:
         return self._results.get(chrom)
 
 
+class _PipelinedWriter:
+    """Serial executor for result fetch+format+write work.
+
+    The reference's analysis loop serializes test → format → write per
+    snarl (snarl_analyzer.cpp:165-188, omp critical on the stream); here
+    chunk N's device→host fetch, C++ row formatting, and TSV write run on
+    this thread while the main thread dispatches chunk N+1 and the next
+    chromosome ingests — the tail never blocks the pipeline.  Work items
+    execute strictly FIFO, so output order stays deterministic."""
+
+    def __init__(self, maxsize: int = 4):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self.filtered = 0
+        self._errors: List[BaseException] = []
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            if fn is None:
+                return
+            if self._errors:
+                continue            # drain after failure (no deadlock)
+            try:
+                got = fn()
+                if got:
+                    self.filtered += got
+            except BaseException as e:
+                self._errors.append(e)
+
+    def submit(self, fn) -> None:
+        if self._errors:
+            raise self._errors[0]
+        self._q.put(fn)
+
+    def close(self) -> int:
+        self._q.put(None)
+        self._thread.join()
+        if self._errors:
+            raise self._errors[0]
+        return self.filtered
+
+
 def found_gene_snarl(gene_position: List[QtlData], start_pos: int,
                      end_pos: int, window: int) -> List[int]:
     """Genes overlapping [start-window, end+window]
@@ -216,11 +265,16 @@ def run_vcf_analysis(
             raise ValueError(f"unknown mode {mode}")
 
         # Overlap host phases: the next chromosome ingests on a prefetch
-        # thread while this one packs/dispatches/writes, and the path
-        # tokenizes run ahead on their own thread (see _QuadTokenizer).
+        # thread while this one packs/dispatches/writes, the path
+        # tokenizes run ahead on their own thread (see _QuadTokenizer),
+        # and result fetch+format+write drain on the pipelined writer
+        # thread behind the dispatches (mode-specific; eQTL's
+        # data-dependent gene pairing keeps its original inline flow).
         matrices = _prefetched(
             iter_chromosome_matrices(vcf_path, n_hap, snarls_chr))
         tokenizer = _QuadTokenizer(snarls_chr)
+        writer = None if mode == "eqtl" else _PipelinedWriter()
+        pheno_device = None   # per-run packed phenotype masks (binary)
         while True:
             t0 = time.time()
             try:
@@ -272,11 +326,30 @@ def run_vcf_analysis(
                 effective_chunk = min(snarl_chunk_size, budget_rows)
             filtered = 0
             chunk_mesh = mesh
+            chr_state: Dict[str, int] = {}
+            if writer is not None:
+                writer.submit(lambda st=chr_state: st.__setitem__(
+                    "start", writer.filtered))
             from stoat_tpu.tables import pack_chromosome_chunks
             device_matrix = None
             for packed in pack_chromosome_chunks(
                     snarls, matrix, effective_chunk,
                     quad_cache=tokenizer.get(chrom)):
+                if mode == "binary" and pheno_device is None and (
+                        chunk_mesh is None):
+                    # per-run constants: the packed phenotype masks are
+                    # identical for every chunk and chromosome (W is a
+                    # function of the cohort) — upload once
+                    from stoat_tpu.pipeline import packed as _pkmod
+                    Ww = max((n_hap + 31) // 32, 1)
+                    if packed.words is not None or \
+                            packed.n_haplotypes >= 8192:
+                        pheno_device = (
+                            jnp.asarray(_pkmod.pack_hap_mask_words(
+                                np.repeat(binary_phenotype.astype(bool),
+                                          2), Ww)),
+                            jnp.asarray(_pkmod.tail_mask_words(n_hap,
+                                                               Ww)))
                 if device_matrix is None and (chunk_mesh is None
                                               or mode == "eqtl"):
                     # upload the (possibly empty-padded) chromosome matrix
@@ -296,6 +369,7 @@ def run_vcf_analysis(
                         device_matrix = jnp.asarray(packed.matrix,
                                                     jnp.float32)
 
+                from functools import partial
                 if chunk_mesh is not None and mode != "eqtl":
                     res, holder = _analyze_sharded(
                         chunk_mesh, packed, mode, binary_phenotype,
@@ -303,62 +377,70 @@ def run_vcf_analysis(
                         min_individuals, min_haplotypes, maf_threshold,
                         matrix, lmm_ctx=lmm_ctx,
                         return_tables=table_threshold != -1)
-                    filtered += _write_rows(
-                        outf, chrom, holder, res, mode, table_threshold,
-                        regression_dir, samples)
-                elif chunk_mesh is not None and mode == "eqtl":
+                    writer.submit(partial(
+                        _write_rows, outf, chrom, holder, res, mode,
+                        table_threshold, regression_dir, samples))
+                elif mode == "eqtl":
                     filtered += _write_eqtl(
                         outf, chrom, packed, eqtl_map.get(chrom, []),
                         covariate, min_individuals, min_haplotypes,
                         maf_threshold, windows_gene_threshold,
                         table_threshold, regression_dir, samples,
                         device_matrix, mesh=chunk_mesh)
-                elif mode == "binary":
-                    filtered += _write_binary(
-                        outf, chrom, packed, binary_phenotype,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        device_matrix)
-                elif mode == "binary_covar":
-                    filtered += _write_binary_covar(
-                        outf, chrom, packed, binary_phenotype, covariate,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix)
-                elif mode == "quantitative":
-                    filtered += _write_quantitative(
-                        outf, chrom, packed, quantitative_phenotype,
-                        covariate, min_individuals, min_haplotypes,
-                        maf_threshold, table_threshold, regression_dir,
-                        samples, device_matrix)
-                elif mode == "lmm":
-                    filtered += _write_lmm(
-                        outf, chrom, packed, lmm_ctx, covariate,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix)
                 else:
-                    filtered += _write_eqtl(
-                        outf, chrom, packed, eqtl_map.get(chrom, []),
-                        covariate, min_individuals, min_haplotypes,
-                        maf_threshold, windows_gene_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix)
+                    # single-device path: dispatch now, let the writer
+                    # thread fetch+format+write behind the pipeline
+                    res = _analyze_chunk(
+                        mode, packed, binary_phenotype,
+                        quantitative_phenotype, covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        table_threshold, device_matrix, lmm_ctx,
+                        pheno_device)
+                    writer.submit(partial(
+                        _write_chunk, outf, chrom, packed, res, mode,
+                        table_threshold, regression_dir, samples))
 
-            total_filtered += filtered
             total_analyzed += len(snarls)
-            if filtered == len(snarls) and snarls:
-                logger.warning(
-                    "Chromosome %s: all %d snarls were filtered "
-                    "(min-individuals/min-haplotypes/MAF thresholds, or "
-                    "the snarl paths reference edges absent from the "
-                    "VCF's AT traversals).", chrom, filtered)
             t2 = time.time()
-            logger.info("Number of snarl filtered in chr %s : %d",
-                        chrom, filtered)
-            logger.info("Snarl time analysis in chr %s : %.3f s",
-                        chrom, t2 - t1)
-            logger.info("Total time for chr %s : %.3f s", chrom, t2 - t0)
+            if writer is None:
+                total_filtered += filtered
+                if filtered == len(snarls) and snarls:
+                    logger.warning(
+                        "Chromosome %s: all %d snarls were filtered "
+                        "(min-individuals/min-haplotypes/MAF thresholds, "
+                        "or the snarl paths reference edges absent from "
+                        "the VCF's AT traversals).", chrom, filtered)
+                logger.info("Number of snarl filtered in chr %s : %d",
+                            chrom, filtered)
+                logger.info("Snarl time analysis in chr %s : %.3f s",
+                            chrom, t2 - t1)
+                logger.info("Total time for chr %s : %.3f s",
+                            chrom, t2 - t0)
+            else:
+                # log from the writer thread once this chromosome's rows
+                # are on disk (FIFO order keeps the counts exact)
+                def _chr_done(chrom=chrom, n=len(snarls), t0=t0, t1=t1,
+                              st=chr_state):
+                    f = writer.filtered - st.get("start", 0)
+                    if f == n and n:
+                        logger.warning(
+                            "Chromosome %s: all %d snarls were filtered "
+                            "(min-individuals/min-haplotypes/MAF "
+                            "thresholds, or the snarl paths reference "
+                            "edges absent from the VCF's AT traversals).",
+                            chrom, f)
+                    t2 = time.time()
+                    logger.info("Number of snarl filtered in chr %s : %d",
+                                chrom, f)
+                    logger.info("Snarl time analysis in chr %s : %.3f s",
+                                chrom, t2 - t1)
+                    logger.info("Total time for chr %s : %.3f s",
+                                chrom, t2 - t0)
+                    return 0
+                writer.submit(_chr_done)
 
+        if writer is not None:
+            total_filtered += writer.close()
     logger.info("Total number of snarl filtered : %d", total_filtered)
     if total_analyzed and total_filtered == total_analyzed:
         logger.warning(
@@ -444,13 +526,42 @@ def _write_rows(outf, chrom, holder, res, mode, table_threshold,
     return filtered
 
 
-def _write_binary(outf, chrom, packed, phenotype, min_individuals,
-                  min_haplotypes, maf_threshold,
-                  device_matrix=None) -> int:
-    res = binary_analyze_chromosome(packed, phenotype, min_individuals,
-                                    min_haplotypes, maf_threshold,
-                                    device_matrix=device_matrix)
-    return W.write_binary_rows_batch(outf, chrom, packed.snarls, res)
+def _analyze_chunk(mode, packed, binary_phenotype, quantitative_phenotype,
+                   covariate, min_individuals, min_haplotypes,
+                   maf_threshold, table_threshold, device_matrix, lmm_ctx,
+                   pheno_device):
+    """Dispatch one chunk's device analysis; returns device arrays with
+    host copies started (block=False) for the pipelined writer."""
+    if mode == "binary":
+        return binary_analyze_chromosome(
+            packed, binary_phenotype, min_individuals, min_haplotypes,
+            maf_threshold, device_matrix=device_matrix,
+            pheno_device=pheno_device, block=False)
+    if mode == "binary_covar":
+        return binary_covar_analyze_chromosome(
+            packed, binary_phenotype, covariate, min_individuals,
+            min_haplotypes, maf_threshold, device_matrix=device_matrix,
+            return_tables=table_threshold != -1, block=False)
+    if mode == "quantitative":
+        return quantitative_analyze_chromosome(
+            packed, quantitative_phenotype, covariate, min_individuals,
+            min_haplotypes, maf_threshold, device_matrix=device_matrix,
+            return_tables=table_threshold != -1, block=False)
+    from stoat_tpu.pipeline.quantitative import lmm_analyze_chromosome
+    return lmm_analyze_chromosome(
+        packed, lmm_ctx, covariate, min_individuals, min_haplotypes,
+        maf_threshold, device_matrix=device_matrix,
+        return_tables=table_threshold != -1, block=False)
+
+
+def _write_chunk(outf, chrom, packed, res, mode, table_threshold,
+                 regression_dir, samples) -> int:
+    """Fetch+format+write one chunk's rows (runs on the writer thread)."""
+    if mode == "binary":
+        return W.write_binary_rows_batch(outf, chrom, packed.snarls, res)
+    return _write_quant_family(outf, chrom, packed, res, table_threshold,
+                               regression_dir, samples,
+                               has_r2=mode in ("quantitative", "lmm"))
 
 
 def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,
@@ -499,43 +610,6 @@ def _write_quant_family(outf, chrom, packed, res, table_threshold,
                 W.format_p(res["beta"][s]), W.format_p(res["se"][s]),
                 allele_paths)
     return filtered
-
-
-def _write_binary_covar(outf, chrom, packed, phenotype, covariate,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix=None) -> int:
-    res = binary_covar_analyze_chromosome(
-        packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix,
-        return_tables=table_threshold != -1)
-    return _write_quant_family(outf, chrom, packed, res, table_threshold,
-                               regression_dir, samples, has_r2=False)
-
-
-def _write_quantitative(outf, chrom, packed, phenotype, covariate,
-                        min_individuals, min_haplotypes, maf_threshold,
-                        table_threshold, regression_dir, samples,
-                        device_matrix=None) -> int:
-    res = quantitative_analyze_chromosome(
-        packed, phenotype, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix,
-        return_tables=table_threshold != -1)
-    return _write_quant_family(outf, chrom, packed, res, table_threshold,
-                               regression_dir, samples, has_r2=True)
-
-
-def _write_lmm(outf, chrom, packed, lmm_ctx, covariate, min_individuals,
-               min_haplotypes, maf_threshold, table_threshold,
-               regression_dir, samples, device_matrix=None) -> int:
-    """Kinship-corrected GLS rows (EMMAX; quantitative column layout)."""
-    from stoat_tpu.pipeline.quantitative import lmm_analyze_chromosome
-    res = lmm_analyze_chromosome(
-        packed, lmm_ctx, covariate, min_individuals, min_haplotypes,
-        maf_threshold, device_matrix=device_matrix,
-        return_tables=table_threshold != -1)
-    return _write_quant_family(outf, chrom, packed, res, table_threshold,
-                               regression_dir, samples, has_r2=True)
 
 
 def _write_eqtl(outf, chrom, packed, gene_list, covariate, min_individuals,

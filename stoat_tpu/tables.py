@@ -64,6 +64,20 @@ class PackedChromosome:
     snarls: List[SnarlData]     # host-side metadata, real snarls only
     words: Optional[np.ndarray] = None  # [E+1, W] uint32 (see above)
     n_haps: int = -1            # set when matrix is None
+    # pack-ready [P, K] int32 path→edge-row indices from the fused native
+    # resolver (padding = n_rows = the AND-identity row); None when the
+    # chromosome was resolved without it — consumers call path_edge_idx()
+    path_idx: Optional[np.ndarray] = None
+
+    def path_edge_idx(self) -> np.ndarray:
+        """The padded [P, K] edge-row index matrix for the packed kernels
+        (pack_path_edge_idx contract: padding entries point at the
+        AND-identity row)."""
+        if self.path_idx is not None:
+            return self.path_idx
+        from stoat_tpu.pipeline.packed import pack_path_edge_idx
+        return pack_path_edge_idx(self.coo_path, self.coo_row,
+                                  self.path_valid, self.n_rows)
 
     @property
     def n_haplotypes(self) -> int:
@@ -111,7 +125,12 @@ def tokenize_chromosome(snarls: Sequence[SnarlData]):
                         np.int64, len(snarls))
     if not np.array_equal(n_per, n_tup):
         return None
-    blob = ",".join(p for s in snarls for p in s.path_strings)
+    try:
+        # file-loaded snarls carry the raw PATHS column: one join per
+        # snarl instead of one per path
+        blob = ",".join(s.raw_paths for s in snarls)
+    except TypeError:
+        blob = ",".join(p for s in snarls for p in s.path_strings)
     offsets = np.zeros(len(snarls) + 1, np.int64)
     np.cumsum(n_per, out=offsets[1:])
     return blob, n_per, offsets
@@ -124,15 +143,20 @@ class ResolvedPaths:
     chromosome and sliced per chunk."""
 
     __slots__ = ("coo_path", "coo_row", "n_edges", "valid", "n_per",
-                 "offsets")
+                 "offsets", "idx")
 
-    def __init__(self, coo_path, coo_row, n_edges, valid, n_per, offsets):
+    def __init__(self, coo_path, coo_row, n_edges, valid, n_per, offsets,
+                 idx=None):
         self.coo_path = coo_path    # [nnz] int64, nondecreasing
         self.coo_row = coo_row      # [nnz] int32
         self.n_edges = n_edges      # [P] int32
         self.valid = valid          # [P] bool
         self.n_per = n_per          # [S] int64
         self.offsets = offsets      # [S+1] int64 path offsets
+        # optional pack-ready [P, K] int32 edge-row indices from the
+        # fused native resolver (padding = matrix n_rows); when present,
+        # pack_path_edge_idx becomes pure slicing
+        self.idx = idx
 
 
 def resolve_chromosome(snarls: Sequence[SnarlData], edge_matrix,
@@ -151,6 +175,21 @@ def resolve_chromosome(snarls: Sequence[SnarlData], edge_matrix,
     if cache is not None:
         blob, n_per, offsets = cache
         flat_index = int(offsets[-1])
+        # Fastest path: the fused resolver bound to the native chunk's
+        # own edge table (no rebuild) that also emits the pack-ready
+        # padded [P, K] index matrix.
+        fused = getattr(edge_matrix, "resolve_idx_native", None)
+        if fused is not None and flat_index > 0:
+            got = fused(blob)
+            if got is not None and got[2].shape[0] == flat_index + 1:
+                idx, rows, offs, valid = got
+                n_edges = np.diff(offs).astype(np.int32)
+                coo_path = np.repeat(
+                    np.arange(flat_index, dtype=np.int64),
+                    n_edges)
+                return ResolvedPaths(coo_path, rows.astype(np.int32),
+                                     n_edges, valid.astype(bool),
+                                     n_per, offsets, idx=idx)
         edges_arr = getattr(edge_matrix, "_edges_arr", None)
         if edges_arr is None:
             to_arr = getattr(edge_matrix, "edges_array", None)
@@ -240,11 +279,20 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
         # repoint this pack's own padding at the common padded slot
         coo_p[coo_p >= p.n_paths] = P - 1
         coo_r[:n0] = p.coo_row
+        path_idx = p.path_idx
+        if path_idx is not None and path_idx.shape[0] != P:
+            # repad the path axis to the common P (padding rows point at
+            # the AND-identity row, matrix row E)
+            grown = np.full((P, path_idx.shape[1]),
+                            np.int32(edge_matrix.n_rows), np.int32)
+            grown[: path_idx.shape[0]] = path_idx
+            path_idx = grown
         out.append(PackedChromosome(
             matrix=p.matrix, coo_path=coo_p, coo_row=coo_r,
             n_edges_per_path=n_e, path_valid=valid, snarl_path_idx=idx,
             snarl_mask=mask, n_paths=p.n_paths, n_snarls=p.n_snarls,
-            snarls=p.snarls, words=p.words, n_haps=p.n_haps))
+            snarls=p.snarls, words=p.words, n_haps=p.n_haps,
+            path_idx=path_idx))
     return out
 
 
@@ -397,6 +445,15 @@ def _pack_from_resolved(resolved: ResolvedPaths, snarls: List[SnarlData],
         valid_arr = np.append(valid_arr, False)
         coo_path_arr[nnz:] = P - 1
 
+    # Slice the fused resolver's pack-ready indices for this snarl range
+    # (padding rows point at the AND-identity row, matrix row E).
+    path_idx = None
+    if resolved.idx is not None:
+        K = resolved.idx.shape[1]
+        path_idx = np.full((valid_arr.shape[0], K),
+                           np.int32(edge_matrix.n_rows), np.int32)
+        path_idx[:flat_index] = resolved.idx[p_lo:p_hi]
+
     # Matrix layout: a words-carrying source (PackedEdgeMatrix from the
     # native core) flows through bit-packed with no host unpack; the
     # Python reader's dense bool matrix flows through as-is.
@@ -424,4 +481,5 @@ def _pack_from_resolved(resolved: ResolvedPaths, snarls: List[SnarlData],
         snarls=list(snarls),
         words=words,
         n_haps=n_haps,
+        path_idx=path_idx,
     )

@@ -72,3 +72,54 @@ def test_loop_with_indel_two_paths():
     assert sets_of(g, forest, part, (1, 6), False) == [["path0", "path1"]]
     inner = sets_of(g, forest, part, (2, 4), False)
     assert inner == [["path0"], ["path1"]]
+
+
+def test_one_node():
+    """path_partitioner_unit.cpp:18-45: a one-node graph constructs a
+    partitioner without crashing (there is nothing to partition)."""
+    g = load_hg(os.path.join(ZOO, "one_node.hg"))
+    assert [p.name for p in g.paths] == ["path"]
+    part = PathPartitioner(g, g.paths)
+    assert len(part.sample_paths) == 1
+    forest = find_snarls(g)
+    assert len(forest.snarls) == 0          # no snarls in a single node
+
+
+def test_association_finder_three_node_bubble():
+    """path_partitioner_unit.cpp:469-563 at the test_snarls level: the
+    three-node bubble with case={path2} through the full association
+    finder (exact + chi2), output rows pinned.
+
+    chi2 truth checked by hand: partitions {path0,path1},{path2},{path3}
+    give the 2x3 table [[0,0,1],[2,1,0]] -> Pearson stat 4.0, df 2,
+    p = exp(-2) = 0.1353; >2 partitions -> Fisher NA
+    (stats_test.cpp:362-380)."""
+    import io
+
+    from stoat_tpu.graph.association import test_snarls
+
+    g = load_hg(os.path.join(ZOO, "simple_bubble.hg"))
+    forest = find_snarls(g)
+    part = PathPartitioner(g, g.paths)
+    case, control = {"path2"}, {"path0", "path1", "path3"}
+
+    # exact: the {path2} partition equals the case set -> one NA row,
+    # no descent (graph_path_association_finder.cpp:100-117)
+    buf = io.StringIO()
+    n = test_snarls(g, forest, part, case, control, "exact", "tsv", 0,
+                    "", buf)
+    assert n == 1
+    row = buf.getvalue().splitlines()[1].split("\t")
+    assert row[3] == "1_5" and row[4] == "1,1"
+    assert row[5] == "NA" and row[6] == "NA" and row[7] == "NA"
+
+    # chi2: always writes, per-partition case/control counts
+    buf = io.StringIO()
+    n = test_snarls(g, forest, part, case, control, "chi2", "tsv", 0,
+                    "", buf)
+    assert n == 1
+    row = buf.getvalue().splitlines()[1].split("\t")
+    assert row[3] == "1_5"
+    assert row[6] == "0.1353"               # chi2 2x3, stat 4.0, df 2
+    assert row[5] == "NA"                   # >2 partitions: Fisher NA
+    assert sorted(row[7].split(",")) == ["0:1", "0:2", "1:0"]

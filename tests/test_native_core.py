@@ -223,3 +223,61 @@ def test_packed_chunk_zero_copy_lifetime(lib_available, fixture):
     assert np.array_equal(np.array(m._edges_arr), snap_e)
     del junk, m
     gc.collect()  # owner frees the chunk without crashing
+
+
+def test_fused_chunk_resolver_parity(lib_available, fixture):
+    """stoat_chunk_resolve_idx == the Python pack path, end to end.
+
+    The fused resolver (resolution against the chunk's own edge table,
+    emitting the pack-ready padded [P, K] indices) must produce exactly
+    what resolve_chromosome + pack_path_edge_idx produce."""
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.runner import iter_chromosome_matrices
+    from stoat_tpu.pipeline.packed import pack_path_edge_idx
+    from stoat_tpu.tables import pack_chromosome
+
+    snarls_chr = parse_snarl_path(fixture["snarl"])
+    n_hap = 2 * len(fixture["samples"])
+    gen = iter_chromosome_matrices(fixture["vcf"], n_hap, snarls_chr)
+    chrom, matrix = next(gen)
+    gen.close()
+    assert getattr(matrix, "resolve_idx_native", None) is not None
+
+    snarls = snarls_chr[chrom]
+    packed = pack_chromosome(snarls, matrix)
+    assert packed.path_idx is not None
+
+    ref_idx = pack_path_edge_idx(packed.coo_path, packed.coo_row,
+                                 packed.path_valid, packed.n_rows)
+    np.testing.assert_array_equal(packed.path_edge_idx(), ref_idx)
+
+    # and the COO view matches a resolve without the fused path
+    matrix.resolve_idx_native = None
+    packed2 = pack_chromosome(snarls, matrix)
+    np.testing.assert_array_equal(packed2.path_valid, packed.path_valid)
+    np.testing.assert_array_equal(packed2.coo_path, packed.coo_path)
+    np.testing.assert_array_equal(packed2.coo_row, packed.coo_row)
+
+
+def test_fused_resolver_unknown_edges(lib_available, fixture, tmp_path):
+    """Paths referencing edges absent from the VCF are invalid (all-padding
+    rows in idx), star (node-0) edges are skipped — identify_path
+    semantics (snarl_analyzer.cpp:326-336)."""
+    from stoat_tpu.pipeline.runner import iter_chromosome_matrices
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+
+    snarls_chr = parse_snarl_path(fixture["snarl"])
+    n_hap = 2 * len(fixture["samples"])
+    gen = iter_chromosome_matrices(fixture["vcf"], n_hap, snarls_chr)
+    chrom, matrix = next(gen)
+    gen.close()
+    resolver = matrix.resolve_idx_native
+    E = matrix.n_rows
+
+    got = resolver(">999999999>999999998,>0>5>0,")
+    assert got is not None
+    idx, rows, offs, valid = got
+    assert valid.tolist() == [0, 1, 1]       # unknown edge -> invalid
+    assert (idx[0] == E).all()               # all padding
+    assert (idx[1] == E).all()               # star edges skipped: 0 rows
+    assert offs.tolist() == [0, 0, 0, 0]
