@@ -13,11 +13,16 @@ kernels — the production path of pipeline/runner.py).  Two timings:
   * device analysis (``value``): the per-chromosome analysis step alone
     (binary tables + chi²/Fisher and the quantitative design + OLS),
     mirroring the reference's own phase split ("Matrix time construction"
-    vs "Snarl time analysis", snarl_analyzer.cpp:158-179).
+    vs "Snarl time analysis", snarl_analyzer.cpp:158-179).  Execution is
+    FORCED via a fetched scalar probe over every output —
+    jax.block_until_ready does not actually wait over the axon tunnel
+    (measured: sub-ms 'blocks' on 200 ms kernels), so nothing here is
+    timed without bytes arriving on the host.
   * ``end_to_end_snarls_per_s``: wall clock of the full pipelined flow —
     snarl-path tokenize on a background thread overlapped with native VCF
-    ingestion, then packing and both device dispatches — exactly the
-    overlap structure of run_vcf_analysis.
+    ingestion, then packing, both device dispatches, and the result
+    fetches — the overlap structure of run_vcf_analysis minus TSV
+    formatting/writing.
 
   * ``full_run_snarls_per_s``: the wall an actual `stoat vcf` user
     experiences — ``run_vcf_analysis`` from VCF path to finished TSV
@@ -107,33 +112,65 @@ def device_args(packed):
 
 
 def make_steps(packed, pheno_bin, pheno_q):
+    """The production chunk dispatches, results MATERIALIZED on host.
+
+    ``jax.block_until_ready`` does not actually wait for execution over
+    the axon tunnel (measured: sub-ms 'blocks' on 200ms+ kernels), so
+    each step fetches its wire-packed results — exactly what the
+    pipelined runner ships — and timing stops when the bytes are on the
+    host."""
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.binary import binary_tables_device_packed
-    from stoat_tpu.pipeline.quantitative import quantitative_design_packed
-    from stoat_tpu.stats.linreg import linear_regression_batch
+    from stoat_tpu.pipeline.quantitative import _fused_packed_analysis
+    from stoat_tpu.pipeline.fetch import flatten_result
 
     words, path_idx, valid, sidx, tail, W = device_args(packed)
     g1_words = jnp.asarray(_pk.pack_hap_mask_words(
         np.repeat(pheno_bin.astype(bool), 2), W))
     th = (jnp.float64(3), jnp.float64(5), jnp.float64(0.05))
     covar0 = jnp.zeros((N_SAMPLES, 0), jnp.float64)
-    pheno_qd = jnp.asarray(pheno_q)
+    pheno_qd = jnp.asarray(pheno_q, jnp.float64)
     n_haps = packed.n_haplotypes
 
     def step_binary():
-        return binary_tables_device_packed(
+        out = binary_tables_device_packed(
             words, path_idx, valid, tail, g1_words, sidx, *th)
+        fr = flatten_result(out)
+        return fr["p_fisher"], fr["p_chi2"], fr["g0"]   # materialized
 
     def step_quant():
-        d = quantitative_design_packed(
-            words, path_idx, valid, sidx, covar0, *th,
-            n_haplotypes=n_haps, with_covar=False)
-        used = d["used"]
-        y = pheno_qd[None, :] * used
-        p, b, se, r2 = linear_regression_batch(d["X"], y, used, d["ncols"])
-        return p, b, se, r2, d["filtered"]
+        out = _fused_packed_analysis(
+            words, path_idx, valid, sidx, covar0, pheno_qd, *th,
+            n_haplotypes=n_haps, with_covar=False,
+            return_tables=False, kind="linear")
+        fr = flatten_result(out)
+        return fr["p"], fr["beta"], fr["se"]            # materialized
 
-    return step_binary, step_quant
+    # compute-only probes: one scalar reduction per pipeline, fetched —
+    # forces real execution (block_until_ready does not) while keeping
+    # transfers out of the pure device-analysis timing
+    @jax.jit
+    def _probe_binary():
+        out = binary_tables_device_packed(
+            words, path_idx, valid, tail, g1_words, sidx, *th)
+        return (jnp.nansum(out["p_fisher"]) + jnp.nansum(out["p_chi2"])
+                + jnp.sum(out["g0"]))
+
+    @jax.jit
+    def _probe_quant():
+        out = _fused_packed_analysis(
+            words, path_idx, valid, sidx, covar0, pheno_qd, *th,
+            n_haplotypes=n_haps, with_covar=False,
+            return_tables=False, kind="linear")
+        return jnp.nansum(out["p"]) + jnp.nansum(out["beta"])
+
+    def probe_binary():
+        return float(np.asarray(_probe_binary()))
+
+    def probe_quant():
+        return float(np.asarray(_probe_quant()))
+
+    return step_binary, step_quant, probe_binary, probe_quant
 
 
 def _settle(seconds=0.3):
@@ -146,18 +183,20 @@ def _settle(seconds=0.3):
     time.sleep(seconds)
 
 
-def run_device(packed, pheno_bin, pheno_q, repeats=5):
-    step_binary, step_quant = make_steps(packed, pheno_bin, pheno_q)
-    jax.block_until_ready(step_binary())   # compile
-    jax.block_until_ready(step_quant())
+def run_device(packed, pheno_bin, pheno_q, repeats=4):
+    """Pure device-analysis time: scalar probes force execution of both
+    pipelines; only 8 bytes cross the tunnel per step."""
+    _sb, _sq, probe_binary, probe_quant = make_steps(packed, pheno_bin,
+                                                     pheno_q)
+    probe_binary()                         # compile + warm
+    probe_quant()
 
     times = []
     for _ in range(repeats):
         _settle(0.1)
         t0 = time.perf_counter()
-        rb = step_binary()
-        rq = step_quant()
-        jax.block_until_ready((rb, rq))
+        probe_binary()
+        probe_quant()
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -183,18 +222,19 @@ class _Tokenizer:
         return self._results[chrom]
 
 
-def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=5):
-    """Wall clock of the full pipelined flow (compile already warm)."""
+def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=3):
+    """Wall clock of the full pipelined flow, results on host at stop
+    (compile already warm)."""
     times = []
     for _ in range(repeats):
         _settle()
         t0 = time.perf_counter()
         tok = _Tokenizer(snarls_chr)         # overlaps the native ingest
         packed, matrix, t_i, t_p = ingest_once(paths, snarls_chr, tok)
-        step_binary, step_quant = make_steps(packed, pheno_bin, pheno_q)
-        rb = step_binary()
-        rq = step_quant()
-        jax.block_until_ready((rb, rq))
+        step_binary, step_quant, _pb, _pq = make_steps(packed, pheno_bin,
+                                                       pheno_q)
+        step_binary()                        # wire-packed results on host
+        step_quant()
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -276,13 +316,13 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
         run_vcf_analysis(paths["vcf"], snarls_chr, out_b, "binary",
                          binary_phenotype=pheno_bin,
                          sample_names=samples, use_mesh=False,
-                         snarl_chunk_size=N_SNARLS)
+                         snarl_chunk_size=16384)
 
     def quant_run():
         run_vcf_analysis(paths["vcf"], snarls_chr, out_q, "quantitative",
                          quantitative_phenotype=pheno_q,
                          sample_names=samples, use_mesh=False,
-                         snarl_chunk_size=N_SNARLS)
+                         snarl_chunk_size=16384)
 
     bin_run()
     quant_run()                      # warm (jit compiles, page cache)

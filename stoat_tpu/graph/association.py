@@ -42,19 +42,30 @@ class PathPartitioner:
         # (sample, haplotype) -> list of step lists (one per path)
         self.sample_paths: List[Tuple[Tuple[str, int], List[Handle],
                                       List[int]]] = []
-        # node id -> [(path index, step index), ...] so a refine step costs
-        # O(crossings) instead of O(total steps) (the reference gets this
-        # from handlegraph's for_each_step_on_handle index)
-        self._node_steps: Dict[int, List[Tuple[int, int]]] = {}
+        # node id -> [(path index, step index), ...] built LAZILY: the
+        # native partitioner (graph_core) builds its own index, so the
+        # Python dict (seconds at 100k-snarl scale) is only paid when the
+        # Python refinement actually runs (irregular snarls, TRACE)
+        self.__node_steps: Optional[Dict[int,
+                                         List[Tuple[int, int]]]] = None
         for pi, p in enumerate(paths):
             offsets = []
             pos = 0
-            for si, step in enumerate(p.steps):
+            for step in p.steps:
                 offsets.append(pos)
                 pos += g.node_length(step[0])
-                self._node_steps.setdefault(step[0], []).append((pi, si))
             self.sample_paths.append(((p.sample, p.haplotype), p.steps,
                                       offsets))
+
+    @property
+    def _node_steps(self) -> Dict[int, List[Tuple[int, int]]]:
+        if self.__node_steps is None:
+            index: Dict[int, List[Tuple[int, int]]] = {}
+            for pi, (_key, steps, _off) in enumerate(self.sample_paths):
+                for si, step in enumerate(steps):
+                    index.setdefault(step[0], []).append((pi, si))
+            self.__node_steps = index
+        return self.__node_steps
 
     def _outgoing_edge_lists(self, handle: Handle) -> List[Optional[tuple]]:
         """Per sample path: the ordered tuple of edges leaving ``handle``
@@ -150,6 +161,51 @@ class PathPartitioner:
         return handles
 
 
+class _NativePartitions:
+    """Per-snarl walk-set partition counts from the native core.
+
+    Precomputes the start-bound refinement for EVERY snarl in one
+    parallel native pass (graph_core.cpp stoat_graph_partitions) — the
+    graph-mode hot loop that is otherwise a per-snarl Python walk.
+    Valid exactly for REGULAR snarls (start-edge refinement only);
+    irregular snarls fall back to the Python partitioner."""
+
+    def __init__(self, forest: SnarlForest, partitioner: PathPartitioner,
+                 case_set: Set[str], control_set: Set[str]):
+        from stoat_tpu.native import graph_partitions_native
+
+        names = sorted({key[0] for key, _s, _o in
+                        partitioner.sample_paths})
+        name_to_id = {n: i for i, n in enumerate(names)}
+        steps: List[int] = []
+        offsets = [0]
+        path_sample = []
+        for key, psteps, _off in partitioner.sample_paths:
+            steps.extend((st[0] << 1) | int(st[1]) for st in psteps)
+            offsets.append(len(steps))
+            path_sample.append(name_to_id[key[0]])
+        starts = np.array([(s.start[0] << 1) | int(s.start[1])
+                           for s in forest.snarls], np.uint64)
+        sample_case = np.array([n in case_set for n in names], np.uint8)
+        got = graph_partitions_native(
+            np.array(steps, np.uint64), np.array(offsets, np.int64),
+            np.array(path_sample, np.int32), len(names), starts,
+            sample_case)
+        if got is None:
+            raise RuntimeError("native graph core unavailable")
+        self.offs, self.n_case, self.n_ctrl, self.rep = got
+        self.names = names
+        self.n_case_total = sum(1 for n in names if n in case_set)
+        self.n_ctrl_total = len(names) - self.n_case_total
+
+    def counts(self, snarl_idx: int):
+        """[(n_in_case, n_in_control, rep_sample_name), ...] in the
+        Python partitioner's set order."""
+        lo, hi = int(self.offs[snarl_idx]), int(self.offs[snarl_idx + 1])
+        return [(int(self.n_case[i]), int(self.n_ctrl[i]),
+                 self.names[int(self.rep[i])]) for i in range(lo, hi)]
+
+
 def _is_regular_snarl(g: GfaGraph, forest: SnarlForest,
                       snarl_idx: int) -> bool:
     """Heuristic mirror of bdsg's is_regular_snarl: every interior node
@@ -241,6 +297,18 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
     n_written = 0
     stack = sorted(forest.top_level(), reverse=True)
     rows = []
+    from stoat_tpu.logsetup import TRACE
+    # One parallel native pass computes every regular snarl's walk-set
+    # partition counts up front (the per-snarl Python refinement was the
+    # graph-mode hot loop: 11x slower than one C++ core at 100k snarls —
+    # measured).  TRACE keeps the Python path (it dumps the full sets).
+    native_parts = None
+    if not logger.isEnabledFor(TRACE) and forest.snarls:
+        try:
+            native_parts = _NativePartitions(forest, partitioner,
+                                             case_set, control_set)
+        except (RuntimeError, OSError, ImportError) as e:
+            logger.debug("native partitioner unavailable (%s)", e)
     while stack:
         i = stack.pop()
         snarl = forest.snarls[i]
@@ -249,30 +317,41 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
             continue
         path_lengths = f"{mn},{mx}"
         regular = _is_regular_snarl(g, forest, i)
-        partitions = partitioner.partition_samples_in_snarl(
-            forest, i, regular)
-        # trace-level partition dump (graph_path_association_finder
-        # .cpp:55,80-95 logs the same shape at LOG_TRACE)
-        from stoat_tpu.logsetup import TRACE
-        if logger.isEnabledFor(TRACE):
-            logger.trace("Test snarl %s", snarl.id_str)
-            for part in partitions:
-                logger.trace("\tPARTITION")
-                for sample in sorted(part):
-                    logger.trace("\t\t%s", sample)
+        if native_parts is not None and regular:
+            # (n_in_case, n_in_control, representative sample)
+            parts = native_parts.counts(i)
+        else:
+            partitions = partitioner.partition_samples_in_snarl(
+                forest, i, regular)
+            # trace-level partition dump (graph_path_association_finder
+            # .cpp:55,80-95 logs the same shape at LOG_TRACE)
+            if logger.isEnabledFor(TRACE):
+                logger.trace("Test snarl %s", snarl.id_str)
+                for part in partitions:
+                    logger.trace("\tPARTITION")
+                    for sample in sorted(part):
+                        logger.trace("\t\t%s", sample)
+            parts = [(sum(1 for s in p if s in case_set),
+                      sum(1 for s in p if s in control_set),
+                      sorted(p)[0]) for p in partitions]
         descend = True
-        if len(partitions) > 1:
+        if len(parts) > 1:
             if test_method == "exact":
                 samples_to_write: Dict[str, bool] = {}
                 matched = False
-                for part in partitions:
-                    if part == case_set or part == control_set:
+                for nc, nt, rep in parts:
+                    # partition == case/control set <=> it contains every
+                    # member of that set and nothing else (partitions only
+                    # hold phenotype samples)
+                    hit = ((nt == 0 and nc == len(case_set)) or
+                           (nc == 0 and nt == len(control_set)))
+                    if hit:
                         matched = True
                         descend = False
                         if output_format == "fasta":
-                            samples_to_write[sorted(part)[0]] = True
+                            samples_to_write[rep] = True
                     elif output_format == "fasta":
-                        samples_to_write[sorted(part)[0]] = False
+                        samples_to_write[rep] = False
                 if matched:
                     if output_format == "tsv":
                         chrom, a, b = coordinates(snarl)
@@ -285,11 +364,8 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
                             partitioner, reference_sample)
                     n_written += 1
             else:
-                g0 = []
-                g1 = []
-                for part in partitions:
-                    g0.append(sum(1 for s in part if s in case_set))
-                    g1.append(sum(1 for s in part if s in control_set))
+                g0 = [nc for nc, _nt, _r in parts]
+                g1 = [nt for _nc, nt, _r in parts]
                 chrom, a, b = coordinates(snarl)
                 group_paths = W.format_group_paths(g0, g1)
                 rows.append((chrom, a, b, snarl.id_str, path_lengths,
@@ -297,8 +373,8 @@ def test_snarls(g: GfaGraph, forest: SnarlForest,
                              snarl.depth))
                 n_written += 1
                 if output_format == "fasta":
-                    samples_to_write = {sorted(p)[0]: True
-                                        for p in partitions}
+                    samples_to_write = {rep: True
+                                        for _nc, _nt, rep in parts}
                     _write_fasta_partitions(g, forest, i, samples_to_write,
                                             out_fh, partitioner,
                                             reference_sample)

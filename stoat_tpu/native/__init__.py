@@ -274,8 +274,65 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_long, ctypes.POINTER(ctypes.c_char_p),
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p)]
     lib.stoat_free_str.argtypes = [ctypes.c_void_p]
+    lib.stoat_graph_partitions.restype = ctypes.c_long
+    lib.stoat_graph_partitions.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
     _graph_lib = lib
     return _graph_lib
+
+
+def graph_partitions_native(steps: np.ndarray, offsets: np.ndarray,
+                            path_sample: np.ndarray, n_samples: int,
+                            start_handles: np.ndarray,
+                            sample_case: np.ndarray,
+                            threads: int = 0):
+    """Per-snarl walk-set partition counts via the native core.
+
+    The production graph-mode hot loop (partitioner.cpp:36-268 per-snarl
+    refinement) parallel over snarls.  Returns (part_offs int64
+    [n_snarls+1], n_case uint32, n_ctrl uint32, rep int32) or None when
+    the native core is unavailable."""
+    lib = get_graph_lib()
+    if lib is None:
+        return None
+    steps = np.ascontiguousarray(steps, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    path_sample = np.ascontiguousarray(path_sample, np.int32)
+    start_handles = np.ascontiguousarray(start_handles, np.uint64)
+    sample_case = np.ascontiguousarray(sample_case, np.uint8)
+    po = ctypes.POINTER(ctypes.c_uint64)()
+    pc = ctypes.POINTER(ctypes.c_uint32)()
+    pt = ctypes.POINTER(ctypes.c_uint32)()
+    pr = ctypes.POINTER(ctypes.c_int32)()
+    total = lib.stoat_graph_partitions(
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1,
+        path_sample.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_samples,
+        start_handles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(start_handles),
+        sample_case.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads,
+        ctypes.byref(po), ctypes.byref(pc), ctypes.byref(pt),
+        ctypes.byref(pr))
+    if total < 0:
+        return None
+    S = len(start_handles)
+    offs = np.ctypeslib.as_array(po, shape=(S + 1,)).astype(np.int64)
+    n_case = np.ctypeslib.as_array(pc, shape=(max(total, 1),))[:total].copy()
+    n_ctrl = np.ctypeslib.as_array(pt, shape=(max(total, 1),))[:total].copy()
+    rep = np.ctypeslib.as_array(pr, shape=(max(total, 1),))[:total].copy()
+    for p in (po, pc, pt, pr):
+        lib.stoat_free_str(p)          # plain free() in graph_core
+    return offs, n_case, n_ctrl, rep
 
 
 def native_decompose_graph(g, children_threshold: int = 50,
@@ -417,8 +474,37 @@ def get_baseline_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double),
         ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_double,
         ctypes.POINTER(ctypes.c_double)]
+    lib.stoat_baseline_graph.restype = ctypes.c_long
+    lib.stoat_baseline_graph.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_double)]
     _base_lib = lib
     return _base_lib
+
+
+def run_baseline_graph_cpp(steps: np.ndarray, offsets: np.ndarray,
+                           start_handles: np.ndarray,
+                           pheno: np.ndarray) -> int:
+    """Single-core C++ graph-mode baseline: the reference's walk-set
+    partitioning + chi2 per snarl (partitioner.cpp:36-268,
+    graph_path_association_finder.cpp:119-156).  Returns snarls tested."""
+    lib = get_baseline_lib()
+    if lib is None:
+        raise RuntimeError("baseline core unavailable")
+    steps = np.ascontiguousarray(steps, np.uint64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    start_handles = np.ascontiguousarray(start_handles, np.uint64)
+    pheno = np.ascontiguousarray(pheno, np.uint8)
+    sink = ctypes.c_double()
+    return lib.stoat_baseline_graph(
+        steps.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(offsets) - 1,
+        start_handles.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        len(start_handles),
+        pheno.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(sink))
 
 
 def run_baseline_cpp(matrix: np.ndarray, path_rows: np.ndarray,

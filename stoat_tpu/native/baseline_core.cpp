@@ -16,6 +16,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -414,5 +416,104 @@ long stoat_baseline_run(const uint8_t* matrix, long n_rows, long n_cols,
     if (sink) *sink = acc;
     return analyzed;
 }
+
+
+// Graph-mode single-core baseline: the reference's per-snarl walk-set
+// partitioning (PathPartitioner::get_walk_sets, partitioner.cpp:36-268 —
+// refine sample sets by the ordered multiset of outgoing edges each path
+// takes from the snarl's start bound) followed by the chi2 test over the
+// per-partition case/control counts (graph_path_association_finder.cpp:
+// 119-156).  Scalar C++17, one core, with a node→steps index built once
+// like handlegraph's step index.
+//
+// steps: flat (node_id<<1 | is_reverse) per path step
+// offsets: [n_paths+1] into steps
+// start_handles: per snarl (node_id<<1 | orientation) of the start bound
+// pheno: [n_paths] 1 = case path
+// Returns snarls partitioned+tested; accumulates p-values into *sink so
+// the work cannot be optimized away.
+long stoat_baseline_graph(const uint64_t* steps, const int64_t* offsets,
+                          long n_paths, const uint64_t* start_handles,
+                          long n_snarls, const uint8_t* pheno,
+                          double* sink) {
+    // node id -> [(path, step index)] (the reference gets this from
+    // handlegraph's for_each_step_on_handle index)
+    std::unordered_map<uint64_t, std::vector<std::pair<int32_t, int32_t>>>
+        node_steps;
+    node_steps.reserve(size_t(n_paths) * 4);
+    for (long p = 0; p < n_paths; ++p)
+        for (int64_t i = offsets[p]; i < offsets[p + 1]; ++i)
+            node_steps[steps[i] >> 1].push_back(
+                {int32_t(p), int32_t(i - offsets[p])});
+
+    double acc = 0.0;
+    long tested = 0;
+    for (long s = 0; s < n_snarls; ++s) {
+        uint64_t h = start_handles[s];
+        uint64_t node = h >> 1;
+        uint64_t orient = h & 1;
+        auto it = node_steps.find(node);
+        if (it == node_steps.end()) continue;
+
+        // ordered outgoing-edge list per path (sorted by step position)
+        std::map<int32_t, std::vector<std::pair<int32_t, uint64_t>>>
+            per_path;
+        for (const auto& ps : it->second) {
+            int32_t p = ps.first, si = ps.second;
+            int64_t base = offsets[p];
+            uint64_t st = steps[base + si];
+            bool go_fwd = (st & 1) == orient;
+            int64_t j = go_fwd ? si + 1 : si - 1;
+            if (j < 0 || base + j >= offsets[p + 1]) continue;
+            per_path[p].push_back({si, steps[base + j]});
+        }
+        // group by the ordered edge tuple (walk-set refinement)
+        std::map<std::vector<uint64_t>, std::vector<int32_t>> groups;
+        for (auto& pp : per_path) {
+            std::sort(pp.second.begin(), pp.second.end());
+            std::vector<uint64_t> key;
+            key.reserve(pp.second.size());
+            for (const auto& e : pp.second) key.push_back(e.second);
+            groups[key].push_back(pp.first);
+        }
+        if (groups.size() < 2) continue;
+
+        // chi2 2xN over per-partition case/control counts
+        std::vector<long> g0, g1;
+        for (const auto& g : groups) {
+            long c0 = 0, c1 = 0;
+            for (int32_t p : g.second) {
+                if (pheno[p]) ++c1;
+                else ++c0;
+            }
+            g0.push_back(c0);
+            g1.push_back(c1);
+        }
+        double r0s = 0, r1s = 0;
+        for (size_t i = 0; i < g0.size(); ++i) {
+            r0s += g0[i];
+            r1s += g1[i];
+        }
+        double tot = r0s + r1s;
+        if (r0s > 0 && r1s > 0 && tot > 0) {
+            double stat = 0;
+            bool ok = true;
+            for (size_t i = 0; i < g0.size() && ok; ++i) {
+                double cs = double(g0[i] + g1[i]);
+                if (cs == 0) { ok = false; break; }
+                double e0 = r0s * cs / tot, e1 = r1s * cs / tot;
+                stat += (g0[i] - e0) * (g0[i] - e0) / e0;
+                stat += (g1[i] - e1) * (g1[i] - e1) / e1;
+            }
+            if (ok) acc += gammq((double(g0.size()) - 1) / 2.0, stat / 2.0);
+            if (g0.size() == 2)
+                acc += fisher_exact(g0[0], g0[1], g1[0], g1[1]);
+        }
+        ++tested;
+    }
+    *sink = acc;
+    return tested;
+}
+
 
 }  // extern "C"

@@ -1222,4 +1222,134 @@ int stoat_decompose_arrays(
 
 void stoat_free_str(char* s) { free(s); }
 
+
+// ---------------------------------------------------------------------------
+// Graph-mode walk-set partitioning (production native core).
+//
+// The per-snarl sample partitioning of PathPartitioner::get_walk_sets
+// (/root/reference/src/partitioner.cpp:36-268) for REGULAR snarls: refine
+// sample paths by the ordered tuple of outgoing edges each path takes
+// from the snarl's start bound.  Runs parallel over snarls with a shared
+// node->steps index; group order preserves first appearance by path
+// index (the Python partitioner's set-id order, so GROUP_PATHS columns
+// match byte-for-byte).
+//
+// Outputs (malloc'd, caller frees with stoat_free_str/free):
+//   part_offs u64[n_snarls+1]  — partition ranges per snarl
+//   n_case    u32[total_parts] — distinct case samples per partition
+//   n_ctrl    u32[total_parts] — distinct control samples per partition
+//   rep       i32[total_parts] — smallest sample id in the partition
+//                                (callers order ids lexicographically)
+// Returns total partition count, or -1.
+long stoat_graph_partitions(
+        const uint64_t* steps, const int64_t* offsets, long n_paths,
+        const int32_t* path_sample, long n_samples,
+        const uint64_t* start_handles, long n_snarls,
+        const uint8_t* sample_case, long threads,
+        uint64_t** part_offs_out, uint32_t** case_out,
+        uint32_t** ctrl_out, int32_t** rep_out) {
+    // node id -> [(path, step)] index, like handlegraph's step index
+    std::unordered_map<uint64_t,
+                       std::vector<std::pair<int32_t, int32_t>>> node_steps;
+    for (long p = 0; p < n_paths; ++p)
+        for (int64_t i = offsets[p]; i < offsets[p + 1]; ++i)
+            node_steps[steps[i] >> 1].push_back(
+                {int32_t(p), int32_t(i - offsets[p])});
+
+    struct SnarlParts {
+        std::vector<uint32_t> n_case, n_ctrl;
+        std::vector<int32_t> rep;
+    };
+    std::vector<SnarlParts> results((size_t(n_snarls)));
+
+    unsigned nt = threads >= 1 ? unsigned(threads) : num_threads();
+    if (nt < 1) nt = 1;
+    std::atomic<long> next{0};
+    auto worker = [&]() {
+        // per-thread scratch
+        std::vector<std::vector<std::pair<int32_t, uint64_t>>> per_path;
+        std::vector<int32_t> touched;
+        std::map<std::vector<uint64_t>, int32_t> group_of;
+        for (;;) {
+            long s = next.fetch_add(1);
+            if (s >= n_snarls) return;
+            uint64_t h = start_handles[s];
+            auto it = node_steps.find(h >> 1);
+            if (it == node_steps.end()) continue;
+            uint64_t orient = h & 1;
+
+            if (per_path.size() < size_t(n_paths))
+                per_path.resize(size_t(n_paths));
+            touched.clear();
+            for (const auto& ps : it->second) {
+                int32_t p = ps.first, si = ps.second;
+                int64_t base = offsets[p];
+                uint64_t st = steps[base + si];
+                bool go_fwd = (st & 1) == orient;
+                int64_t j = go_fwd ? si + 1 : si - 1;
+                if (j < 0 || base + j >= offsets[p + 1]) continue;
+                if (per_path[p].empty()) touched.push_back(p);
+                per_path[p].push_back({si, steps[base + j]});
+            }
+            std::sort(touched.begin(), touched.end());
+
+            group_of.clear();
+            SnarlParts& out = results[size_t(s)];
+            std::vector<std::vector<int32_t>> members;
+            std::vector<uint64_t> key;
+            for (int32_t p : touched) {
+                auto& cr = per_path[p];
+                std::sort(cr.begin(), cr.end());
+                key.clear();
+                for (const auto& e : cr) key.push_back(e.second);
+                auto ins = group_of.emplace(key, int32_t(members.size()));
+                if (ins.second) members.emplace_back();
+                members[size_t(ins.first->second)].push_back(p);
+                cr.clear();
+            }
+            // distinct-sample case/control counts + smallest sample id
+            std::set<int32_t> samples;
+            for (auto& m : members) {
+                samples.clear();
+                for (int32_t p : m) samples.insert(path_sample[p]);
+                uint32_t c1 = 0;
+                for (int32_t sm : samples)
+                    if (sample_case[sm]) ++c1;
+                out.n_case.push_back(c1);
+                out.n_ctrl.push_back(uint32_t(samples.size()) - c1);
+                out.rep.push_back(*samples.begin());
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+
+    uint64_t total = 0;
+    for (const auto& r : results) total += r.n_case.size();
+    uint64_t* poffs = (uint64_t*)malloc((size_t(n_snarls) + 1) * 8);
+    uint32_t* pc = (uint32_t*)malloc(total * 4 + 4);
+    uint32_t* pt = (uint32_t*)malloc(total * 4 + 4);
+    int32_t* pr = (int32_t*)malloc(total * 4 + 4);
+    if (!poffs || !pc || !pt || !pr) return -1;
+    uint64_t at = 0;
+    for (long s = 0; s < n_snarls; ++s) {
+        poffs[s] = at;
+        const auto& r = results[size_t(s)];
+        for (size_t i = 0; i < r.n_case.size(); ++i, ++at) {
+            pc[at] = r.n_case[i];
+            pt[at] = r.n_ctrl[i];
+            pr[at] = r.rep[i];
+        }
+    }
+    poffs[n_snarls] = at;
+    *part_offs_out = poffs;
+    *case_out = pc;
+    *ctrl_out = pt;
+    *rep_out = pr;
+    return long(total);
+}
+
+
 }  // extern "C"

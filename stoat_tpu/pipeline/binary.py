@@ -149,7 +149,6 @@ def _binary_from_path_counts(g0_path, g1_path, snarl_path_idx,
         "keep": keep,
         "g0": g0,
         "g1": g1,
-        "k": k,
         "p_fisher": p_fisher,
     }
     if tails:

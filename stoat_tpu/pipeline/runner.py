@@ -563,11 +563,22 @@ def _analyze_chunk(mode, packed, binary_phenotype, quantitative_phenotype,
 def _write_chunk(outf, chrom, packed, res, mode, table_threshold,
                  regression_dir, samples) -> int:
     """Fetch+format+write one chunk's rows (runs on the writer thread)."""
+    prof = os.environ.get("STOAT_PROFILE") == "1"
+    if prof:
+        t0 = time.perf_counter()
+        res["filtered" if mode == "binary" else "p"]  # materialize wire
+        t1 = time.perf_counter()
     if mode == "binary":
-        return W.write_binary_rows_batch(outf, chrom, packed.snarls, res)
-    return _write_quant_family(outf, chrom, packed, res, table_threshold,
-                               regression_dir, samples,
-                               has_r2=mode in ("quantitative", "lmm"))
+        n = W.write_binary_rows_batch(outf, chrom, packed.snarls, res)
+    else:
+        n = _write_quant_family(outf, chrom, packed, res, table_threshold,
+                                regression_dir, samples,
+                                has_r2=mode in ("quantitative", "lmm"))
+    if prof:
+        t2 = time.perf_counter()
+        logger.warning("[prof] %s chunk drain: fetch=%.0fms fmt+write=%.0fms",
+                       mode, (t1 - t0) * 1e3, (t2 - t1) * 1e3)
+    return n
 
 
 def _maybe_write_table(res, s, snarl, p_str, table_threshold, regression_dir,

@@ -37,6 +37,106 @@ _LDLT_TOL = 1e-10  # stats_test.cpp:401
 _PINV_TOL = 1e-6   # stats_test.cpp:386
 
 
+# Up to this design width the regression runs fully unrolled on [B]- and
+# [B, N]-shaped arrays: [B, P, P] matrix forms leave 96% of the VPU lanes
+# idle at P ~ 5 and the sequential LDLT/solve loops each pay an emulated-
+# f64 pass over nearly-empty tiles (measured 3-4x on a v5e at 32k snarls).
+_UNROLL_P_MAX = 8
+
+
+def _ols_unrolled_body(X, y, row_mask, ncols):
+    """Unrolled small-P OLS: every intermediate is [B] or [B, N]."""
+    X = jnp.asarray(X, jnp.float64)
+    y = jnp.asarray(y, jnp.float64)
+    row_mask = jnp.asarray(row_mask, bool)
+    B, N, P = X.shape
+
+    cols = [X[:, :, j] for j in range(P)]
+    real = [j < ncols for j in range(P)]                 # [B] bool each
+
+    # normal equations (padded col j: X col is all-zero; diagonal gets +1
+    # exactly like the matrix path's pad_diag)
+    XtX = [[None] * P for _ in range(P)]
+    for i in range(P):
+        for j in range(i, P):
+            s = jnp.sum(cols[i] * cols[j], axis=-1)
+            if i == j:
+                s = s + jnp.where(real[i], 0.0, 1.0)
+            XtX[i][j] = XtX[j][i] = s
+    Xty = [jnp.sum(cols[j] * y, axis=-1) for j in range(P)]
+
+    # unpivoted LDL^T, unrolled (same recursion as ldlt_factor)
+    L = [[None] * P for _ in range(P)]
+    D = [None] * P
+    for j in range(P):
+        dj = XtX[j][j]
+        for k in range(j):
+            dj = dj - L[j][k] * L[j][k] * D[k]
+        D[j] = dj
+        dj_safe = jnp.where(dj == 0.0, 1.0, dj)
+        for i in range(j + 1, P):
+            s = XtX[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k] * D[k]
+            L[i][j] = s / dj_safe
+
+    bad = jnp.zeros((B,), bool)
+    for j in range(P):
+        bad = bad | (real[j] & ((jnp.abs(D[j]) < _LDLT_TOL)
+                                | ~jnp.isfinite(D[j])))
+
+    # inverse columns via solves against the identity
+    D_safe = [jnp.where(D[j] == 0.0, 1.0, D[j]) for j in range(P)]
+    inv = [[None] * P for _ in range(P)]
+    for m in range(P):
+        z = [None] * P
+        for i in range(P):
+            s = jnp.full((B,), 1.0) if i == m else jnp.zeros((B,))
+            for k in range(i):
+                s = s - L[i][k] * z[k]
+            z[i] = s
+        x = [None] * P
+        for t in range(P - 1, -1, -1):
+            s = z[t] / D_safe[t]
+            for k in range(t + 1, P):
+                s = s - L[k][t] * x[k]
+            x[t] = s
+        for i in range(P):
+            inv[i][m] = x[i]
+
+    # rank-deficient rows: Jacobi pseudo-inverse fallback, cond-gated
+    # (rare; see linear_regression_stats_batch)
+    def with_pinv():
+        A = jnp.stack([jnp.stack(row, axis=-1) for row in XtX], axis=-2)
+        pinv = sym_pinv(A, tol=_PINV_TOL)
+        return [[jnp.where(bad, pinv[:, i, m], inv[i][m])
+                 for m in range(P)] for i in range(P)]
+
+    inv = lax.cond(jnp.any(bad), with_pinv, lambda: inv)
+
+    beta = [sum(inv[i][m] * Xty[m] for m in range(P)) for i in range(P)]
+    y_pred = cols[0] * beta[0][:, None]
+    for j in range(1, P):
+        y_pred = y_pred + cols[j] * beta[j][:, None]
+    resid = jnp.where(row_mask, y - y_pred, 0.0)
+    rss = jnp.sum(resid * resid, axis=-1)
+
+    n_used = jnp.sum(row_mask, axis=-1).astype(jnp.float64)
+    n_safe = jnp.where(n_used == 0, 1.0, n_used)
+    y_mean = jnp.sum(jnp.where(row_mask, y, 0.0), axis=-1) / n_safe
+    tss = jnp.sum(jnp.where(row_mask, (y - y_mean[:, None]) ** 2, 0.0),
+                  axis=-1)
+    r2 = 1.0 - rss / tss
+
+    df_res = jnp.maximum(n_used - ncols.astype(jnp.float64) + 1.0, 1.0)
+    mse = rss / df_res
+
+    beta1 = beta[1]
+    se1 = jnp.sqrt(inv[1][1] * mse)
+    t1 = beta1 / se1
+    return t1, df_res, beta1, se1, r2
+
+
 @jax.jit
 def linear_regression_stats_batch(X, y, row_mask, ncols):
     """Batched OLS returning (t1, df_res, beta1, se1, r2) — everything but
@@ -47,6 +147,8 @@ def linear_regression_stats_batch(X, y, row_mask, ncols):
     not varying-aware); the sharded pipeline computes these statistics per
     shard and applies :func:`finish_linear_pvalues` on the gathered result.
     """
+    if X.shape[2] <= _UNROLL_P_MAX:
+        return _ols_unrolled_body(X, y, row_mask, ncols)
     X = jnp.asarray(X, jnp.float64)
     y = jnp.asarray(y, jnp.float64)
     row_mask = jnp.asarray(row_mask, bool)

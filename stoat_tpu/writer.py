@@ -120,6 +120,41 @@ def _prefix_blob(snarls) -> bytes:
     return ("\0".join(s.row_prefix for s in snarls) + "\0").encode()
 
 
+# Per-chunk formatting metadata (prefix blob, depth and path-count
+# arrays) is pure snarl-file data: cache it across runs/modes keyed by
+# the chunk's first SnarlData identity (the objects persist for the
+# process; a bench or multi-phenotype session re-formats the same chunks
+# several times).
+_META_CACHE: dict = {}
+
+
+def _chunk_meta(snarls):
+    key = (id(snarls[0]), len(snarls)) if snarls else (0, 0)
+    got = _META_CACHE.get(key)
+    if got is not None and got[0] is snarls[0]:
+        return got[1]
+    meta = (_prefix_blob(snarls),
+            np.fromiter((s.depth for s in snarls), np.int64, len(snarls)),
+            np.fromiter((s.n_paths for s in snarls), np.int64,
+                        len(snarls)))
+    if len(_META_CACHE) > 256:
+        _META_CACHE.clear()
+    if snarls:
+        _META_CACHE[key] = (snarls[0], meta)
+    return meta
+
+
+def _write_blob(fh, blob: bytes) -> None:
+    """Write formatted bytes, bypassing the text layer's re-encode when
+    the stream exposes a binary buffer."""
+    buf = getattr(fh, "buffer", None)
+    if buf is not None:
+        fh.flush()
+        buf.write(blob)
+    else:
+        fh.write(blob.decode())
+
+
 def write_binary_rows_batch(fh, chrom: str, snarls, res) -> int:
     """Write all of a chunk's binary rows; returns the filtered count.
 
@@ -132,16 +167,16 @@ def write_binary_rows_batch(fh, chrom: str, snarls, res) -> int:
     n_filtered = int(np.sum(filtered_arr))
     try:
         from stoat_tpu import native
+        prefixes, depths, _np_arr = _chunk_meta(snarls)
         blob = native.format_binary_rows(
-            chrom, _prefix_blob(snarls),
-            np.fromiter((s.depth for s in snarls), np.int64, S),
+            chrom, prefixes, depths,
             filtered_arr, np.asarray(res["p_fisher"])[:S],
             np.asarray(res["p_chi2"])[:S], np.asarray(res["g0"])[:S],
             np.asarray(res["g1"])[:S], np.asarray(res["keep"])[:S], S)
     except (OSError, AttributeError):
         blob = None
     if blob is not None:
-        fh.write(blob.decode())
+        _write_blob(fh, blob)
         return n_filtered
     for s, snarl in enumerate(snarls):
         if filtered_arr[s]:
@@ -169,19 +204,18 @@ def write_quant_rows_batch(fh, chrom: str, snarls, res,
     drop = filtered_arr if skip is None else (filtered_arr | skip[:S])
     try:
         from stoat_tpu import native
+        prefixes, depths, n_paths = _chunk_meta(snarls)
         blob = native.format_quant_rows(
-            chrom, _prefix_blob(snarls),
-            np.fromiter((s.depth for s in snarls), np.int64, S),
+            chrom, prefixes, depths,
             drop, np.asarray(res["p"])[:S],
             np.asarray(res["r2"])[:S] if has_r2 else None,
             np.asarray(res["beta"])[:S], np.asarray(res["se"])[:S],
             np.asarray(res["allele_paths"])[:S],
-            np.fromiter((s.n_paths for s in snarls), np.int64, S),
-            S, has_r2)
+            n_paths, S, has_r2)
     except (OSError, AttributeError):
         blob = None
     if blob is not None:
-        fh.write(blob.decode())
+        _write_blob(fh, blob)
         return n_filtered
     allele_arr = np.asarray(res["allele_paths"])
     for s, snarl in enumerate(snarls):

@@ -123,3 +123,33 @@ def test_association_finder_three_node_bubble():
     assert row[6] == "0.1353"               # chi2 2x3, stat 4.0, df 2
     assert row[5] == "NA"                   # >2 partitions: Fisher NA
     assert sorted(row[7].split(",")) == ["0:1", "0:2", "1:0"]
+
+
+def test_native_partition_counts_parity():
+    """stoat_graph_partitions == the Python walk-set partitioner on every
+    regular snarl of the fixture zoo (counts, order, and representative
+    sample)."""
+    from stoat_tpu.graph.association import (_NativePartitions,
+                                             _is_regular_snarl)
+
+    pytest.importorskip("stoat_tpu.native")
+    from stoat_tpu.native import get_graph_lib
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+
+    for name in ("simple_nested_chain", "simple_bubble",
+                 "loop_with_indel", "loop_with_indel_two_paths"):
+        g, forest, part = setup(name)
+        samples = {p.sample for p in g.paths}
+        case = set(sorted(samples)[: len(samples) // 2])
+        control = samples - case
+        native = _NativePartitions(forest, part, case, control)
+        for i, sn in enumerate(forest.snarls):
+            if not _is_regular_snarl(g, forest, i):
+                continue
+            sets = part.partition_samples_in_snarl(forest, i, True)
+            want = [(sum(1 for s in p if s in case),
+                     sum(1 for s in p if s in control),
+                     sorted(p)[0]) for p in sets]
+            got = native.counts(i)
+            assert got == want, (name, sn.id_str, got, want)
