@@ -375,7 +375,7 @@ def print_help() -> None:
         "  BHcorrect  Benjamini-Hochberg correction of a results TSV\n"
         "  simulate   generate a simulated dataset with truth labels\n"
         "  truth      precision/recall of results vs simulated truth\n"
-        "  plot       QQ / Manhattan / per-snarl boxplots from results\n"
+        "  plot       QQ/Manhattan/boxplot/histogram/scatter/report plots\n"
         "  version    print version\n")
 
 
@@ -383,7 +383,8 @@ def main_plot(argv: List[str]) -> int:
     """QQ/Manhattan plots from a results TSV and per-snarl boxplots from
     -T table dumps (plot_script/qq_mahanttan_plot.py + box_plox.R)."""
     ap = argparse.ArgumentParser(prog="stoat plot", add_help=True)
-    ap.add_argument("kind", choices=["qq", "manhattan", "boxplot"])
+    ap.add_argument("kind", choices=["qq", "manhattan", "boxplot",
+                                     "histogram", "scatter", "report"])
     ap.add_argument("-t", "--tsv", metavar="FILE",
                     help="results TSV (qq/manhattan)")
     ap.add_argument("-c", "--column", metavar="NAME",
@@ -393,7 +394,18 @@ def main_plot(argv: List[str]) -> int:
     ap.add_argument("-p", "--phenotype", metavar="FILE",
                     help="FID/IID/PHENO phenotype file (boxplot)")
     ap.add_argument("-o", "--output", required=True,
-                    help="output PNG (qq/manhattan) or directory (boxplot)")
+                    help="output PNG (qq/manhattan/histogram/scatter) "
+                         "or directory (boxplot/report)")
+    ap.add_argument("--x-col", type=int, default=0,
+                    help="x column index (scatter) / value column "
+                         "(histogram)")
+    ap.add_argument("--y-col", type=int, default=1,
+                    help="y column index (scatter)")
+    ap.add_argument("--color-col", type=int, default=-1,
+                    help="coloring column index (scatter)")
+    ap.add_argument("--bins", type=int, default=50,
+                    help="bin count (histogram)")
+    ap.add_argument("--log-y", action="store_true")
     args = ap.parse_args(argv)
 
     from stoat_tpu import plots
@@ -409,8 +421,20 @@ def main_plot(argv: List[str]) -> int:
     _check_file(args.tsv)
     if args.kind == "qq":
         plots.qq_plot(args.tsv, args.output, args.column)
-    else:
+    elif args.kind == "manhattan":
         plots.manhattan_plot(args.tsv, args.output, args.column)
+    elif args.kind == "histogram":
+        plots.histogram_plot(args.tsv, args.output, column=args.x_col,
+                             bins=args.bins, log_y=args.log_y)
+    elif args.kind == "scatter":
+        plots.scatter_plot(args.tsv, args.output, x_col=args.x_col,
+                           y_col=args.y_col, color_col=args.color_col,
+                           log_y=args.log_y)
+    else:
+        written = plots.report_plots(args.tsv, args.output, args.column)
+        logger.info("Wrote %d report plots to %s", len(written),
+                    args.output)
+        return 0
     logger.info("Wrote %s", args.output)
     return 0
 

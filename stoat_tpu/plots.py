@@ -14,7 +14,8 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 __all__ = ["read_pvalues", "qq_plot", "manhattan_plot",
-           "snarl_boxplots"]
+           "snarl_boxplots", "histogram_plot", "scatter_plot",
+           "report_plots"]
 
 
 def read_pvalues(tsv_path: str, p_column: Optional[str] = None
@@ -187,4 +188,127 @@ def snarl_boxplots(phenotype_path: str, tables_dir: str,
         fig.savefig(out_path, dpi=120)
         plt.close(fig)
         written.append(out_path)
+    return written
+
+
+def histogram_plot(tsv_path: str, output_png: str, column: int = 0,
+                   bins: int = 50, title: str = "Histogram",
+                   x_label: str = "", y_label: str = "Count",
+                   log_y: bool = False) -> int:
+    """Histogram of one numeric TSV column — the equivalent of
+    /root/reference/tests/scripts/plot_histogram.py (matplotlib bar
+    panel over np.histogram; '#' header lines skipped).  Returns the
+    number of values plotted."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    values = []
+    with open(tsv_path) as fh:
+        for line in fh:
+            if line.startswith("#"):
+                continue
+            cols = line.rstrip("\n").split("\t")
+            if column < len(cols):
+                try:
+                    values.append(float(cols[column]))
+                except ValueError:
+                    continue
+    hist, edges = np.histogram(values, bins=bins)
+    fig, ax = plt.subplots(figsize=(12, 10))
+    ax.bar(edges[:-1], hist, width=np.diff(edges), align="edge",
+           color="#3b6fb6", edgecolor="black", linewidth=0.3)
+    if log_y:
+        ax.set_yscale("log")
+    ax.set_title(title)
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    fig.tight_layout()
+    fig.savefig(output_png, dpi=150)
+    plt.close(fig)
+    return len(values)
+
+
+def scatter_plot(tsv_path: str, output_png: str, x_col: int = 0,
+                 y_col: int = 1, color_col: int = -1,
+                 title: str = "Scatter", x_label: str = "",
+                 y_label: str = "", log_y: bool = False) -> int:
+    """Scatter of two TSV columns, optionally colored by a third —
+    the equivalent of /root/reference/tests/scripts/plot_scatter.py
+    (gz-aware; '#' header row supplies axis labels when unset)."""
+    import gzip
+
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    opener = gzip.open if tsv_path.endswith("gz") else open
+    groups = {}
+    with opener(tsv_path, "rt") as fh:
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if line.startswith("#"):
+                if not x_label and x_col < len(cols):
+                    x_label = cols[x_col].lstrip("#")
+                if not y_label and y_col < len(cols):
+                    y_label = cols[y_col]
+                continue
+            try:
+                x = float(cols[x_col])
+                y = float(cols[y_col])
+            except (ValueError, IndexError):
+                continue
+            key = cols[color_col] if 0 <= color_col < len(cols) else ""
+            groups.setdefault(key, ([], []))
+            groups[key][0].append(x)
+            groups[key][1].append(y)
+    fig, ax = plt.subplots(figsize=(10, 8))
+    n = 0
+    for key, (xs, ys) in sorted(groups.items()):
+        ax.scatter(xs, ys, s=8, alpha=0.7, label=key or None)
+        n += len(xs)
+    if log_y:
+        ax.set_yscale("log")
+    if len(groups) > 1:
+        ax.legend(fontsize=7, markerscale=2)
+    ax.set_title(title)
+    ax.set_xlabel(x_label)
+    ax.set_ylabel(y_label)
+    fig.tight_layout()
+    fig.savefig(output_png, dpi=150)
+    plt.close(fig)
+    return n
+
+
+def report_plots(results_tsv: str, output_dir: str,
+                 p_column: Optional[str] = None) -> List[str]:
+    """One-call analysis report — the equivalent of
+    tests/scripts/stoat_report_plots.rmd: QQ + Manhattan + a p-value
+    histogram from one results TSV, written as PNGs into
+    ``output_dir``.  Returns the written paths."""
+    import os
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    qq = os.path.join(output_dir, "report_qq.png")
+    qq_plot(results_tsv, qq, p_column=p_column)
+    written.append(qq)
+    man = os.path.join(output_dir, "report_manhattan.png")
+    manhattan_plot(results_tsv, man, p_column=p_column)
+    written.append(man)
+    pvals, _chroms, _pos = read_pvalues(results_tsv, p_column)
+    hist = os.path.join(output_dir, "report_pvalue_hist.png")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(8, 6))
+    ax.hist(pvals, bins=50, color="#3b6fb6", edgecolor="black",
+            linewidth=0.3)
+    ax.set_title("P-value distribution")
+    ax.set_xlabel("p")
+    ax.set_ylabel("Count")
+    fig.tight_layout()
+    fig.savefig(hist, dpi=150)
+    plt.close(fig)
+    written.append(hist)
     return written

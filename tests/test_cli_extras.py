@@ -152,3 +152,30 @@ def test_plot_subcommand(tmp_path):
     assert boxes
     with open(os.path.join(box, boxes[0]), "rb") as fh:
         assert fh.read(8).startswith(b"\x89PNG")
+
+
+def test_plot_histogram_scatter_report(tmp_path):
+    """stoat plot histogram/scatter/report — tests/scripts/
+    plot_histogram.py, plot_scatter.py, stoat_report_plots.rmd parity."""
+    pytest.importorskip("matplotlib")
+    from stoat_tpu.cli import main
+
+    tsv = tmp_path / "r.tsv"
+    with open(tsv, "w") as fh:
+        fh.write("#CHR\tSTART_POS\tEND_POS\tSNARL\tPATH_LENGTHS\tP\n")
+        for i in range(40):
+            fh.write(f"ref\t{100+i*10}\t{105+i*10}\t{i}_{i+1}\t1,1\t"
+                     f"{0.01 + 0.02*i:.4f}\n")
+    out1 = tmp_path / "h.png"
+    assert main(["plot", "histogram", "-t", str(tsv), "-o", str(out1),
+                 "--x-col", "5", "--bins", "10"]) == 0
+    assert out1.stat().st_size > 0
+    out2 = tmp_path / "s.png"
+    assert main(["plot", "scatter", "-t", str(tsv), "-o", str(out2),
+                 "--x-col", "1", "--y-col", "5", "--color-col", "0"]) == 0
+    assert out2.stat().st_size > 0
+    rep = tmp_path / "rep"
+    assert main(["plot", "report", "-t", str(tsv), "-o", str(rep)]) == 0
+    made = sorted(p.name for p in rep.iterdir())
+    assert made == ["report_manhattan.png", "report_pvalue_hist.png",
+                    "report_qq.png"]
