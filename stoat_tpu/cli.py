@@ -128,9 +128,15 @@ def main_vcf(argv: List[str]) -> int:
                           (args.binary, args.quantitative, args.eqtl))
     has_decomposition_inputs = bool(args.graph) and bool(args.dist)
     only_snarl_parsing = False
+    both_phenotypes = bool(args.binary) and bool(args.quantitative) \
+        and not args.eqtl
     if ((args.snarl or has_decomposition_inputs) and args.vcf
-            and phenotype_count == 1):
-        pass  # GWAS (cases 1 & 2, vcf.cpp:237-240)
+            and (phenotype_count == 1 or both_phenotypes)):
+        # GWAS (cases 1 & 2, vcf.cpp:237-240).  Extension beyond the
+        # reference: -b AND -q together run BOTH analyses in one pass
+        # (one VCF ingest, one device matrix upload) — the reference
+        # requires one run per phenotype.
+        pass
     elif (has_decomposition_inputs and not args.vcf and not args.snarl
           and phenotype_count == 0):
         only_snarl_parsing = True  # case 3
@@ -177,10 +183,11 @@ def main_vcf(argv: List[str]) -> int:
         binary_phenotype, list_samples = parse_binary_pheno(
             args.binary, list_samples)
         mode = "binary_covar" if covariate is not None else "binary"
-    elif args.quantitative:
+    if args.quantitative and (mode is None or both_phenotypes):
         quantitative_phenotype = parse_quantitative_pheno(
             args.quantitative, list_samples)
-        mode = "quantitative"
+        if mode is None:
+            mode = "quantitative"
     elif args.eqtl:
         eqtl_phenotype = parse_qtl_gene_file(
             args.eqtl, args.gene_position, list_samples)
@@ -243,6 +250,17 @@ def main_vcf(argv: List[str]) -> int:
               else ("lmm_table_vcf.tsv" if mode == "lmm"
                     else "eqtl_table_vcf.tsv")))
 
+    secondary = None
+    if both_phenotypes:
+        secondary = {
+            "mode": "quantitative",
+            "output_tsv": os.path.join(args.output,
+                                       "quantitative_table_vcf.tsv"),
+            "quantitative_phenotype": quantitative_phenotype,
+        }
+        logger.info("Dual-phenotype run: binary -> %s, quantitative -> %s",
+                    output_tsv, secondary["output_tsv"])
+
     from stoat_tpu.pipeline.runner import run_vcf_analysis
     run_vcf_analysis(
         args.vcf, snarls_chr, output_tsv, mode,
@@ -250,6 +268,7 @@ def main_vcf(argv: List[str]) -> int:
         quantitative_phenotype=quantitative_phenotype,
         eqtl_map=eqtl_phenotype,
         covariate=covariate,
+        secondary=secondary,
         maf_threshold=args.maf,
         table_threshold=args.table_threshold,
         min_individuals=args.min_individuals,

@@ -164,36 +164,40 @@ class _PipelinedWriter:
     chromosome ingests — the tail never blocks the pipeline.  Work items
     execute strictly FIFO, so output order stays deterministic."""
 
-    def __init__(self, maxsize: int = 4):
+    def __init__(self, maxsize: int = 8):
         import queue
         import threading
 
         self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
-        self.filtered = 0
+        self.filtered: Dict[str, int] = {}
         self._errors: List[BaseException] = []
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         while True:
-            fn = self._q.get()
-            if fn is None:
+            item = self._q.get()
+            if item is None:
                 return
             if self._errors:
                 continue            # drain after failure (no deadlock)
+            fn, tag = item
             try:
                 got = fn()
                 if got:
-                    self.filtered += got
+                    self.filtered[tag] = self.filtered.get(tag, 0) + got
             except BaseException as e:
                 self._errors.append(e)
 
-    def submit(self, fn) -> None:
+    def count(self, tag: str = "primary") -> int:
+        return self.filtered.get(tag, 0)
+
+    def submit(self, fn, tag: str = "primary") -> None:
         if self._errors:
             raise self._errors[0]
-        self._q.put(fn)
+        self._q.put((fn, tag))
 
-    def close(self) -> int:
+    def close(self) -> Dict[str, int]:
         self._q.put(None)
         self._thread.join()
         if self._errors:
@@ -230,16 +234,29 @@ def run_vcf_analysis(
     snarl_chunk_size: int = 8192,
     use_mesh: Optional[bool] = None,
     lmm_ctx=None,
+    secondary: Optional[Dict] = None,
 ) -> int:
     """Run the full GWAS over a VCF.  Returns total snarls filtered.
 
     ``use_mesh``: shard the snarl axis over all visible devices via
     shard_map (binary/covar/quantitative modes).  Default: automatic —
     enabled when more than one device is attached.
+
+    ``secondary``: test a SECOND phenotype in the same pass — one VCF
+    ingest, one device matrix upload, both analyses per chunk (a
+    capability the reference lacks: it requires one run per phenotype,
+    vcf.cpp:237-255).  A dict with keys ``mode`` (binary/binary_covar/
+    quantitative/lmm), ``output_tsv``, and the mode's phenotype inputs
+    (``binary_phenotype``/``quantitative_phenotype``/``lmm_ctx``).
+    Single-device modes only (no mesh, no eQTL).
     """
     import jax as _jax
     if use_mesh is None:
         use_mesh = _jax.device_count() > 1
+        if secondary is not None and use_mesh:
+            logger.info("Dual-phenotype run: using the single-device "
+                        "pipelined path")
+            use_mesh = False
     mesh = None
     if use_mesh:
         from stoat_tpu.parallel import make_snarl_mesh
@@ -252,17 +269,28 @@ def run_vcf_analysis(
 
     total_filtered = 0
     total_analyzed = 0
-    with open(output_tsv, "w", newline="") as outf:
-        if mode == "binary":
-            W.write_binary_header(outf)
-        elif mode == "binary_covar":
-            W.write_binary_covar_header(outf)
-        elif mode in ("quantitative", "lmm"):
-            W.write_quantitative_header(outf)
-        elif mode == "eqtl":
-            W.write_eqtl_header(outf)
+    if secondary is not None and (mode == "eqtl" or use_mesh):
+        raise ValueError("secondary phenotype runs are single-device, "
+                         "non-eQTL only")
+
+    def _write_header(fh, m):
+        if m == "binary":
+            W.write_binary_header(fh)
+        elif m == "binary_covar":
+            W.write_binary_covar_header(fh)
+        elif m in ("quantitative", "lmm"):
+            W.write_quantitative_header(fh)
+        elif m == "eqtl":
+            W.write_eqtl_header(fh)
         else:
-            raise ValueError(f"unknown mode {mode}")
+            raise ValueError(f"unknown mode {m}")
+
+    sec_fh = None
+    with open(output_tsv, "w", newline="") as outf:
+        _write_header(outf, mode)
+        if secondary is not None:
+            sec_fh = open(secondary["output_tsv"], "w", newline="")
+            _write_header(sec_fh, secondary["mode"])
 
         # Overlap host phases: the next chromosome ingests on a prefetch
         # thread while this one packs/dispatches/writes, the path
@@ -329,9 +357,15 @@ def run_vcf_analysis(
             chr_state: Dict[str, int] = {}
             if writer is not None:
                 writer.submit(lambda st=chr_state: st.__setitem__(
-                    "start", writer.filtered))
+                    "start", writer.count()))
             from stoat_tpu.tables import pack_chromosome_chunks
             device_matrix = None
+            if (chunk_mesh is None or mode == "eqtl") and \
+                    getattr(matrix, "words", None) is not None:
+                # start the chromosome words upload NOW — the transfer
+                # (2.6 MB/chr at bench scale, the largest per-chromosome
+                # transfer) streams while the host packs the snarl chunks
+                device_matrix = jnp.asarray(matrix.words)
             for packed in pack_chromosome_chunks(
                     snarls, matrix, effective_chunk,
                     quad_cache=tokenizer.get(chrom)):
@@ -399,6 +433,19 @@ def run_vcf_analysis(
                     writer.submit(partial(
                         _write_chunk, outf, chrom, packed, res, mode,
                         table_threshold, regression_dir, samples))
+                    if sec_fh is not None:
+                        res2 = _analyze_chunk(
+                            secondary["mode"], packed,
+                            secondary.get("binary_phenotype"),
+                            secondary.get("quantitative_phenotype"),
+                            covariate, min_individuals, min_haplotypes,
+                            maf_threshold, table_threshold,
+                            device_matrix, secondary.get("lmm_ctx"),
+                            None)
+                        writer.submit(partial(
+                            _write_chunk, sec_fh, chrom, packed, res2,
+                            secondary["mode"], table_threshold,
+                            regression_dir, samples), tag="secondary")
 
             total_analyzed += len(snarls)
             t2 = time.time()
@@ -421,7 +468,7 @@ def run_vcf_analysis(
                 # are on disk (FIFO order keeps the counts exact)
                 def _chr_done(chrom=chrom, n=len(snarls), t0=t0, t1=t1,
                               st=chr_state):
-                    f = writer.filtered - st.get("start", 0)
+                    f = writer.count() - st.get("start", 0)
                     if f == n and n:
                         logger.warning(
                             "Chromosome %s: all %d snarls were filtered "
@@ -440,7 +487,13 @@ def run_vcf_analysis(
                 writer.submit(_chr_done)
 
         if writer is not None:
-            total_filtered += writer.close()
+            counts = writer.close()
+            total_filtered += counts.get("primary", 0)
+            if secondary is not None:
+                logger.info("Secondary mode: %d snarls filtered",
+                            counts.get("secondary", 0))
+        if sec_fh is not None:
+            sec_fh.close()
     logger.info("Total number of snarl filtered : %d", total_filtered)
     if total_analyzed and total_filtered == total_analyzed:
         logger.warning(

@@ -242,3 +242,30 @@ def test_eqtl_end_to_end(fixture):
             assert row[8] == fmt(b)
             checked += 1
     assert checked > 0
+
+
+def test_dual_phenotype_single_pass(tmp_path):
+    """-b AND -q in one invocation (one ingest, one upload, both
+    analyses — extension over the reference's one-run-per-phenotype):
+    outputs byte-identical to two separate runs."""
+    import filecmp
+
+    from stoat_tpu.cli import main as cli_main
+    from fixtures import make_fixture
+
+    paths = make_fixture(str(tmp_path), n_samples=30, n_snarls=40, seed=11)
+    for name, args_extra in (
+            ("dual", ["-b", paths["binary"], "-q", paths["quantitative"]]),
+            ("bin", ["-b", paths["binary"]]),
+            ("quant", ["-q", paths["quantitative"]])):
+        out = tmp_path / f"out_{name}"
+        rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                       *args_extra, "-o", str(out)])
+        assert rc == 0
+    assert filecmp.cmp(tmp_path / "out_dual" / "binary_table_vcf.tsv",
+                       tmp_path / "out_bin" / "binary_table_vcf.tsv",
+                       shallow=False)
+    assert filecmp.cmp(
+        tmp_path / "out_dual" / "quantitative_table_vcf.tsv",
+        tmp_path / "out_quant" / "quantitative_table_vcf.tsv",
+        shallow=False)
