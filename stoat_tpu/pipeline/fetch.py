@@ -45,12 +45,15 @@ def fetch_all(out: Dict[str, object]) -> Dict[str, np.ndarray]:
 #   u16  — integer counts < 65536 packed two per word
 #   u32  — integer counts (wide-cohort variant of u16)
 #   bool — bitfields, 32 flags per word
-_KIND_F64 = ("p_fisher", "p_chi2", "p", "beta", "se", "r2")
-_KIND_INT = ("g0", "g1", "allele_paths", "k")
-_KIND_BOOL = ("filtered", "keep", "chi2_invalid", "chi2_zexp")
+_KIND_F64 = ("p_fisher", "p_chi2", "p", "beta", "se", "r2",
+             "q_p", "q_beta", "q_se", "q_r2")
+_KIND_INT = ("g0", "g1", "allele_paths", "k", "q_allele_paths")
+_KIND_BOOL = ("filtered", "keep", "chi2_invalid", "chi2_zexp",
+              "q_filtered")
 # host-side dtypes the writers expect back
 _INT_DTYPES = {"g0": np.float64, "g1": np.float64,
-               "allele_paths": np.int32, "k": np.int64}
+               "allele_paths": np.int32, "k": np.int64,
+               "q_allele_paths": np.int32}
 # keys never wire-packed (per-sample-sized -T table outputs)
 _EXCLUDE = ("norm", "used", "kept")
 

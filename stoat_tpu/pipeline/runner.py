@@ -421,6 +421,31 @@ def run_vcf_analysis(
                         maf_threshold, windows_gene_threshold,
                         table_threshold, regression_dir, samples,
                         device_matrix, mesh=chunk_mesh)
+                elif (sec_fh is not None and mode == "binary"
+                      and secondary["mode"] == "quantitative"
+                      and table_threshold == -1
+                      and _dual_fused_args(packed, device_matrix,
+                                           pheno_device) is not None):
+                    # Fused dual dispatch: ONE device program computes
+                    # the shared packed membership once and both result
+                    # sets ride one wire pack (one fetch per chunk).
+                    res = _analyze_dual_fused(
+                        packed, binary_phenotype, quantitative_phenotype,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        device_matrix, pheno_device)
+                    writer.submit(partial(
+                        _write_chunk, outf, chrom, packed, res, "binary",
+                        table_threshold, regression_dir, samples))
+
+                    def _write_q(sec_fh=sec_fh, chrom=chrom,
+                                 packed=packed, res=res):
+                        from stoat_tpu.pipeline.quantitative import \
+                            PrefixView
+                        return _write_chunk(
+                            sec_fh, chrom, packed, PrefixView(res),
+                            "quantitative", table_threshold,
+                            regression_dir, samples)
+                    writer.submit(_write_q, tag="secondary")
                 else:
                     # single-device path: dispatch now, let the writer
                     # thread fetch+format+write behind the pipeline
@@ -611,6 +636,47 @@ def _analyze_chunk(mode, packed, binary_phenotype, quantitative_phenotype,
             maf_threshold, device_matrix=device_matrix,
             return_tables=table_threshold != -1, block=False)
     return flatten_result(out, wide=wide)
+
+
+def _dual_fused_args(packed, device_matrix, pheno_device):
+    """True when the fused dual (binary+quantitative) kernel applies:
+    the chromosome is in the packed-words layout."""
+    if device_matrix is not None:
+        import jax.numpy as jnp
+        return True if device_matrix.dtype == jnp.uint32 else None
+    return True if packed.words is not None else None
+
+
+def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        device_matrix, pheno_device):
+    """One-dispatch binary+quantitative chunk analysis (shared packed
+    membership); returns a FlatResult carrying both result sets."""
+    import jax.numpy as jnp
+
+    from stoat_tpu.pipeline import packed as _pk
+    from stoat_tpu.pipeline.fetch import flatten_result
+    from stoat_tpu.pipeline.quantitative import _fused_dual_analysis
+
+    words = (device_matrix if device_matrix is not None
+             else jnp.asarray(packed.packed_words()))
+    W = int(words.shape[1])
+    if pheno_device is not None:
+        g1_words, tail = pheno_device
+    else:
+        tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
+        g1_words = jnp.asarray(_pk.pack_hap_mask_words(
+            np.repeat(binary_phenotype.astype(bool), 2), W))
+    covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
+    out = _fused_dual_analysis(
+        words, jnp.asarray(packed.path_edge_idx()),
+        jnp.asarray(packed.path_valid),
+        jnp.asarray(packed.snarl_path_idx), tail, g1_words, covar0,
+        jnp.asarray(quantitative_phenotype, jnp.float64),
+        jnp.float64(min_individuals), jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+        n_haplotypes=packed.n_haplotypes)
+    return flatten_result(out, wide=packed.n_haplotypes >= (1 << 16))
 
 
 def _write_chunk(outf, chrom, packed, res, mode, table_threshold,
