@@ -272,6 +272,8 @@ def run_vcf_analysis(
     if secondary is not None and (mode == "eqtl" or use_mesh):
         raise ValueError("secondary phenotype runs are single-device, "
                          "non-eQTL only")
+    if secondary is not None:
+        _validate_secondary(secondary)
 
     def _write_header(fh, m):
         if m == "binary":
@@ -424,13 +426,18 @@ def run_vcf_analysis(
                 elif (sec_fh is not None and mode == "binary"
                       and secondary["mode"] == "quantitative"
                       and table_threshold == -1
-                      and _dual_fused_args(packed, device_matrix,
-                                           pheno_device) is not None):
+                      and _dual_fused_args(packed, device_matrix)
+                      is not None):
                     # Fused dual dispatch: ONE device program computes
                     # the shared packed membership once and both result
                     # sets ride one wire pack (one fetch per chunk).
+                    # The secondary phenotype comes from the ``secondary``
+                    # dict (the documented contract above), NOT the
+                    # primary ``quantitative_phenotype`` arg, which is
+                    # None in a binary-mode run.
                     res = _analyze_dual_fused(
-                        packed, binary_phenotype, quantitative_phenotype,
+                        packed, binary_phenotype,
+                        secondary["quantitative_phenotype"],
                         min_individuals, min_haplotypes, maf_threshold,
                         device_matrix, pheno_device)
                     writer.submit(partial(
@@ -638,7 +645,32 @@ def _analyze_chunk(mode, packed, binary_phenotype, quantitative_phenotype,
     return flatten_result(out, wide=wide)
 
 
-def _dual_fused_args(packed, device_matrix, pheno_device):
+def _validate_secondary(secondary: Dict) -> None:
+    """Fail fast on a malformed ``secondary`` dict (the documented
+    contract in run_vcf_analysis's docstring) instead of crashing with
+    ``jnp.asarray(None)`` deep inside a device dispatch."""
+    if "mode" not in secondary or "output_tsv" not in secondary:
+        raise ValueError(
+            "secondary dict must carry 'mode' and 'output_tsv' keys; "
+            f"got keys {sorted(secondary)}")
+    sec_mode = secondary["mode"]
+    pheno_key = {
+        "binary": "binary_phenotype",
+        "binary_covar": "binary_phenotype",
+        "quantitative": "quantitative_phenotype",
+        "lmm": "lmm_ctx",
+    }.get(sec_mode)
+    if pheno_key is None:
+        raise ValueError(
+            f"secondary mode {sec_mode!r} is not one of binary/"
+            "binary_covar/quantitative/lmm")
+    if secondary.get(pheno_key) is None:
+        raise ValueError(
+            f"secondary mode {sec_mode!r} requires a non-None "
+            f"{pheno_key!r} entry in the secondary dict")
+
+
+def _dual_fused_args(packed, device_matrix):
     """True when the fused dual (binary+quantitative) kernel applies:
     the chromosome is in the packed-words layout."""
     if device_matrix is not None:

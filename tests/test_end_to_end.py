@@ -269,3 +269,92 @@ def test_dual_phenotype_single_pass(tmp_path):
         tmp_path / "out_dual" / "quantitative_table_vcf.tsv",
         tmp_path / "out_quant" / "quantitative_table_vcf.tsv",
         shallow=False)
+
+
+def test_dual_phenotype_api_contract(tmp_path, monkeypatch):
+    """run_vcf_analysis called per its OWN documented contract: the
+    secondary phenotype lives in the ``secondary`` dict and the primary
+    ``quantitative_phenotype`` arg is None (binary-mode run).  Round 3
+    read the primary arg in the fused path (runner.py:433) so this exact
+    call crashed with jnp.asarray(None) — this test pins the contract
+    and asserts the fused single-dispatch path actually ran."""
+    import filecmp
+
+    import stoat_tpu.pipeline.runner as runner_mod
+    from stoat_tpu.cli import main as cli_main
+    from stoat_tpu.io.phenotype import (parse_binary_pheno,
+                                        parse_quantitative_pheno)
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.io.vcf import VcfReader
+    from fixtures import make_fixture
+
+    paths = make_fixture(str(tmp_path), n_samples=30, n_snarls=40, seed=11)
+    reader = VcfReader(paths["vcf"])
+    samples = list(reader.samples)
+    reader.close()
+    binary_phenotype, _ = parse_binary_pheno(paths["binary"], samples)
+    quantitative_phenotype = parse_quantitative_pheno(
+        paths["quantitative"], samples)
+    snarls_chr = parse_snarl_path(paths["snarl"])
+
+    fused_calls = []
+    real_fused = runner_mod._analyze_dual_fused
+
+    def spy(*args, **kwargs):
+        fused_calls.append(1)
+        return real_fused(*args, **kwargs)
+
+    monkeypatch.setattr(runner_mod, "_analyze_dual_fused", spy)
+
+    out = tmp_path / "out_api"
+    out.mkdir()
+    bin_tsv = out / "binary_table_vcf.tsv"
+    quant_tsv = out / "quantitative_table_vcf.tsv"
+    runner_mod.run_vcf_analysis(
+        paths["vcf"], snarls_chr, str(bin_tsv), "binary",
+        binary_phenotype=binary_phenotype,
+        # quantitative_phenotype deliberately NOT passed: the contract
+        # says the secondary dict carries it (runner.py docstring).
+        secondary={
+            "mode": "quantitative",
+            "output_tsv": str(quant_tsv),
+            "quantitative_phenotype": quantitative_phenotype,
+        },
+        sample_names=samples)
+    assert fused_calls, "the fused dual-dispatch path did not run"
+
+    # Same outputs as two independent CLI runs.
+    for name, args_extra in (("bin", ["-b", paths["binary"]]),
+                             ("quant", ["-q", paths["quantitative"]])):
+        o = tmp_path / f"out_{name}"
+        rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                       *args_extra, "-o", str(o)])
+        assert rc == 0
+    assert filecmp.cmp(bin_tsv, tmp_path / "out_bin" /
+                       "binary_table_vcf.tsv", shallow=False)
+    assert filecmp.cmp(quant_tsv, tmp_path / "out_quant" /
+                       "quantitative_table_vcf.tsv", shallow=False)
+
+
+def test_secondary_dict_validation(tmp_path):
+    """A malformed secondary dict fails fast with a clear message."""
+    import numpy as np
+    import pytest as _pytest
+
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+    from fixtures import make_fixture
+
+    paths = make_fixture(str(tmp_path), n_samples=10, n_snarls=4, seed=3)
+    snarls_chr = parse_snarl_path(paths["snarl"])
+    pheno = np.zeros(10, bool)
+    for bad, match in (
+            ({"mode": "quantitative"}, "output_tsv"),
+            ({"mode": "nope", "output_tsv": "x"}, "not one of"),
+            ({"mode": "quantitative", "output_tsv": "x"},
+             "quantitative_phenotype")):
+        with _pytest.raises(ValueError, match=match):
+            run_vcf_analysis(
+                paths["vcf"], snarls_chr,
+                str(tmp_path / "o.tsv"), "binary",
+                binary_phenotype=pheno, secondary=bad)
