@@ -369,6 +369,90 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
             2 * n_total / min(dual_times), min(dual_times))
 
 
+GRAPH_SNARLS = 24576
+GRAPH_SAMPLES = 30
+
+
+def make_graph_workload(outdir, rng):
+    """GFA of GRAPH_SNARLS biallelic bubbles with GRAPH_SAMPLES sample
+    paths + binary phenotype — the `stoat graph` workload shape.  Also
+    returns the flat step arrays the single-core baseline consumes."""
+    gfa = os.path.join(outdir, "graph.gfa")
+    pheno_path = os.path.join(outdir, "graph_pheno.tsv")
+    node = 1
+    chain = []
+    with open(gfa, "w") as fh:
+        fh.write("H\tVN:Z:1.0\n")
+        for _ in range(GRAPH_SNARLS):
+            a, m1, m2 = node, node + 1, node + 2
+            fh.write(f"S\t{a}\tAAAA\nS\t{m1}\tC\nS\t{m2}\tG\n")
+            fh.write(f"L\t{a}\t+\t{m1}\t+\t0M\nL\t{a}\t+\t{m2}\t+\t0M\n")
+            fh.write(f"L\t{m1}\t+\t{a+3}\t+\t0M\n"
+                     f"L\t{m2}\t+\t{a+3}\t+\t0M\n")
+            chain.append((a, m1, m2))
+            node += 3
+        fh.write(f"S\t{node}\tTTTT\n")
+        ref = []
+        for a, m1, _ in chain:
+            ref += [f"{a}+", f"{m1}+"]
+        ref.append(f"{node}+")
+        fh.write("P\tref\t" + ",".join(ref) + "\t*\n")
+        allele_pick = rng.random((GRAPH_SAMPLES, GRAPH_SNARLS)) < 0.5
+        steps_flat = []
+        offsets = [0]
+        for s in range(GRAPH_SAMPLES):
+            toks = []
+            for k, (a, m1, m2) in enumerate(chain):
+                mid = m1 if allele_pick[s, k] else m2
+                toks += [f"{a}+", f"{mid}+"]
+                steps_flat += [a << 1, mid << 1]
+            toks.append(f"{node}+")
+            steps_flat.append(node << 1)
+            offsets.append(len(steps_flat))
+            fh.write(f"P\ts{s}#0#chr\t" + ",".join(toks) + "\t*\n")
+    with open(pheno_path, "w") as fh:
+        fh.write("FID\tIID\tPHENO\n")
+        for s in range(GRAPH_SAMPLES):
+            fh.write(f"s{s}\ts{s}\t{1 + s % 2}\n")
+    start_handles = np.array([a << 1 for a, _m1, _m2 in chain], np.uint64)
+    pheno_paths = np.array([1 - (s % 2) for s in range(GRAPH_SAMPLES)],
+                           np.uint8)
+    return (gfa, pheno_path, np.array(steps_flat, np.uint64),
+            np.array(offsets, np.int64), start_handles, pheno_paths)
+
+
+def run_graph_bench(tmpdir, rng, repeats=2):
+    """`stoat graph` end-to-end (GFA -> finished TSV) vs the single-core
+    C++ per-snarl baseline (walk-set partition + chi2,
+    partitioner.cpp:36-268 + graph_path_association_finder.cpp:119-156).
+    The end-to-end number includes GFA load, snarl finding, partitioning,
+    device chi²/Fisher, and the TSV write; the baseline gets its graph
+    handed over as in-memory arrays (a generous baseline)."""
+    from stoat_tpu.graph.association import run_graph_association
+    from stoat_tpu.native import run_baseline_graph_cpp
+
+    gdir = os.path.join(tmpdir, "graph")
+    os.makedirs(gdir, exist_ok=True)
+    gfa, pheno_path, steps, offsets, starts, pheno = \
+        make_graph_workload(gdir, rng)
+    out = os.path.join(gdir, "out")
+    os.makedirs(out, exist_ok=True)
+    run_graph_association(gfa, "", pheno_path, "chi2", "tsv", 0, "ref",
+                          out)                       # warm (jit, caches)
+    t_best = float("inf")
+    for _ in range(repeats):
+        _settle()
+        t0 = time.perf_counter()
+        run_graph_association(gfa, "", pheno_path, "chi2", "tsv", 0,
+                              "ref", out)
+        t_best = min(t_best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    n_base = run_baseline_graph_cpp(steps, offsets, starts, pheno)
+    t_base = time.perf_counter() - t0
+    base_rate = n_base / t_base if t_base > 0 else float("nan")
+    return GRAPH_SNARLS / t_best, base_rate
+
+
 def main():
     rng = np.random.default_rng(SEED)
     tmpdir = tempfile.mkdtemp(prefix="stoat_bench_")
@@ -417,6 +501,8 @@ def main():
     baseline_rate, baseline_kind = run_baseline(packed, matrix, pheno_bin,
                                                 pheno_q)
 
+    graph_rate, graph_base_rate = run_graph_bench(tmpdir, rng)
+
     print(json.dumps({
         "metric": "snarls_tested_per_s_per_chip",
         "value": round(device_rate, 1),
@@ -436,6 +522,9 @@ def main():
         "pack_s": round(t_pack, 4),
         "analysis_s": round(t_analysis, 4),
         "baseline_snarls_per_s": round(baseline_rate, 1),
+        "graph_snarls_per_s": round(graph_rate, 1),
+        "graph_vs_baseline": round(graph_rate / graph_base_rate, 2),
+        "graph_baseline_snarls_per_s": round(graph_base_rate, 1),
         "n_snarls": int(packed.n_snarls),
         "n_chroms": N_CHROMS,
         "n_samples": N_SAMPLES,

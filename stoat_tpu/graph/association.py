@@ -490,11 +490,116 @@ def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
                 out_fh.write("\n")
 
 
+def _batch_test_and_write(blob, kinds, part_offs, g0, g1, out_fh) -> None:
+    """Device-batched chi²/Fisher over the native prepare's partition
+    counts + row splice-and-write (the tail of test_snarls' TSV path,
+    byte-identical)."""
+    from stoat_tpu.stats import chi2_2x2, chi2_2xn, fisher_exact_2x2
+    from stoat_tpu.tables import next_pow2
+
+    n_rows = len(kinds)
+    tested = np.flatnonzero(kinds == 1)
+    B = len(tested)
+    p22 = pf = pn = np.zeros(0)
+    k_arr = np.zeros(0, np.int64)
+    if B:
+        # ragged -> padded [B, Pmax] via one vectorized scatter
+        lo = part_offs[tested]
+        hi = part_offs[tested + 1]
+        k_arr = hi - lo
+        Pmax = next_pow2(max(2, int(k_arr.max())))
+        B_pad = next_pow2(B)
+        # counts are per-partition sample tallies: ship the smallest
+        # sufficient dtype up the (bandwidth-bound) device link; the
+        # kernels promote to f64 on device
+        big = max(int(g0.max(initial=0)), int(g1.max(initial=0))) >= 65536
+        dt = np.int64 if big else np.uint16
+        G0 = np.zeros((B_pad, Pmax), dt)
+        G1 = np.zeros((B_pad, Pmax), dt)
+        mask = np.zeros((B_pad, Pmax), bool)
+        col = np.arange(Pmax)
+        mask[:B] = col[None, :] < k_arr[:, None]
+        flat_src = (lo[:, None] + col[None, :])[mask[:B]]
+        G0[:B][mask[:B]] = g0[flat_src]
+        G1[:B][mask[:B]] = g1[flat_src]
+        p22 = np.asarray(chi2_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
+                                  G1[:, 1]))[:B]
+        pf = np.asarray(fisher_exact_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
+                                         G1[:, 1]))[:B]
+        pn = np.asarray(chi2_2xn(G0, G1, mask))[:B]
+    from stoat_tpu.native import graph_format_rows_native
+    text = graph_format_rows_native(blob, kinds, p22, pf, pn,
+                                    (k_arr == 2).astype(np.uint8))
+    if text is not None:
+        out_fh.write(text.decode())
+        return
+    rows = blob.split(b"\0")[:n_rows]
+    ti = 0
+    for i, row in enumerate(rows):
+        if kinds[i] == 0:
+            out_fh.write(row.decode() + "\n")
+            continue
+        prefix, suffix = row.split(b"\x01", 1)
+        if k_arr[ti] == 2:
+            chi_s, fis_s = W.format_p(p22[ti]), W.format_p(pf[ti])
+        else:
+            chi_s, fis_s = W.format_p(pn[ti]), "NA"
+        out_fh.write(f"{prefix.decode()}\t{fis_s}\t{chi_s}\t"
+                     f"{suffix.decode()}\n")
+        ti += 1
+
+
+def _run_graph_association_native(graph_path: str, binary_path: str,
+                                  test_method: str, allele_size_limit: int,
+                                  reference_sample: str,
+                                  output_dir: str) -> Optional[int]:
+    """The production `stoat graph` fast path: one native call does GFA
+    load + snarl finding + partitioning + the tree walk
+    (graph_core.cpp stoat_graph_assoc); the device batch-tests the
+    partition counts and the rows stream out.  Returns None when the
+    native core is unavailable (caller falls back to the Python path)."""
+    from stoat_tpu.native import graph_assoc_native
+
+    samples: List[str] = []
+    pheno, samples = parse_binary_pheno(binary_path, samples)
+    got = graph_assoc_native(graph_path,
+                             {reference_sample} if reference_sample else None,
+                             samples, pheno.astype(np.uint8), test_method,
+                             allele_size_limit)
+    if got is None:
+        return None
+    blob, kinds, part_offs, g0, g1, n_snarls = got
+    out_path = os.path.join(output_dir, "binary_table_graph.tsv")
+    with open(out_path, "w") as fh:
+        W.write_binary_header(fh)
+        _batch_test_and_write(blob, kinds, part_offs, g0, g1, fh)
+    logger.info("Wrote %d snarls to %s", len(kinds), out_path)
+    return 0
+
+
 def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
                           test_method: str, output_format: str,
                           allele_size_limit: int, reference_sample: str,
                           output_dir: str) -> int:
     """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
+    from stoat_tpu.graph.formats import sniff_graph_format
+    from stoat_tpu.logsetup import TRACE
+    if (output_format == "tsv"
+            and sniff_graph_format(graph_path) == "gfa"
+            and not logger.isEnabledFor(TRACE)
+            and os.environ.get("STOAT_GRAPH_PYTHON") != "1"):
+        try:
+            res = _run_graph_association_native(
+                graph_path, binary_path, test_method, allele_size_limit,
+                reference_sample, output_dir)
+        except RuntimeError as e:
+            if "No graph paths" in str(e):   # graph.cpp-style soft error
+                logger.error("%s", e)
+                return 1
+            raise SystemExit(str(e))
+        if res is not None:
+            return res
+        logger.debug("native graph core unavailable; Python path")
     refs = {reference_sample} if reference_sample else None
     # format detected by content, like the reference's VPKG dispatch
     # (register_io.cpp:20-26; graph/formats.py)

@@ -284,8 +284,105 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32))]
+    lib.stoat_graph_format_rows.restype = ctypes.c_void_p
+    lib.stoat_graph_format_rows.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.stoat_graph_assoc.restype = ctypes.c_long
+    lib.stoat_graph_assoc.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_long,
+        ctypes.c_long,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.POINTER(ctypes.c_long)]
     _graph_lib = lib
     return _graph_lib
+
+
+def graph_assoc_native(gfa_path: str, ref_names, pheno_samples,
+                       pheno_case: np.ndarray, test_method: str,
+                       allele_size_limit: int, threads: int = 0):
+    """One-call native `stoat graph` prepare: GFA load + snarl finding +
+    walk-set partitioning + tree walk (graph_core.cpp stoat_graph_assoc;
+    reference pipeline graph.cpp:217-288 + partitioner.cpp:36-268 +
+    graph_path_association_finder.cpp:29-199).
+
+    Returns (blob, kinds, part_offs, g0, g1, n_snarls) where ``blob`` is
+    the '\\0'-joined row payloads in walk order — kind 0 entries are
+    complete lines, kind 1 entries "prefix\\x01suffix" awaiting the
+    device p-values (splice with graph_format_rows_native) — or None
+    when the native core is unavailable.  Raises RuntimeError for real
+    input errors (unreadable GFA / no matching phenotype paths)."""
+    lib = get_graph_lib()
+    if lib is None:
+        return None
+    refs = ",".join(sorted(ref_names)) if ref_names else ""
+    names_blob = ("\0".join(pheno_samples) + "\0").encode()
+    case = np.ascontiguousarray(pheno_case, np.uint8)
+    rows_p = ctypes.POINTER(ctypes.c_char)()
+    rows_len = ctypes.c_uint64()
+    kind_p = ctypes.POINTER(ctypes.c_uint8)()
+    offs_p = ctypes.POINTER(ctypes.c_uint64)()
+    g0_p = ctypes.POINTER(ctypes.c_uint32)()
+    g1_p = ctypes.POINTER(ctypes.c_uint32)()
+    n_snarls = ctypes.c_long()
+    n_rows = lib.stoat_graph_assoc(
+        gfa_path.encode(), refs.encode(), names_blob, len(pheno_samples),
+        case.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if test_method == "exact" else 0, allele_size_limit, threads,
+        ctypes.byref(rows_p), ctypes.byref(rows_len), ctypes.byref(kind_p),
+        ctypes.byref(offs_p), ctypes.byref(g0_p), ctypes.byref(g1_p),
+        ctypes.byref(n_snarls))
+    if n_rows == -1:
+        raise RuntimeError(f"could not read GFA: {gfa_path}")
+    if n_rows == -2:
+        raise RuntimeError("No graph paths match the phenotype samples")
+    if n_rows < 0:
+        return None
+    n = int(n_rows)
+    blob = ctypes.string_at(rows_p, rows_len.value)
+    kinds = np.ctypeslib.as_array(kind_p, shape=(max(n, 1),))[:n].copy()
+    offs = np.ctypeslib.as_array(offs_p, shape=(n + 1,)).astype(np.int64)
+    total = int(offs[-1])
+    g0 = np.ctypeslib.as_array(g0_p, shape=(max(total, 1),))[:total].copy()
+    g1 = np.ctypeslib.as_array(g1_p, shape=(max(total, 1),))[:total].copy()
+    for p in (rows_p, kind_p, offs_p, g0_p, g1_p):
+        lib.stoat_free_str(p)
+    return blob, kinds, offs, g0, g1, int(n_snarls.value)
+
+
+def graph_format_rows_native(blob: bytes, kinds: np.ndarray,
+                             p22, pf, pn, is_two) -> Optional[bytes]:
+    """Splice device p-values into stoat_graph_assoc row payloads and
+    return the final TSV text (C++ set_precision twin), or None."""
+    lib = get_graph_lib()
+    if lib is None:
+        return None
+    kinds = np.ascontiguousarray(kinds, np.uint8)
+    p22 = np.ascontiguousarray(p22, np.float64)
+    pf = np.ascontiguousarray(pf, np.float64)
+    pn = np.ascontiguousarray(pn, np.float64)
+    is_two = np.ascontiguousarray(is_two, np.uint8)
+    out_len = ctypes.c_uint64()
+    ptr = lib.stoat_graph_format_rows(
+        blob, len(blob),
+        kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(kinds), _dptr(p22), _dptr(pf), _dptr(pn),
+        is_two.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(out_len))
+    if not ptr:
+        return None
+    out = ctypes.string_at(ptr, out_len.value)
+    lib.stoat_free_str(ptr)
+    return out
 
 
 def graph_partitions_native(steps: np.ndarray, offsets: np.ndarray,

@@ -17,6 +17,8 @@
 
 #include <algorithm>
 #include <atomic>
+#include <chrono>
+#include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -119,14 +121,35 @@ static bool load_gfa(const char* path,
         while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
             line.pop_back();
         if (line.empty() || line[0] == '#') continue;
+        // S/L dominate line counts at scale: scan them in place instead
+        // of allocating per-field substrings
+        if (line[0] == 'S' && line[1] == '\t') {
+            char* p = nullptr;
+            uint64_t id = strtoull(line.c_str() + 2, &p, 10);
+            if (p && *p == '\t') {
+                const char* seq = p + 1;
+                const char* q = strchr(seq, '\t');
+                g.node_len[id] = uint32_t(
+                    q ? size_t(q - seq) : strlen(seq));
+            }
+            continue;
+        }
+        if (line[0] == 'L' && line[1] == '\t') {
+            char* p = nullptr;
+            uint64_t aid = strtoull(line.c_str() + 2, &p, 10);
+            if (p && p[0] == '\t' && p[1] && p[2] == '\t') {
+                bool arev = p[1] == '-';
+                char* q = nullptr;
+                uint64_t bid = strtoull(p + 3, &q, 10);
+                if (q && q[0] == '\t' && q[1]) {
+                    g.add_edge(make_handle(aid, arev),
+                               make_handle(bid, q[1] == '-'));
+                }
+            }
+            continue;
+        }
         auto f = split(line, '\t');
-        if (f[0] == "S" && f.size() >= 3) {
-            g.node_len[std::stoull(f[1])] = uint32_t(f[2].size());
-        } else if (f[0] == "L" && f.size() >= 5) {
-            Handle a = make_handle(std::stoull(f[1]), f[2] == "-");
-            Handle b = make_handle(std::stoull(f[3]), f[4] == "-");
-            g.add_edge(a, b);
-        } else if (f[0] == "P" && f.size() >= 3) {
+        if (f[0] == "P" && f.size() >= 3) {
             GPath p;
             p.name = f[1];
             // PanSN sample#hap#contig
@@ -134,11 +157,24 @@ static bool load_gfa(const char* path,
             p.sample = parts.size() == 3 ? parts[0] : f[1];
             p.is_ref = ref_names.empty() || ref_names.count(f[1]) ||
                        ref_names.count(p.sample);
-            for (const auto& step : split(f[2], ',')) {
-                if (step.empty()) continue;
-                char o = step.back();
-                p.steps.push_back(make_handle(
-                    std::stoull(step.substr(0, step.size() - 1)), o == '-'));
+            // in-place step scan (no per-token substr allocations — the
+            // steps field dominates the file at pangenome scale)
+            const std::string& sf = f[2];
+            p.steps.reserve(size_t(
+                std::count(sf.begin(), sf.end(), ',') + 1));
+            size_t k = 0;
+            while (k < sf.size()) {
+                uint64_t id = 0;
+                bool any = false;
+                while (k < sf.size() && sf[k] >= '0' && sf[k] <= '9') {
+                    id = id * 10 + uint64_t(sf[k] - '0');
+                    ++k;
+                    any = true;
+                }
+                bool rev = k < sf.size() && sf[k] == '-';
+                if (any) p.steps.push_back(make_handle(id, rev));
+                while (k < sf.size() && sf[k] != ',') ++k;
+                ++k;
             }
             g.paths.push_back(std::move(p));
         } else if (f[0] == "W" && f.size() >= 7) {
@@ -324,61 +360,115 @@ static std::optional<FindResult> find_snarl_from(
 }
 
 // nodes in nontrivial SCCs of the orientation digraph (or with self
-// edges): the only places a single-successor entrance can open a snarl
+// edges): the only places a single-successor entrance can open a snarl.
+// Dense-indexed iterative Tarjan — hash-map bookkeeping per vertex was
+// the find-phase hot spot at pangenome scale.
 static std::set<uint64_t> cyclic_nodes(const Graph& g) {
-    std::unordered_map<Handle, int> index, lowlink;
-    std::unordered_set<Handle> on_stack;
-    std::vector<Handle> stack;
-    int counter = 0;
+    const size_t N = g.node_len.size();
+    const size_t V = 2 * N;
     std::set<uint64_t> cyclic;
+    if (!N) return cyclic;
 
-    std::vector<Handle> vertices;
-    for (const auto& [nid, _len] : g.node_len)
-        for (int o = 0; o < 2; ++o) vertices.push_back(make_handle(nid, o));
+    // nodes referenced only by L lines still participate (the hash-map
+    // version indexed successor vertices on demand)
+    std::set<uint64_t> extra;
+    for (const auto& [u, vs] : g.succ) {
+        if (!g.node_len.count(node_of(u))) extra.insert(node_of(u));
+        for (Handle v : vs)
+            if (!g.node_len.count(node_of(v))) extra.insert(node_of(v));
+    }
 
-    for (Handle root : vertices) {
-        if (index.count(root)) continue;
-        std::vector<std::pair<Handle, size_t>> work{{root, 0}};
+    // dense node slots (ids are typically contiguous in GFAs)
+    const uint64_t mn = g.node_len.begin()->first;
+    const uint64_t mx = g.node_len.rbegin()->first;
+    const bool dense = extra.empty() &&
+                       (mx - mn + 1) <= 4 * uint64_t(N) + 1024;
+    const size_t Vall = V + 2 * extra.size();
+    std::vector<int64_t> slot_dense;
+    std::unordered_map<uint64_t, int64_t> slot_map;
+    std::vector<Handle> vert(Vall);
+    {
+        int64_t s = 0;
+        if (dense) slot_dense.assign(size_t(mx - mn + 1), -1);
+        else slot_map.reserve((N + extra.size()) * 2);
+        for (const auto& [nid, _len] : g.node_len) {
+            if (dense) slot_dense[size_t(nid - mn)] = s;
+            else slot_map.emplace(nid, s);
+            vert[size_t(2 * s)] = make_handle(nid, false);
+            vert[size_t(2 * s + 1)] = make_handle(nid, true);
+            ++s;
+        }
+        for (uint64_t nid : extra) {
+            slot_map.emplace(nid, s);
+            vert[size_t(2 * s)] = make_handle(nid, false);
+            vert[size_t(2 * s + 1)] = make_handle(nid, true);
+            ++s;
+        }
+    }
+    auto vid = [&](Handle h) -> int64_t {
+        uint64_t n = node_of(h);
+        int64_t s;
+        if (dense) {
+            if (n < mn || n - mn >= slot_dense.size()) return -1;
+            s = slot_dense[size_t(n - mn)];
+        } else {
+            auto it = slot_map.find(n);
+            s = it == slot_map.end() ? -1 : it->second;
+        }
+        return s < 0 ? -1 : 2 * s + int64_t(h & 1);
+    };
+
+    std::vector<int32_t> index(Vall, -1), lowlink(Vall, 0);
+    std::vector<uint8_t> on_stack(Vall, 0);
+    std::vector<uint32_t> stack, comp;
+    struct Frame { uint32_t v; uint32_t pos; };
+    std::vector<Frame> work;
+    int32_t counter = 0;
+    for (uint32_t root = 0; root < uint32_t(Vall); ++root) {
+        if (index[root] != -1) continue;
+        work.push_back({root, 0});
         index[root] = lowlink[root] = counter++;
         stack.push_back(root);
-        on_stack.insert(root);
+        on_stack[root] = 1;
         while (!work.empty()) {
-            auto& [v, pos] = work.back();
+            uint32_t v = work.back().v;
+            const auto& succs = g.successors(vert[v]);
             bool advanced = false;
-            const auto& succs = g.successors(v);
-            while (pos < succs.size()) {
-                Handle w = succs[pos++];
+            while (work.back().pos < succs.size()) {
+                Handle wh = succs[work.back().pos++];
+                int64_t wi = vid(wh);
+                if (wi < 0) continue;       // edge to an undeclared node
+                uint32_t w = uint32_t(wi);
                 if (w == v) {
-                    cyclic.insert(node_of(v));
-                } else if (!index.count(w)) {
+                    cyclic.insert(node_of(vert[v]));
+                } else if (index[w] == -1) {
                     index[w] = lowlink[w] = counter++;
                     stack.push_back(w);
-                    on_stack.insert(w);
+                    on_stack[w] = 1;
                     work.push_back({w, 0});
                     advanced = true;
                     break;
-                } else if (on_stack.count(w)) {
+                } else if (on_stack[w]) {
                     lowlink[v] = std::min(lowlink[v], index[w]);
                 }
             }
             if (advanced) continue;
-            Handle v2 = work.back().first;
             work.pop_back();
             if (!work.empty()) {
-                Handle parent = work.back().first;
-                lowlink[parent] = std::min(lowlink[parent], lowlink[v2]);
+                uint32_t parent = work.back().v;
+                lowlink[parent] = std::min(lowlink[parent], lowlink[v]);
             }
-            if (lowlink[v2] == index[v2]) {
-                std::vector<Handle> comp;
+            if (lowlink[v] == index[v]) {
+                comp.clear();
                 for (;;) {
-                    Handle w = stack.back();
+                    uint32_t w = stack.back();
                     stack.pop_back();
-                    on_stack.erase(w);
+                    on_stack[w] = 0;
                     comp.push_back(w);
-                    if (w == v2) break;
+                    if (w == v) break;
                 }
                 if (comp.size() > 1)
-                    for (Handle w : comp) cyclic.insert(node_of(w));
+                    for (uint32_t w : comp) cyclic.insert(node_of(vert[w]));
             }
         }
     }
@@ -386,8 +476,17 @@ static std::set<uint64_t> cyclic_nodes(const Graph& g) {
 }
 
 static Forest find_snarls(const Graph& g) {
+    const bool prof = getenv("STOAT_PROFILE") &&
+                      !strcmp(getenv("STOAT_PROFILE"), "1");
+    auto now = [] {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double f0 = now();
     // candidates in sorted node order, orientation False then True
     std::set<uint64_t> cyclic = cyclic_nodes(g);
+    double f1 = now();
     std::vector<std::pair<Handle, int>> candidates;
     for (const auto& [nid, _len] : g.node_len) {
         for (int o = 0; o < 2; ++o) {
@@ -429,16 +528,14 @@ static Forest find_snarls(const Graph& g) {
         forbidden.insert(node_of(p.steps.back()));
     }
 
-    // key = (unordered node pair, interior set) — serialize to string
+    // key = (unordered node pair, interior set)
     struct Chosen { Handle a; Handle end; std::set<uint64_t> U; };
-    std::map<std::string, Chosen> chosen;
-    std::vector<std::string> insertion_order;
+    using CKey = std::tuple<uint64_t, uint64_t, std::vector<uint64_t>>;
+    std::map<CKey, Chosen> chosen;
+    std::vector<const CKey*> insertion_order;   // map keys are stable
     auto key_of = [](uint64_t x, uint64_t y, const std::set<uint64_t>& U) {
         if (x > y) std::swap(x, y);
-        std::ostringstream oss;
-        oss << x << "_" << y << ":";
-        for (uint64_t n : U) oss << n << ",";
-        return oss.str();
+        return CKey{x, y, std::vector<uint64_t>(U.begin(), U.end())};
     };
     auto ref_of = [&](uint64_t n) -> std::optional<int> {
         auto it = ref_order.find(n);
@@ -446,10 +543,36 @@ static Forest find_snarls(const Graph& g) {
         return it->second;
     };
 
-    for (auto& [a, tries] : candidates) {
-        auto res = find_snarl_from(g, a, forbidden, tries);
+    // candidate exit searches are independent and read-only on the
+    // graph: run them on all cores, then merge in candidate order so
+    // the chosen-orientation tie-breaks stay deterministic
+    std::vector<std::optional<FindResult>> found(candidates.size());
+    {
+        std::atomic<size_t> cnext{0};
+        auto cworker = [&]() {
+            for (;;) {
+                size_t i = cnext.fetch_add(1);
+                if (i >= candidates.size()) return;
+                found[i] = find_snarl_from(g, candidates[i].first,
+                                           forbidden,
+                                           candidates[i].second);
+            }
+        };
+        unsigned nt = num_threads();
+        std::vector<std::thread> pool;
+        for (unsigned t = 1; t < nt; ++t) pool.emplace_back(cworker);
+        cworker();
+        for (auto& th : pool) th.join();
+    }
+    double f2 = now();
+    if (prof)
+        fprintf(stderr, "[prof] find: cyclic=%.2fs search=%.2fs (%zu cand)\n",
+                f1 - f0, f2 - f1, candidates.size());
+    for (size_t ci = 0; ci < candidates.size(); ++ci) {
+        Handle a = candidates[ci].first;
+        auto& res = found[ci];
         if (!res) continue;
-        std::string key = key_of(node_of(a), res->b, res->interior);
+        CKey key = key_of(node_of(a), res->b, res->interior);
         auto it = chosen.find(key);
         if (it != chosen.end()) {
             Handle s0 = it->second.a;
@@ -462,14 +585,19 @@ static Forest find_snarls(const Graph& g) {
             }
             continue;
         }
-        chosen.emplace(key, Chosen{a, res->end_handle,
-                                   std::move(res->interior)});
-        insertion_order.push_back(key);
+        auto ins = chosen.emplace(std::move(key),
+                                  Chosen{a, res->end_handle,
+                                         std::move(res->interior)});
+        insertion_order.push_back(&ins.first->first);
     }
 
+    double f3 = now();
+    if (prof)
+        fprintf(stderr, "[prof] find: merge=%.2fs (%zu chosen)\n",
+                f3 - f2, chosen.size());
     Forest forest;
-    for (const auto& key : insertion_order) {
-        auto& c = chosen.at(key);
+    for (const CKey* key : insertion_order) {
+        auto& c = chosen.at(*key);
         Handle a = c.a, end = c.end;
         auto rs = ref_of(node_of(a));
         auto rt = ref_of(node_of(end));
@@ -490,6 +618,8 @@ static Forest find_snarls(const Graph& g) {
     for (size_t j = 0; j < forest.snarls.size(); ++j)
         for (uint64_t n : forest.snarls[j].interior)
             containing[n].push_back(int(j));
+    // stamp array instead of a per-snarl std::set for the c1 ∩ c2 test
+    std::vector<int32_t> stamp(forest.snarls.size(), -1);
     for (size_t i = 0; i < forest.snarls.size(); ++i) {
         Snarl& si = forest.snarls[i];
         const auto* c1 = containing.count(node_of(si.start))
@@ -497,11 +627,11 @@ static Forest find_snarls(const Graph& g) {
         const auto* c2 = containing.count(node_of(si.end))
                              ? &containing[node_of(si.end)] : nullptr;
         if (!c1 || !c2) continue;
-        std::set<int> s1(c1->begin(), c1->end());
+        for (int j : *c1) stamp[size_t(j)] = int32_t(i);
         int best = -1;
         size_t best_size = 0;
         for (int j : *c2) {
-            if (j == int(i) || !s1.count(j)) continue;
+            if (j == int(i) || stamp[size_t(j)] != int32_t(i)) continue;
             size_t size = forest.snarls[j].interior.size();
             if (best == -1 || size < best_size ||
                 (size == best_size && j < best)) {
@@ -568,6 +698,8 @@ static Forest find_snarls(const Graph& g) {
             forest.chains.push_back(std::move(cv));
         }
     }
+    if (prof)
+        fprintf(stderr, "[prof] find: nest+chains=%.2fs\n", now() - f3);
     return forest;
 }
 
@@ -1131,6 +1263,243 @@ static DecomposeOutput decompose(const Graph& g,
 
 }  // namespace
 
+// ------------------------------------------------------------------
+// Graph-mode association prepare (the `stoat graph` native fast path).
+//
+// Everything up to the statistical tests runs here in one call: GFA
+// load, snarl finding, per-snarl min/max allele length + regularity,
+// walk-set sample partitioning (PathPartitioner::get_walk_sets,
+// /root/reference/src/partitioner.cpp:36-268 — start-bound refinement
+// plus per-child refinement for irregular snarls), reference-path
+// coordinates, and the conditional tree walk of
+// AssociationFinder::test_snarls (/root/reference/src/
+// graph_path_association_finder.cpp:29-199).  Python gets back
+// ready-to-write row text plus flat per-partition case/control counts
+// for the batched device chi²/Fisher kernels.  Semantics mirror the
+// Python twin in stoat_tpu/graph/association.py line for line (pinned
+// by the graph-contract tests).
+// ------------------------------------------------------------------
+
+static void assoc_min_max_len(const Graph& g, const Snarl& s,
+                              long* mn_out, long* mx_out) {
+    // mirror of association.py _snarl_min_max_len: min/max interior
+    // sequence length over simple start->end traversals, LIFO stack,
+    // budget 200000 pops
+    struct Item {
+        Handle h;
+        std::set<uint64_t> visited;
+        long total;
+    };
+    std::vector<Item> stack;
+    stack.push_back({s.start, {}, 0});
+    long budget = 200000;
+    long best_min = -1, best_max = -1;
+    const uint64_t end_node = node_of(s.end);
+    while (!stack.empty() && budget > 0) {
+        --budget;
+        Item it = std::move(stack.back());
+        stack.pop_back();
+        for (Handle v : g.successors(it.h)) {
+            uint64_t m = node_of(v);
+            if (m == end_node) {
+                if (best_min < 0 || it.total < best_min)
+                    best_min = it.total;
+                if (it.total > best_max) best_max = it.total;
+            } else if (s.interior.count(m) && !it.visited.count(m)) {
+                Item ni;
+                ni.h = v;
+                ni.visited = it.visited;
+                ni.visited.insert(m);
+                auto li = g.node_len.find(m);
+                ni.total = it.total +
+                           (li == g.node_len.end() ? 0 : long(li->second));
+                stack.push_back(std::move(ni));
+            }
+        }
+    }
+    if (best_min < 0) {
+        *mn_out = 0;
+        *mx_out = 0;
+    } else {
+        *mn_out = best_min;
+        *mx_out = best_max;
+    }
+}
+
+static bool assoc_is_regular(const Graph& g, const Snarl& s) {
+    // mirror of association.py _is_regular_snarl
+    if (!s.children.empty()) return false;
+    const uint64_t sn = node_of(s.start), en = node_of(s.end);
+    for (uint64_t nid : s.interior) {
+        for (int o = 0; o < 2; ++o) {
+            for (Handle v : g.successors(make_handle(nid, o))) {
+                uint64_t m = node_of(v);
+                if (s.interior.count(m)) return false;   // child-child edge
+                if (m != sn && m != en) return false;    // leaves the snarl
+            }
+        }
+    }
+    const Handle bounds[2] = {s.start, flip(s.end)};
+    for (Handle h : bounds)
+        for (Handle v : g.successors(h))
+            if (node_of(v) == node_of(h)) return false;  // reversal at bound
+    return true;
+}
+
+static std::vector<Handle> assoc_child_handles(const Forest& f, int si) {
+    // mirror of association.py PathPartitioner._child_handles
+    const Snarl& s = f.snarls[size_t(si)];
+    std::set<uint64_t> hidden;
+    std::vector<Handle> chain_handles;
+    auto it = f.chains_by_parent.find(si);
+    if (it != f.chains_by_parent.end()) {
+        for (int ci : it->second) {
+            const auto& chain = f.chains[size_t(ci)];
+            const Snarl& first = f.snarls[size_t(chain.front())];
+            const Snarl& last = f.snarls[size_t(chain.back())];
+            for (int sj : chain) {
+                const Snarl& sc = f.snarls[size_t(sj)];
+                hidden.insert(sc.interior.begin(), sc.interior.end());
+                hidden.insert(node_of(sc.start));
+                hidden.insert(node_of(sc.end));
+            }
+            chain_handles.push_back(last.end);          // rightward
+            chain_handles.push_back(flip(first.start)); // leftward
+        }
+    }
+    std::vector<Handle> handles;
+    for (uint64_t nid : s.interior) {                   // std::set: sorted
+        if (hidden.count(nid)) continue;
+        handles.push_back(make_handle(nid, false));
+        handles.push_back(make_handle(nid, true));
+    }
+    for (Handle h : chain_handles) handles.push_back(h);
+    return handles;
+}
+
+struct AssocIndex {
+    // wanted (phenotype-matched) paths in g.paths order
+    std::vector<const std::vector<Handle>*> steps;
+    std::vector<int32_t> path_sample;   // pheno sample id per path
+
+    // node -> (path, step) entries as CSR over dense node slots; a
+    // per-node vector map at pangenome scale (10M+ steps) is allocation-
+    // bound — the CSR build is two linear passes
+    uint64_t min_id = 0;
+    bool dense = false;
+    std::vector<int64_t> slot_dense;                  // id-min_id -> slot
+    std::unordered_map<uint64_t, int64_t> slot_map;   // sparse fallback
+    std::vector<uint64_t> ns_offs;
+    std::vector<std::pair<int32_t, int32_t>> ns_entries;
+
+    int64_t slot(uint64_t node) const {
+        if (dense) {
+            if (node < min_id || node - min_id >= slot_dense.size())
+                return -1;
+            return slot_dense[node - min_id];
+        }
+        auto it = slot_map.find(node);
+        return it == slot_map.end() ? -1 : it->second;
+    }
+
+    void build(const Graph& g) {
+        const size_t N = g.node_len.size();
+        if (N) {
+            const uint64_t mn = g.node_len.begin()->first;
+            const uint64_t mx = g.node_len.rbegin()->first;
+            min_id = mn;
+            dense = (mx - mn + 1) <= 4 * uint64_t(N) + 1024;
+            int64_t s = 0;
+            if (dense) {
+                slot_dense.assign(size_t(mx - mn + 1), -1);
+                for (const auto& [nid, _len] : g.node_len)
+                    slot_dense[size_t(nid - mn)] = s++;
+            } else {
+                slot_map.reserve(N * 2);
+                for (const auto& [nid, _len] : g.node_len)
+                    slot_map.emplace(nid, s++);
+            }
+        }
+        std::vector<uint32_t> counts(N, 0);
+        uint64_t total = 0;
+        for (const auto* sp : steps) {
+            total += sp->size();
+            for (Handle st : *sp) {
+                int64_t s = slot(node_of(st));
+                if (s >= 0) ++counts[size_t(s)];
+            }
+        }
+        ns_offs.assign(N + 1, 0);
+        for (size_t i = 0; i < N; ++i)
+            ns_offs[i + 1] = ns_offs[i] + counts[i];
+        ns_entries.resize(size_t(ns_offs[N]));
+        std::vector<uint64_t> cur(ns_offs.begin(), ns_offs.end() - 1);
+        for (size_t p = 0; p < steps.size(); ++p) {
+            const auto& sv = *steps[p];
+            for (size_t si = 0; si < sv.size(); ++si) {
+                int64_t s = slot(node_of(sv[si]));
+                if (s >= 0)
+                    ns_entries[size_t(cur[size_t(s)]++)] = {int32_t(p),
+                                                            int32_t(si)};
+            }
+        }
+    }
+};
+
+static void assoc_refine(const AssocIndex& ix, Handle handle,
+                         std::vector<int32_t>& old_sets, int32_t& set_count,
+                         std::vector<std::vector<std::pair<int32_t, Handle>>>&
+                             per_path,
+                         std::vector<int32_t>& touched,
+                         std::vector<int32_t>& inter_sets) {
+    // mirror of PathPartitioner.partition_samples_in_snarl's refine():
+    // per-path ordered outgoing-edge tuples at `handle`, intermediate
+    // ids by first appearance in path order, then (old, inter) -> new
+    // renumbering over ALL paths with (0,0) pinned to 0
+    const size_t n = old_sets.size();
+    touched.clear();
+    const int64_t slot = ix.slot(node_of(handle));
+    if (slot >= 0) {
+        const uint64_t orient = handle & 1;
+        for (uint64_t e = ix.ns_offs[size_t(slot)];
+             e < ix.ns_offs[size_t(slot) + 1]; ++e) {
+            int32_t p = ix.ns_entries[size_t(e)].first;
+            int32_t si = ix.ns_entries[size_t(e)].second;
+            const auto& steps = *ix.steps[size_t(p)];
+            bool fwd = (steps[size_t(si)] & 1) == orient;
+            int64_t j = fwd ? si + 1 : si - 1;
+            if (j < 0 || j >= int64_t(steps.size())) continue;
+            if (per_path[size_t(p)].empty()) touched.push_back(p);
+            per_path[size_t(p)].push_back({si, steps[size_t(j)]});
+        }
+        std::sort(touched.begin(), touched.end());
+    }
+    std::fill(inter_sets.begin(), inter_sets.end(), 0);
+    std::map<std::vector<Handle>, int32_t> inter_map;
+    int32_t next_inter = 1;
+    std::vector<Handle> key;
+    for (int32_t p : touched) {
+        auto& cr = per_path[size_t(p)];
+        std::sort(cr.begin(), cr.end());
+        key.clear();
+        for (const auto& e : cr) key.push_back(e.second);
+        auto ins = inter_map.emplace(key, next_inter);
+        if (ins.second) ++next_inter;
+        inter_sets[size_t(p)] = ins.first->second;
+        cr.clear();
+    }
+    std::map<std::pair<int32_t, int32_t>, int32_t> mapping;
+    mapping[{0, 0}] = 0;
+    int32_t new_count = 1;
+    for (size_t i = 0; i < n; ++i) {
+        auto ins = mapping.emplace(
+            std::make_pair(old_sets[i], inter_sets[i]), new_count);
+        if (ins.second) ++new_count;
+        old_sets[i] = ins.first->second;
+    }
+    set_count = new_count;
+}
+
 extern "C" {
 
 // returns 0 on success; caller frees *tsv_out and *rejects_out with
@@ -1221,6 +1590,62 @@ int stoat_decompose_arrays(
 }
 
 void stoat_free_str(char* s) { free(s); }
+
+// Final TSV text for graph-mode rows: splices the device-computed
+// P_FISHER/P_CHI2 into the kind-1 payloads of stoat_graph_assoc.
+// Twin of stoat::set_precision (utils.cpp:5-15), identical to
+// stoat_core.cpp's fmt_p (pinned by the formatting tests).
+// p22/pf/pn/is_two are indexed by tested (kind-1) row order.
+// Returns a malloc'd blob (caller frees); length in *out_len.
+char* stoat_graph_format_rows(
+        const char* rows_blob, uint64_t rows_len, const uint8_t* kinds,
+        long n_rows, const double* p22, const double* pf,
+        const double* pn, const uint8_t* is_two, uint64_t* out_len) {
+    auto fmt_p = [](double v, std::string& out) {
+        char buf[48];
+        if (v != v) { out += "NA"; return; }
+        if (v == HUGE_VAL) { out += "inf"; return; }
+        if (v == -HUGE_VAL) { out += "-inf"; return; }
+        if (v != 0.0 && v < 0.1 && v > -0.1)
+            snprintf(buf, sizeof buf, "%.4e", v);
+        else
+            snprintf(buf, sizeof buf, "%.4g", v);
+        out += buf;
+    };
+    std::string out;
+    out.reserve(rows_len + size_t(n_rows) * 24);
+    const char* p = rows_blob;
+    const char* end = rows_blob + rows_len;
+    long ti = 0;
+    for (long i = 0; i < n_rows && p < end; ++i) {
+        const char* z = (const char*)memchr(p, '\0', size_t(end - p));
+        if (!z) z = end;
+        if (kinds[i] == 0) {
+            out.append(p, size_t(z - p));
+            out += '\n';
+        } else {
+            const char* sep = (const char*)memchr(p, '\x01',
+                                                  size_t(z - p));
+            if (!sep) sep = z;
+            out.append(p, size_t(sep - p));         // prefix
+            out += '\t';
+            if (is_two[ti]) fmt_p(pf[ti], out); else out += "NA";
+            out += '\t';
+            fmt_p(is_two[ti] ? p22[ti] : pn[ti], out);
+            out += '\t';
+            if (sep < z) out.append(sep + 1, size_t(z - sep - 1));
+            out += '\n';
+            ++ti;
+        }
+        p = z + 1;
+    }
+    char* buf = (char*)malloc(out.size() + 1);
+    if (!buf) { *out_len = 0; return nullptr; }
+    memcpy(buf, out.data(), out.size());
+    buf[out.size()] = '\0';
+    *out_len = out.size();
+    return buf;
+}
 
 
 // ---------------------------------------------------------------------------
@@ -1349,6 +1774,338 @@ long stoat_graph_partitions(
     *ctrl_out = pt;
     *rep_out = pr;
     return long(total);
+}
+
+// ---------------------------------------------------------------------------
+// `stoat graph` end-to-end native prepare: GFA -> ready-to-write rows.
+//
+// Covers the whole graph-mode pipeline except the device statistics and
+// the final TSV write: AssociationFinder::test_snarls' conditional tree
+// walk (/root/reference/src/graph_path_association_finder.cpp:29-199)
+// over natively-found snarls, with full get_walk_sets partitioning
+// (partitioner.cpp:36-268) — start-bound refinement plus per-child
+// refinement for irregular snarls.
+//
+// Inputs: the GFA path, reference sample names (CSV), the phenotype
+// sample table ('\0'-joined names + case flags), "exact" vs "chi2", and
+// the allele-size eligibility limit.
+//
+// Outputs (all malloc'd; free with free()/stoat_free_str):
+//   rows_out      char*  — '\0'-joined row payloads in walk order.  For
+//                          kind 0 (exact-match) rows: the COMPLETE tab-
+//                          joined line (sans newline).  For kind 1
+//                          (tested) rows: "<prefix>\x01<suffix>" where
+//                          prefix = CHR..PATH_LENGTHS and suffix =
+//                          GROUP_PATHS\tDEPTH; Python splices the
+//                          device-computed P_FISHER/P_CHI2 between them.
+//   kind_out      u8[n_rows]
+//   part_offs_out u64[n_rows+1] — per-row partition ranges
+//   g0/g1_out     u32[total]    — distinct case/control samples per
+//                                 partition
+// Returns n_rows (>= 0), or -1 (bad GFA), -2 (no phenotype paths).
+long stoat_graph_assoc(
+        const char* gfa_path, const char* ref_names_csv,
+        const char* pheno_names_blob, long n_pheno,
+        const uint8_t* pheno_case, int exact_mode,
+        long allele_size_limit, long threads,
+        char** rows_out, uint64_t* rows_len_out, uint8_t** kind_out,
+        uint64_t** part_offs_out, uint32_t** g0_out, uint32_t** g1_out,
+        long* n_snarls_out) {
+    std::set<std::string> refs;
+    if (ref_names_csv && *ref_names_csv) {
+        std::string csv = ref_names_csv;
+        size_t start = 0;
+        for (;;) {
+            size_t pos = csv.find(',', start);
+            std::string tok = csv.substr(
+                start,
+                pos == std::string::npos ? std::string::npos : pos - start);
+            if (!tok.empty()) refs.insert(tok);
+            if (pos == std::string::npos) break;
+            start = pos + 1;
+        }
+    }
+    const bool prof = getenv("STOAT_PROFILE") &&
+                      !strcmp(getenv("STOAT_PROFILE"), "1");
+    auto now = [] {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double t0 = now();
+    Graph g;
+    if (!load_gfa(gfa_path, refs, g)) return -1;
+    double t1 = now();
+
+    // phenotype sample table
+    std::unordered_map<std::string, int32_t> pheno_id;
+    {
+        const char* p = pheno_names_blob;
+        for (long i = 0; i < n_pheno; ++i) {
+            std::string nm = p;
+            p += nm.size() + 1;
+            pheno_id.emplace(std::move(nm), int32_t(i));
+        }
+    }
+    long n_case_total = 0;
+    for (long i = 0; i < n_pheno; ++i)
+        if (pheno_case[i]) ++n_case_total;
+    const long n_ctrl_total = n_pheno - n_case_total;
+
+    // wanted paths (phenotype-matched), in g.paths order — the exact
+    // filter of run_graph_association's sample_paths
+    AssocIndex ix;
+    for (const auto& p : g.paths) {
+        auto it = pheno_id.find(p.sample);
+        if (it == pheno_id.end()) continue;
+        ix.steps.push_back(&p.steps);
+        ix.path_sample.push_back(it->second);
+    }
+    const size_t n_paths = ix.steps.size();
+    if (n_paths == 0) return -2;
+
+    // the step index and the snarl finding both only READ the loaded
+    // graph — overlap them
+    std::thread ix_thread([&]() { ix.build(g); });
+    Forest forest = find_snarls(g);
+    ix_thread.join();
+    double t2 = now();
+    if (prof)
+        fprintf(stderr,
+                "[prof] graph_assoc: load=%.2fs find||index=%.2fs\n",
+                t1 - t0, t2 - t1);
+    const long S = long(forest.snarls.size());
+    *n_snarls_out = S;
+
+    // reference-path offsets in path order (_reference_offsets)
+    std::vector<std::pair<std::string, std::unordered_map<uint64_t, long>>>
+        ref_offsets;
+    for (const auto& p : g.paths) {
+        bool cand = !refs.empty()
+                        ? (refs.count(p.name) || refs.count(p.sample))
+                        : p.is_ref;
+        if (!cand) continue;
+        std::unordered_map<uint64_t, long> offs;
+        long pos = 0;
+        for (Handle st : p.steps) {
+            offs.emplace(node_of(st), pos);
+            auto li = g.node_len.find(node_of(st));
+            pos += li == g.node_len.end() ? 0 : long(li->second);
+        }
+        ref_offsets.push_back({p.name, std::move(offs)});
+    }
+
+    // ---- parallel per-snarl precompute: lengths, regularity, partitions
+    struct PerSnarl {
+        long mn = 0, mx = 0;
+        std::vector<uint32_t> g0, g1;   // per partition (case, control)
+    };
+    std::vector<PerSnarl> pre{size_t(S)};
+    unsigned nt = threads >= 1 ? unsigned(threads) : num_threads();
+    std::atomic<long> next{0};
+    auto worker = [&]() {
+        std::vector<std::vector<std::pair<int32_t, Handle>>> per_path(
+            n_paths);
+        std::vector<int32_t> touched, inter_sets(n_paths), old_sets;
+        std::vector<std::set<int32_t>> members;
+        std::map<std::vector<Handle>, int32_t> group_of;
+        std::vector<std::set<int32_t>> group_samples;
+        std::vector<Handle> gkey;
+        for (;;) {
+            long s = next.fetch_add(1);
+            if (s >= S) return;
+            const Snarl& sn = forest.snarls[size_t(s)];
+            PerSnarl& out = pre[size_t(s)];
+            assoc_min_max_len(g, sn, &out.mn, &out.mx);
+            if (out.mx < allele_size_limit) continue;   // walk skips it
+            if (assoc_is_regular(g, sn)) {
+                // regular snarls refine at the start bound only, from
+                // the all-zeros state — grouping the touched paths by
+                // their ordered next-handle key is the same partition
+                // without the O(n_paths) renumber pass (the
+                // stoat_graph_partitions fast loop; parity-pinned)
+                const int64_t slot = ix.slot(node_of(sn.start));
+                touched.clear();
+                if (slot >= 0) {
+                    const uint64_t orient = sn.start & 1;
+                    for (uint64_t e = ix.ns_offs[size_t(slot)];
+                         e < ix.ns_offs[size_t(slot) + 1]; ++e) {
+                        int32_t p = ix.ns_entries[size_t(e)].first;
+                        int32_t si = ix.ns_entries[size_t(e)].second;
+                        const auto& steps = *ix.steps[size_t(p)];
+                        bool fwd = (steps[size_t(si)] & 1) == orient;
+                        int64_t j = fwd ? si + 1 : si - 1;
+                        if (j < 0 || j >= int64_t(steps.size())) continue;
+                        if (per_path[size_t(p)].empty())
+                            touched.push_back(p);
+                        per_path[size_t(p)].push_back(
+                            {si, steps[size_t(j)]});
+                    }
+                    std::sort(touched.begin(), touched.end());
+                }
+                group_of.clear();
+                group_samples.clear();
+                for (int32_t p : touched) {
+                    auto& cr = per_path[size_t(p)];
+                    std::sort(cr.begin(), cr.end());
+                    gkey.clear();
+                    for (const auto& e : cr) gkey.push_back(e.second);
+                    auto ins = group_of.emplace(
+                        gkey, int32_t(group_samples.size()));
+                    if (ins.second) group_samples.emplace_back();
+                    group_samples[size_t(ins.first->second)].insert(
+                        ix.path_sample[size_t(p)]);
+                    cr.clear();
+                }
+                for (const auto& gs : group_samples) {
+                    uint32_t c = 0, t = 0;
+                    for (int32_t sm : gs)
+                        if (pheno_case[sm]) ++c; else ++t;
+                    out.g0.push_back(c);
+                    out.g1.push_back(t);
+                }
+                continue;
+            }
+            old_sets.assign(n_paths, 0);
+            int32_t set_count = 1;
+            assoc_refine(ix, sn.start, old_sets, set_count, per_path,
+                         touched, inter_sets);
+            for (Handle h : assoc_child_handles(forest, int(s)))
+                assoc_refine(ix, h, old_sets, set_count, per_path,
+                             touched, inter_sets);
+            // distinct-sample case/control counts per set, set-id order,
+            // empties skipped (partition_samples_in_snarl's return)
+            members.assign(size_t(set_count), {});
+            for (size_t i = 0; i < n_paths; ++i)
+                if (old_sets[i] != 0)
+                    members[size_t(old_sets[i])].insert(ix.path_sample[i]);
+            for (int32_t sid = 1; sid < set_count; ++sid) {
+                if (members[size_t(sid)].empty()) continue;
+                uint32_t c = 0, t = 0;
+                for (int32_t sm : members[size_t(sid)])
+                    if (pheno_case[sm]) ++c; else ++t;
+                out.g0.push_back(c);
+                out.g1.push_back(t);
+            }
+        }
+    };
+    double t3 = now();
+    std::vector<std::thread> pool;
+    for (unsigned t = 1; t < nt; ++t) pool.emplace_back(worker);
+    worker();
+    for (auto& th : pool) th.join();
+    if (prof)
+        fprintf(stderr, "[prof] graph_assoc: refoffs=%.2fs persnarl=%.2fs\n",
+                t3 - t2, now() - t3);
+
+    // ---- serial tree walk (test_snarls order, conditional descent)
+    std::string rows_blob;
+    std::vector<uint8_t> kinds;
+    std::vector<uint64_t> part_offs{0};
+    std::vector<uint32_t> g0_flat, g1_flat;
+    std::vector<int> stack;
+    for (long i = 0; i < S; ++i)
+        if (forest.snarls[size_t(i)].parent == -1) stack.push_back(int(i));
+    std::sort(stack.begin(), stack.end(), std::greater<int>());
+    char buf[64];
+    while (!stack.empty()) {
+        int i = stack.back();
+        stack.pop_back();
+        const Snarl& sn = forest.snarls[size_t(i)];
+        const PerSnarl& pc = pre[size_t(i)];
+        if (pc.mx < allele_size_limit) continue;
+        bool descend = true;
+        if (pc.g0.size() > 1) {
+            // coordinates
+            std::string chrom = "NA";
+            long a = 0, b = 0;
+            const uint64_t snode = node_of(sn.start), enode = node_of(sn.end);
+            for (const auto& [nm, offs] : ref_offsets) {
+                auto ia = offs.find(snode);
+                if (ia == offs.end()) continue;
+                auto ib = offs.find(enode);
+                if (ib == offs.end()) continue;
+                long x = ia->second, y = ib->second;
+                uint64_t first = snode;
+                if (x > y) {
+                    std::swap(x, y);
+                    first = enode;
+                }
+                auto li = g.node_len.find(first);
+                chrom = nm;
+                a = x + (li == g.node_len.end() ? 0 : long(li->second));
+                b = y;
+                break;
+            }
+            std::string prefix = chrom;
+            snprintf(buf, sizeof buf,
+                     "\t%ld\t%ld\t%llu_%llu\t%ld,%ld", a, b,
+                     (unsigned long long)snode, (unsigned long long)enode,
+                     pc.mn, pc.mx);
+            prefix += buf;
+            if (exact_mode) {
+                bool matched = false;
+                for (size_t k = 0; k < pc.g0.size(); ++k) {
+                    if ((pc.g1[k] == 0 && long(pc.g0[k]) == n_case_total) ||
+                        (pc.g0[k] == 0 && long(pc.g1[k]) == n_ctrl_total)) {
+                        matched = true;
+                        descend = false;
+                    }
+                }
+                if (matched) {
+                    snprintf(buf, sizeof buf, "\tNA\tNA\tNA\t%d", sn.depth);
+                    rows_blob += prefix;
+                    rows_blob += buf;
+                    rows_blob += '\0';
+                    kinds.push_back(0);
+                    part_offs.push_back(uint64_t(g0_flat.size()));
+                }
+            } else {
+                rows_blob += prefix;
+                rows_blob += '\x01';
+                for (size_t k = 0; k < pc.g0.size(); ++k) {
+                    if (k) rows_blob += ',';
+                    snprintf(buf, sizeof buf, "%u:%u", pc.g0[k], pc.g1[k]);
+                    rows_blob += buf;
+                }
+                snprintf(buf, sizeof buf, "\t%d", sn.depth);
+                rows_blob += buf;
+                rows_blob += '\0';
+                kinds.push_back(1);
+                for (size_t k = 0; k < pc.g0.size(); ++k) {
+                    g0_flat.push_back(pc.g0[k]);
+                    g1_flat.push_back(pc.g1[k]);
+                }
+                part_offs.push_back(uint64_t(g0_flat.size()));
+            }
+        }
+        if (descend) {
+            std::vector<int> kids(sn.children);
+            std::sort(kids.begin(), kids.end(), std::greater<int>());
+            for (int c : kids) stack.push_back(c);
+        }
+    }
+
+    const long n_rows = long(kinds.size());
+    char* rb = (char*)malloc(rows_blob.size() + 1);
+    uint8_t* kb = (uint8_t*)malloc(size_t(n_rows) + 1);
+    uint64_t* po = (uint64_t*)malloc(part_offs.size() * 8);
+    uint32_t* g0b = (uint32_t*)malloc(g0_flat.size() * 4 + 4);
+    uint32_t* g1b = (uint32_t*)malloc(g1_flat.size() * 4 + 4);
+    if (!rb || !kb || !po || !g0b || !g1b) return -3;
+    memcpy(rb, rows_blob.data(), rows_blob.size());
+    rb[rows_blob.size()] = '\0';
+    *rows_len_out = uint64_t(rows_blob.size());
+    memcpy(kb, kinds.data(), kinds.size());
+    memcpy(po, part_offs.data(), part_offs.size() * 8);
+    memcpy(g0b, g0_flat.data(), g0_flat.size() * 4);
+    memcpy(g1b, g1_flat.data(), g1_flat.size() * 4);
+    *rows_out = rb;
+    *kind_out = kb;
+    *part_offs_out = po;
+    *g0_out = g0b;
+    *g1_out = g1b;
+    return n_rows;
 }
 
 

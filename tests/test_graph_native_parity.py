@@ -1,0 +1,108 @@
+"""Native vs Python graph-mode parity.
+
+`stoat graph` now runs through graph_core.cpp's one-call prepare
+(stoat_graph_assoc: GFA load + snarl finding + walk-set partitioning +
+tree walk) for TSV outputs; the Python twin (association.test_snarls)
+remains the readable reference and the FASTA/TRACE path.  Both must
+produce byte-identical TSVs — on bubbles, deletion edges (irregular
+snarls), and both test methods.  Reference pipeline being twinned:
+/root/reference/src/graph.cpp:217-288, partitioner.cpp:36-268,
+graph_path_association_finder.cpp:29-199.
+"""
+
+import filecmp
+import os
+import random
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def parity_graph(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("gparity")
+    random.seed(3)
+    S, NSAMP = 400, 16
+    gfa = tmp / "g.gfa"
+    with open(gfa, "w") as fh:
+        fh.write("H\tVN:Z:1.0\n")
+        node = 1
+        chain = []
+        for k in range(S):
+            a, m1, m2 = node, node + 1, node + 2
+            fh.write(f"S\t{a}\tAAAA\nS\t{m1}\tC\nS\t{m2}\tGG\n")
+            fh.write(f"L\t{a}\t+\t{m1}\t+\t0M\nL\t{a}\t+\t{m2}\t+\t0M\n")
+            fh.write(f"L\t{m1}\t+\t{a+3}\t+\t0M\nL\t{m2}\t+\t{a+3}\t+\t0M\n")
+            if k % 7 == 3:
+                # deletion edge straight across: irregular snarl shape
+                fh.write(f"L\t{a}\t+\t{a+3}\t+\t0M\n")
+            chain.append((a, m1, m2))
+            node += 3
+        fh.write(f"S\t{node}\tTTTT\n")
+        ref = []
+        for a, m1, _ in chain:
+            ref += [f"{a}+", f"{m1}+"]
+        ref.append(f"{node}+")
+        fh.write("P\tref\t" + ",".join(ref) + "\t*\n")
+        for s in range(NSAMP):
+            steps = []
+            for i, (a, m1, m2) in enumerate(chain):
+                steps.append(f"{a}+")
+                if i % 7 == 3 and random.random() < 0.3:
+                    pass                       # takes the deletion edge
+                else:
+                    steps.append(f"{m1 if random.random() < 0.5 else m2}+")
+            steps.append(f"{node}+")
+            fh.write(f"P\ts{s}#0#chr\t" + ",".join(steps) + "\t*\n")
+    pheno = tmp / "pheno.tsv"
+    with open(pheno, "w") as fh:
+        fh.write("FID\tIID\tPHENO\n")
+        for s in range(NSAMP):
+            fh.write(f"s{s}\ts{s}\t{1 + s % 2}\n")
+    return str(gfa), str(pheno), tmp
+
+
+@pytest.mark.parametrize("method", ["chi2", "exact"])
+def test_native_matches_python(parity_graph, method, monkeypatch):
+    from stoat_tpu.graph.association import run_graph_association
+    from stoat_tpu.native import get_graph_lib
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    gfa, pheno, tmp = parity_graph
+    out_n = tmp / f"out_native_{method}"
+    out_p = tmp / f"out_python_{method}"
+    out_n.mkdir()
+    out_p.mkdir()
+    rc = run_graph_association(gfa, "", pheno, method, "tsv", 0, "ref",
+                               str(out_n))
+    assert rc == 0
+    monkeypatch.setenv("STOAT_GRAPH_PYTHON", "1")
+    rc = run_graph_association(gfa, "", pheno, method, "tsv", 0, "ref",
+                               str(out_p))
+    assert rc == 0
+    assert filecmp.cmp(out_n / "binary_table_graph.tsv",
+                       out_p / "binary_table_graph.tsv", shallow=False)
+
+
+def test_native_path_is_taken(parity_graph, monkeypatch):
+    """The TSV flow must actually go native when the core is available."""
+    import stoat_tpu.graph.association as assoc
+    from stoat_tpu.native import get_graph_lib
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    gfa, pheno, tmp = parity_graph
+    out = tmp / "out_spy"
+    out.mkdir()
+    calls = []
+    real = assoc._run_graph_association_native
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(assoc, "_run_graph_association_native", spy)
+    rc = assoc.run_graph_association(gfa, "", pheno, "chi2", "tsv", 0,
+                                     "ref", str(out))
+    assert rc == 0
+    assert calls, "native graph fast path was not taken"
