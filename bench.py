@@ -106,16 +106,18 @@ def ingest_once(paths, snarls_chr, quad_cache_holder=None, upload=None):
 
 
 def device_args(packed):
-    """Upload the packed-words analysis inputs (production path)."""
+    """Upload the packed-words analysis inputs (production path:
+    delta-compressed idx + u16 snarl map, pipeline/packed.py)."""
     from stoat_tpu.pipeline import packed as _pk
 
     words = getattr(packed, "words_device", None)
     if words is None:
         words = jnp.asarray(packed.packed_words())
     W = int(words.shape[1])
-    path_idx = jnp.asarray(packed.path_edge_idx())
+    path_idx = _pk.upload_path_idx(packed.path_edge_idx(),
+                                   int(words.shape[0]) - 1)
     valid = jnp.asarray(packed.path_valid)
-    sidx = jnp.asarray(packed.snarl_path_idx)
+    sidx = _pk.upload_snarl_path_idx(packed.snarl_path_idx)
     tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
     return words, path_idx, valid, sidx, tail, W
 
@@ -155,6 +157,17 @@ def make_steps(packed, pheno_bin, pheno_q):
         fr = flatten_result(out)
         return fr["p"], fr["beta"], fr["se"]            # materialized
 
+    def step_dual():
+        # the production dual-phenotype program: shared packed
+        # membership, both result sets in ONE dispatch + ONE wire fetch
+        # (runner._analyze_dual_fused)
+        from stoat_tpu.pipeline.quantitative import _fused_dual_analysis
+        out = _fused_dual_analysis(
+            words, path_idx, valid, sidx, tail, g1_words, covar0,
+            pheno_qd, *th, n_haplotypes=n_haps)
+        fr = flatten_result(out)
+        return fr["p_chi2"], fr["p_fisher"], fr["q_p"]  # materialized
+
     # compute-only probes: one scalar reduction per pipeline, fetched —
     # forces real execution (block_until_ready does not) while keeping
     # transfers out of the pure device-analysis timing
@@ -179,7 +192,7 @@ def make_steps(packed, pheno_bin, pheno_q):
     def probe_quant():
         return float(np.asarray(_probe_quant()))
 
-    return step_binary, step_quant, probe_binary, probe_quant
+    return step_binary, step_quant, probe_binary, probe_quant, step_dual
 
 
 def _settle(seconds=0.3):
@@ -195,8 +208,9 @@ def _settle(seconds=0.3):
 def run_device(packed, pheno_bin, pheno_q, repeats=4):
     """Pure device-analysis time: scalar probes force execution of both
     pipelines; only 8 bytes cross the tunnel per step."""
-    _sb, _sq, probe_binary, probe_quant = make_steps(packed, pheno_bin,
-                                                     pheno_q)
+    _sb, _sq, probe_binary, probe_quant, _sd = make_steps(packed,
+                                                          pheno_bin,
+                                                          pheno_q)
     probe_binary()                         # compile + warm
     probe_quant()
 
@@ -231,22 +245,55 @@ class _Tokenizer:
         return self._results[chrom]
 
 
-def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=3):
+def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=6,
+                   chunk=8192):
     """Wall clock of the full pipelined flow, results on host at stop
-    (compile already warm)."""
+    (compile already warm).  This is the runner's production
+    dual-phenotype structure: native ingest with the chromosome words
+    upload started immediately, then the snarl axis processed in chunks
+    — chunk k+1 packs and uploads on the host while chunk k's fused
+    binary+quantitative program (runner._analyze_dual_fused: shared
+    packed membership, ONE dispatch, ONE wire pack) computes on device,
+    and the wire fetches drain behind the later chunks' compute.  Timing
+    stops when every chunk's result bytes are on the host."""
+    from stoat_tpu.pipeline import packed as _pk
+    from stoat_tpu.pipeline.fetch import flatten_result
+    from stoat_tpu.pipeline.quantitative import _fused_dual_analysis
+    from stoat_tpu.pipeline.runner import iter_chromosome_matrices
+    from stoat_tpu.tables import pack_chromosome_chunks
+
+    chrom0 = next(iter(snarls_chr))
+    snarls = snarls_chr[chrom0]
+    th = (jnp.float64(3), jnp.float64(5), jnp.float64(0.05))
+    covar0 = jnp.zeros((N_SAMPLES, 0), jnp.float64)
+    pheno_qd = jnp.asarray(pheno_q, jnp.float64)
     times = []
     for _ in range(repeats):
         _settle()
         t0 = time.perf_counter()
         tok = _Tokenizer(snarls_chr)         # overlaps the native ingest
-        packed, matrix, t_i, t_p = ingest_once(
-            paths, snarls_chr, tok,
-            upload=lambda m: jnp.asarray(m.words)
-            if getattr(m, "words", None) is not None else None)
-        step_binary, step_quant, _pb, _pq = make_steps(packed, pheno_bin,
-                                                       pheno_q)
-        step_binary()                        # wire-packed results on host
-        step_quant()
+        gen = iter_chromosome_matrices(paths["vcf"], 2 * N_SAMPLES,
+                                       snarls_chr)
+        chrom, matrix = next(gen)
+        gen.close()
+        words = jnp.asarray(matrix.words)    # starts the big upload NOW
+        W = int(words.shape[1])
+        n_hap = 2 * N_SAMPLES
+        tail = jnp.asarray(_pk.tail_mask_words(n_hap, W))
+        g1_words = jnp.asarray(_pk.pack_hap_mask_words(
+            np.repeat(pheno_bin.astype(bool), 2), W))
+        results = []
+        for packed in pack_chromosome_chunks(snarls, matrix, chunk,
+                                             quad_cache=tok.get(chrom)):
+            idx = _pk.upload_path_idx(packed.path_edge_idx(),
+                                      int(words.shape[0]) - 1)
+            out = _fused_dual_analysis(
+                words, idx, jnp.asarray(packed.path_valid),
+                _pk.upload_snarl_path_idx(packed.snarl_path_idx), tail,
+                g1_words, covar0, pheno_qd, *th, n_haplotypes=n_hap)
+            results.append(flatten_result(out))
+        for fr in results:
+            fr["p_chi2"], fr["q_p"]          # materialize each wire pack
         times.append(time.perf_counter() - t0)
     return min(times)
 
@@ -369,8 +416,12 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
             2 * n_total / min(dual_times), min(dual_times))
 
 
-GRAPH_SNARLS = 24576
-GRAPH_SAMPLES = 30
+#  Matches the BASELINE.md graph-mode measurement scale (100k snarls ×
+#  50 samples) so graph_vs_baseline compares like for like — the
+#  single-core baseline loop is markedly faster at small scales (cache
+#  residency + fewer samples per partition refinement).
+GRAPH_SNARLS = 100000
+GRAPH_SAMPLES = 50
 
 
 def make_graph_workload(outdir, rng):

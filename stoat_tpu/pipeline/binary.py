@@ -207,11 +207,11 @@ def binary_analyze_chromosome(packed: PackedChromosome,
                 np.repeat(binary_phenotype.astype(bool), 2), W))
         out = binary_tables_device_packed(
             device_matrix,
-            jnp.asarray(path_idx),
+            _pk.upload_path_idx(path_idx, int(device_matrix.shape[0]) - 1),
             jnp.asarray(packed.path_valid),
             tail,
             g1_words,
-            jnp.asarray(packed.snarl_path_idx),
+            _pk.upload_snarl_path_idx(packed.snarl_path_idx),
             jnp.float64(min_individuals),
             jnp.float64(min_haplotypes),
             jnp.float64(maf_threshold),

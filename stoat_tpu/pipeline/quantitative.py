@@ -278,9 +278,9 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
         path_idx = packed.path_edge_idx()
         return quantitative_design_packed(
             words,
-            jnp.asarray(path_idx),
+            _pk.upload_path_idx(path_idx, int(words.shape[0]) - 1),
             jnp.asarray(packed.path_valid),
-            jnp.asarray(packed.snarl_path_idx),
+            _pk.upload_snarl_path_idx(packed.snarl_path_idx),
             jnp.asarray(covar_in, jnp.float64),
             jnp.float64(min_individuals),
             jnp.float64(min_haplotypes),
@@ -422,6 +422,7 @@ class PrefixView:
 
 def _packed_args(packed: PackedChromosome, covar, device_matrix):
     """Device args for the fused packed path, or None (dense fallback)."""
+    from stoat_tpu.pipeline import packed as _pk
     if device_matrix is not None:
         if device_matrix.dtype != jnp.uint32:
             return None
@@ -433,9 +434,10 @@ def _packed_args(packed: PackedChromosome, covar, device_matrix):
     covar_in = (np.zeros((packed.n_haplotypes // 2, 0))
                 if covar is None else covar)
     return (words,
-            jnp.asarray(packed.path_edge_idx()),
+            _pk.upload_path_idx(packed.path_edge_idx(),
+                                int(words.shape[0]) - 1),
             jnp.asarray(packed.path_valid),
-            jnp.asarray(packed.snarl_path_idx),
+            _pk.upload_snarl_path_idx(packed.snarl_path_idx),
             jnp.asarray(covar_in, jnp.float64))
 
 

@@ -701,9 +701,12 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
             np.repeat(binary_phenotype.astype(bool), 2), W))
     covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
     out = _fused_dual_analysis(
-        words, jnp.asarray(packed.path_edge_idx()),
+        words,
+        _pk.upload_path_idx(packed.path_edge_idx(),
+                            int(words.shape[0]) - 1),
         jnp.asarray(packed.path_valid),
-        jnp.asarray(packed.snarl_path_idx), tail, g1_words, covar0,
+        _pk.upload_snarl_path_idx(packed.snarl_path_idx), tail, g1_words,
+        covar0,
         jnp.asarray(quantitative_phenotype, jnp.float64),
         jnp.float64(min_individuals), jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),

@@ -99,19 +99,25 @@ def test_packed_binary_counts_match_matmul(seed):
                                   mem.astype(np.int64) @ ~pheno)
 
 
-@pytest.mark.parametrize("seed", [5, 6])
-def test_pallas_kernel_matches_xla(seed):
+@pytest.mark.parametrize("seed", [5, 6, 7])
+def test_delta_compressed_idx_upload_matches_raw(seed):
+    """upload_path_idx's delta compression (pads rewritten to repeat the
+    previous row — AND-idempotent) must be membership-value-identical to
+    the raw int32 index, and upload_snarl_path_idx must round-trip."""
     matrix, coo_path, coo_row, n_edges, valid = _random_case(
-        seed, E=19, H=300, P=17)
+        seed, E=23, H=97, P=19)
     E, H = matrix.shape
-    words = pk.pack_matrix_words(matrix, lane_multiple=128)
+    words = pk.pack_matrix_words(matrix)
     idx = pk.pack_path_edge_idx(coo_path, coo_row, valid, E)
+    dev = pk.upload_path_idx(idx, E)
     want = np.asarray(pk.membership_words(jnp.asarray(words),
                                           jnp.asarray(idx)))
-    interpret = jax.default_backend() != "tpu"
-    got = np.asarray(pk.membership_words_pallas(
-        jnp.asarray(words), jnp.asarray(idx), interpret=interpret))
+    got = np.asarray(pk.membership_words(jnp.asarray(words), dev))
     np.testing.assert_array_equal(got, want)
+
+    sidx = np.sort(np.random.default_rng(seed).integers(0, 7, idx.shape[0]))
+    np.testing.assert_array_equal(
+        np.asarray(pk.upload_snarl_path_idx(sidx)), sidx)
 
 
 def test_pipeline_packed_vs_dense_end_to_end(tmp_path):
