@@ -273,10 +273,12 @@ def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=6,
         t0 = time.perf_counter()
         tok = _Tokenizer(snarls_chr)         # overlaps the native ingest
         gen = iter_chromosome_matrices(paths["vcf"], 2 * N_SAMPLES,
-                                       snarls_chr)
+                                       snarls_chr,
+                                       stream_device_words=True)
         chrom, matrix = next(gen)
         gen.close()
-        words = jnp.asarray(matrix.words)    # starts the big upload NOW
+        from stoat_tpu.pipeline.runner import assemble_words_device
+        words = assemble_words_device(matrix)   # big upload already done
         W = int(words.shape[1])
         n_hap = 2 * N_SAMPLES
         tail = jnp.asarray(_pk.tail_mask_words(n_hap, W))

@@ -31,6 +31,12 @@ _tried = False
 _graph_lib = None
 _graph_tried = False
 
+# C signature of the incremental-rows callback (stoat_core.cpp
+# stoat_rows_cb): (ctx, rows_ptr, row_lo, row_hi, n_words)
+STOAT_ROWS_CB = ctypes.CFUNCTYPE(
+    None, ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
+    ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64)
+
 
 def _compile(src: str, lib: str, extra=("-lz",)) -> bool:
     # -march=native first (the .so is always built on the machine that
@@ -80,6 +86,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.stoat_vcf_sample.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.stoat_vcf_next_chunk.restype = ctypes.c_void_p
     lib.stoat_vcf_next_chunk.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.stoat_vcf_next_chunk_stream.restype = ctypes.c_void_p
+    lib.stoat_vcf_next_chunk_stream.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint64, STOAT_ROWS_CB, ctypes.c_void_p]
     lib.stoat_chunk_chrom.restype = ctypes.c_char_p
     lib.stoat_chunk_chrom.argtypes = [ctypes.c_void_p]
     lib.stoat_chunk_rows.restype = ctypes.c_uint64
@@ -726,7 +735,7 @@ class NativeVcfMatrixReader:
         self.samples = [lib.stoat_vcf_sample(self._handle, i).decode()
                         for i in range(n)]
 
-    def chunks_packed(self, initial_rows: int = 1024):
+    def chunks_packed(self, initial_rows: int = 1024, on_rows=None):
         """Yield (chrom, words uint32 [E+1, W], n_haplotypes,
         edges uint64 [E, 4]).
 
@@ -736,10 +745,29 @@ class NativeVcfMatrixReader:
         AND-identity row — pipeline/packed.py), straight from the C++
         fill with no host repack.  The edges array is (a_id, a_rev,
         b_id, b_rev) per row; no Python dict is built (see
-        PackedEdgeMatrix.resolve_edges)."""
+        PackedEdgeMatrix.resolve_edges).
+
+        ``on_rows(rows_copy, row_lo, row_hi)``: optional incremental
+        callback fired DURING the parse with each newly-final block of
+        word rows (uint32 [row_hi-row_lo, W] copy) — lets the caller
+        start the device upload while the rest of the chromosome is
+        still parsing (the uplink is the largest per-chromosome cost
+        over the axon tunnel)."""
         lib = self._lib
+        cb = None
+        if on_rows is not None:
+            def _trampoline(_ctx, rows_ptr, lo, hi, nw):
+                n = int(hi - lo)
+                arr = np.ctypeslib.as_array(
+                    rows_ptr, shape=(n, int(nw))).copy()
+                on_rows(arr, int(lo), int(hi))
+            cb = STOAT_ROWS_CB(_trampoline)
         while True:
-            cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
+            if cb is not None:
+                cp = lib.stoat_vcf_next_chunk_stream(
+                    self._handle, initial_rows, cb, None)
+            else:
+                cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
             if not cp:
                 return
             rows = int(lib.stoat_chunk_rows(cp))

@@ -746,7 +746,18 @@ const char* stoat_vcf_sample(void* rp, int64_t i) {
 
 // Parse the next chromosome chunk.  Returns an opaque Chunk* or nullptr at
 // EOF.
-void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
+// Incremental-rows callback: invoked during chunk construction after
+// each intern batch with the NEWLY FINAL word rows [row_lo, row_hi).
+// Rows never change once interned (only new rows append), so the caller
+// may ship them upstream (e.g. start the device upload) while the rest
+// of the chromosome is still parsing.  The pointer is valid only for
+// the duration of the call — copy before returning.
+typedef void (*stoat_rows_cb)(void* ctx, const uint32_t* rows,
+                              uint64_t row_lo, uint64_t row_hi,
+                              uint64_t n_words);
+
+static void* next_chunk_impl(void* rp, uint64_t initial_rows,
+                             stoat_rows_cb cb, void* cb_ctx) {
     Reader* r = static_cast<Reader*>(rp);
     const unsigned nt = num_threads();
     size_t n_samples = r->samples.size();
@@ -826,6 +837,7 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
         std::vector<Arena>* interning = &setB;
         auto threads = parse_batch_async(*cur, cur_n, n_samples,
                                          *parsing, nt, W);
+        uint64_t cb_done = 0;
         while (true) {
             Batch* nxt = nullptr;
             size_t nxt_n = 0;
@@ -848,6 +860,13 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
                     if (rm.ok) ++n_with_at;
             }
             if (ti0) g_ns_intern.fetch_add(now_ns() - ti0);
+            if (cb && mb.n_rows() > cb_done) {
+                // already-interned rows are final: hand them upstream
+                // while the next batch parses
+                cb(cb_ctx, mb.data.data() + cb_done * W, cb_done,
+                   mb.n_rows(), W);
+                cb_done = mb.n_rows();
+            }
             r->queue.recycle(cur);
             cur = nxt;
             threads = std::move(next_threads);
@@ -872,6 +891,18 @@ void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
     // no rebuild (mb.reset() re-initializes a fresh one next chromosome)
     chunk->table = std::move(mb.table);
     return chunk;
+}
+
+void* stoat_vcf_next_chunk(void* rp, uint64_t initial_rows) {
+    return next_chunk_impl(rp, initial_rows, nullptr, nullptr);
+}
+
+// Streaming variant: identical result, but newly-final word rows are
+// handed to `cb` during construction (see stoat_rows_cb above) so the
+// caller can overlap the device upload with the parse.
+void* stoat_vcf_next_chunk_stream(void* rp, uint64_t initial_rows,
+                                  stoat_rows_cb cb, void* cb_ctx) {
+    return next_chunk_impl(rp, initial_rows, cb, cb_ctx);
 }
 
 const char* stoat_chunk_chrom(void* cp) {

@@ -41,25 +41,44 @@ __all__ = ["run_vcf_analysis", "found_gene_snarl", "iter_chromosome_matrices"]
 
 def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
                              snarls_chr: Dict[str, List[SnarlData]],
-                             use_native: bool = True):
+                             use_native: bool = True,
+                             stream_device_words: bool = False):
     """Yield (chrom, edge-matrix object) per chromosome.
 
     Prefers the native C++ core (stoat_tpu.native) — the reference's
     [native-critical] ingestion path — and falls back to the pure-Python
     reader when the toolchain is unavailable.
+
+    ``stream_device_words``: start the device upload of each
+    chromosome's packed word rows INCREMENTALLY while the C++ core is
+    still parsing (the words upload is the largest per-chromosome
+    transfer; overlapping it with the parse hides one of the two).  The
+    uploaded slices are stashed on the matrix as ``words_device_parts``
+    for assemble_words_device.
     """
     if use_native:
         try:
             from stoat_tpu.native import NativeVcfMatrixReader
             from stoat_tpu.matrix import PackedEdgeMatrix
             reader = NativeVcfMatrixReader(vcf_path)
+            on_rows = None
+            parts: List = []
+            if stream_device_words:
+                import jax.numpy as _jnp
+
+                def on_rows(arr, lo, hi):
+                    parts.append(_jnp.asarray(arr))
             try:
-                for chrom, words, n_haps, edges in reader.chunks_packed():
+                for chrom, words, n_haps, edges in reader.chunks_packed(
+                        on_rows=on_rows):
                     matrix = PackedEdgeMatrix(words, n_haps, edges)
                     matrix.n_records, matrix.n_with_at = \
                         getattr(reader, "last_counts", (-1, -1))
                     matrix.resolve_idx_native = \
                         getattr(reader, "last_resolver", None)
+                    if stream_device_words:
+                        matrix.words_device_parts = parts[:]
+                        parts.clear()
                     yield chrom, matrix
             finally:
                 # also runs on GeneratorExit when a consumer abandons the
@@ -85,6 +104,23 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             yield chrom, matrix
     finally:
         reader.close()
+
+
+def assemble_words_device(matrix):
+    """Device words array for a natively-ingested chromosome.
+
+    When the iterator streamed incremental row uploads
+    (``words_device_parts``), concatenate them on device (HBM-to-HBM)
+    and append the all-ones AND-identity row — value-identical to
+    uploading ``matrix.words`` whole, but the big transfer already
+    happened during the parse.  Falls back to the whole-array upload."""
+    import jax.numpy as jnp
+    parts = getattr(matrix, "words_device_parts", None)
+    if parts:
+        W = int(parts[0].shape[1])
+        ident = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
+        return jnp.concatenate(list(parts) + [ident], axis=0)
+    return jnp.asarray(matrix.words)
 
 
 def _prefetched(gen, depth: int = 1):
@@ -301,7 +337,9 @@ def run_vcf_analysis(
         # thread behind the dispatches (mode-specific; eQTL's
         # data-dependent gene pairing keeps its original inline flow).
         matrices = _prefetched(
-            iter_chromosome_matrices(vcf_path, n_hap, snarls_chr))
+            iter_chromosome_matrices(
+                vcf_path, n_hap, snarls_chr,
+                stream_device_words=mesh is None))
         tokenizer = _QuadTokenizer(snarls_chr)
         writer = None if mode == "eqtl" else _PipelinedWriter()
         pheno_device = None   # per-run packed phenotype masks (binary)
@@ -364,10 +402,11 @@ def run_vcf_analysis(
             device_matrix = None
             if (chunk_mesh is None or mode == "eqtl") and \
                     getattr(matrix, "words", None) is not None:
-                # start the chromosome words upload NOW — the transfer
-                # (2.6 MB/chr at bench scale, the largest per-chromosome
-                # transfer) streams while the host packs the snarl chunks
-                device_matrix = jnp.asarray(matrix.words)
+                # the chromosome words transfer (10 MB/chr at bench
+                # scale, the largest per-chromosome transfer) either
+                # already streamed during the parse (words_device_parts)
+                # or starts NOW and overlaps the host packing
+                device_matrix = assemble_words_device(matrix)
             for packed in pack_chromosome_chunks(
                     snarls, matrix, effective_chunk,
                     quad_cache=tokenizer.get(chrom)):

@@ -82,7 +82,7 @@ def test_pipeline_uses_native(lib_available, fixture, tmp_path):
     out2 = str(tmp_path / "o_python")
     orig = runner_mod.iter_chromosome_matrices
 
-    def no_native(vcf_path, n_hap, snarls_chr, use_native=True):
+    def no_native(vcf_path, n_hap, snarls_chr, use_native=True, **kw):
         return orig(vcf_path, n_hap, snarls_chr, use_native=False)
 
     runner_mod.iter_chromosome_matrices = no_native
@@ -174,7 +174,7 @@ def test_pipeline_native_packed_design_modes(lib_available, fixture,
     out2 = str(tmp_path / "o_python")
     orig = runner_mod.iter_chromosome_matrices
 
-    def no_native(vcf_path, n_hap, snarls_chr, use_native=True):
+    def no_native(vcf_path, n_hap, snarls_chr, use_native=True, **kw):
         return orig(vcf_path, n_hap, snarls_chr, use_native=False)
 
     runner_mod.iter_chromosome_matrices = no_native
@@ -281,3 +281,25 @@ def test_fused_resolver_unknown_edges(lib_available, fixture, tmp_path):
     assert (idx[0] == E).all()               # all padding
     assert (idx[1] == E).all()               # star edges skipped: 0 rows
     assert offs.tolist() == [0, 0, 0, 0]
+
+
+def test_streamed_device_words_match_whole_upload(lib_available, fixture):
+    """stream_device_words: the incrementally-uploaded word-row slices,
+    concatenated with the AND-identity row (assemble_words_device), must
+    equal the whole-array matrix.words upload byte for byte."""
+    import numpy as np
+
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.runner import (assemble_words_device,
+                                           iter_chromosome_matrices)
+
+    snarls_chr = parse_snarl_path(fixture["snarl"])
+    n_hap = 2 * len(fixture["samples"])
+    gen = iter_chromosome_matrices(fixture["vcf"], n_hap, snarls_chr,
+                                   stream_device_words=True)
+    chrom, matrix = next(gen)
+    gen.close()
+    assert getattr(matrix, "words_device_parts", None), \
+        "no streamed slices arrived"
+    assembled = np.asarray(assemble_words_device(matrix))
+    np.testing.assert_array_equal(assembled, np.asarray(matrix.words))
