@@ -7,10 +7,11 @@ eQTL) and order-insensitive with exact line equality per key
 compare_files_utils.cpp:226-252).  Its snapshot is missing the `.pg` +
 `merged_output.vcf.gz` inputs, so those exact goldens can't be replayed
 — instead this test freezes goldens produced from stoat-tpu's own
-seeded simulator (stoat_tpu/simulate.py) and replays all four
+seeded simulator (stoat_tpu/simulate.py) and replays the four
 committed-golden modes (binary, binary_covar, quantitative,
 quantitative_covar — the same four directories the reference commits
-under tests/expected_output/vcf/) through the real CLI every run.
+under tests/expected_output/vcf/) PLUS eQTL (whose reference golden
+directory is missing upstream) through the real CLI every run.
 
 Regenerate after an intentional output change:
     STOAT_REGEN_GOLDEN=1 python -m pytest tests/test_system_replay.py
@@ -83,6 +84,31 @@ def dataset(tmp_path_factory):
     files = generate_dataset(str(tmp / "data"), n_samples=N_SAMPLES,
                              n_snarls=N_SNARLS, seed=SEED)
     return files, tmp
+
+
+def test_directory_replay_eqtl(tmp_path):
+    """eQTL directory replay (SNARL+GENE keyed) — the reference's system
+    suite declares this case but its golden directory is missing
+    (vcf_simu_test.cpp eqtl case; tests/expected_output/vcf/ has no
+    eqtl dir), so this golden closes a gap the reference itself has."""
+    from stoat_tpu.cli import main as cli_main
+    from fixtures import make_fixture
+
+    files = make_fixture(str(tmp_path), n_samples=40, n_snarls=60,
+                         seed=SEED)
+    out = tmp_path / "out_eqtl"
+    rc = cli_main(["vcf", "-s", files["snarl"], "-v", files["vcf"],
+                   "-e", files["qtl"], "-G", files["gene_position"],
+                   "-o", str(out)])
+    assert rc == 0
+    golden = os.path.join(GOLDEN_DIR, "eqtl")
+    if os.environ.get("STOAT_REGEN_GOLDEN") == "1":
+        os.makedirs(golden, exist_ok=True)
+        shutil.copy(out / "eqtl_table_vcf.tsv",
+                    os.path.join(golden, "eqtl_table_vcf.tsv"))
+        pytest.skip("golden regenerated")
+    # key = (SNARL, GENE) per compare_files_utils.cpp:27-59
+    assert_dir_matches_golden(str(out), golden, key_cols=(3, 5))
 
 
 @pytest.mark.parametrize("mode", sorted(MODES))
