@@ -14,6 +14,7 @@ from stoat_tpu.parallel.mesh import (
 )
 from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
                                         binary_covar_analyze_sharded,
+                                        dual_analyze_sharded,
                                         eqtl_regress_pairs_sharded,
                                         lmm_analyze_sharded,
                                         quantitative_analyze_sharded)
@@ -24,6 +25,7 @@ __all__ = [
     "ShardedChromosome",
     "binary_analyze_sharded",
     "binary_covar_analyze_sharded",
+    "dual_analyze_sharded",
     "lmm_analyze_sharded",
     "quantitative_analyze_sharded",
     "eqtl_regress_pairs_sharded",

@@ -36,7 +36,7 @@ from stoat_tpu.parallel.mesh import ShardedChromosome
 
 __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
            "lmm_analyze_sharded", "binary_covar_analyze_sharded",
-           "eqtl_regress_pairs_sharded"]
+           "eqtl_regress_pairs_sharded", "dual_analyze_sharded"]
 
 # Design outputs forwarded to the writer when -T table dumps are on.
 _TABLE_KEYS = ("norm", "used", "kept")
@@ -98,6 +98,75 @@ def binary_analyze_sharded(sharded: ShardedChromosome,
         jnp.asarray(result.pop("chi2_df")),
         jnp.asarray(result.pop("chi2_invalid")),
         jnp.asarray(result.pop("chi2_zexp"))))
+    return result
+
+
+def dual_analyze_sharded(sharded: ShardedChromosome,
+                         binary_phenotype: np.ndarray,
+                         quantitative_phenotype: np.ndarray,
+                         mesh: Mesh,
+                         min_individuals: int, min_haplotypes: int,
+                         maf_threshold: float) -> Dict[str, np.ndarray]:
+    """Fused dual-phenotype (binary chi²/Fisher + quantitative OLS)
+    with snarls sharded over ``mesh`` — the multi-chip extension of the
+    runner's `-b -q` single-pass program (_fused_dual_analysis): one
+    shard_map computes the shared packed membership once per shard and
+    both result sets; the chi² igammac and OLS betainc tails finish
+    OUTSIDE the shard on gathered arrays (see module docstring).
+    Quantitative keys carry the ``q_`` prefix."""
+    from stoat_tpu.pipeline.quantitative import _fused_dual_body
+
+    W = sharded.words.shape[1]
+    tail = _pk.tail_mask_words(sharded.n_haps, W)
+    g1_words = _pk.pack_hap_mask_words(
+        np.repeat(binary_phenotype.astype(bool), 2), W)
+    n_samples = sharded.n_haps // 2
+    covar0 = np.zeros((n_samples, 0))
+
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(words, path_idx, valid, idx, tail_a, g1_a, covar,
+                 pheno_q, min_ind, min_hap, maf):
+        out = _fused_dual_body(
+            words, path_idx[0], valid[0], idx[0], tail_a, g1_a, covar,
+            pheno_q, min_ind, min_hap, maf,
+            n_haplotypes=sharded.n_haps, tails=False)
+        return {k: v[None] for k, v in out.items()}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P(), P(),
+                  P(), P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    out = fn(
+        jax.device_put(jnp.asarray(sharded.words), repl),
+        jax.device_put(jnp.asarray(sharded.path_idx), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(tail), repl),
+        jax.device_put(jnp.asarray(g1_words), repl),
+        jax.device_put(jnp.asarray(covar0, jnp.float64), repl),
+        jax.device_put(jnp.asarray(quantitative_phenotype, jnp.float64),
+                       repl),
+        jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes),
+        jnp.float64(maf_threshold),
+    )
+
+    result = _unshard(out, sharded.shard_sizes)
+    result["p_chi2"] = np.asarray(finish_chi2_pvalues(
+        jnp.asarray(result.pop("chi2_stat")),
+        jnp.asarray(result.pop("chi2_df")),
+        jnp.asarray(result.pop("chi2_invalid")),
+        jnp.asarray(result.pop("chi2_zexp"))))
+    q_p = np.array(finish_linear_pvalues(
+        jnp.asarray(result.pop("q_t1")),
+        jnp.asarray(result.pop("q_df_res"))))
+    q_p[result.pop("q_deg").astype(bool)] = np.nan
+    result["q_p"] = q_p
     return result
 
 

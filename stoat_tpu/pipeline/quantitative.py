@@ -357,6 +357,57 @@ def _fused_packed_analysis(words, path_idx, path_valid, snarl_path_idx,
     return out
 
 
+def _fused_dual_body(words, path_idx, path_valid, snarl_path_idx,
+                     tail, g1_words, covar, pheno_q, min_individuals,
+                     min_haplotypes, maf_threshold,
+                     n_haplotypes: int, tails: bool = True):
+    """Shared body of the fused dual program (see _fused_dual_analysis).
+
+    ``tails=False`` defers BOTH special-function tails — the chi²
+    igammac and the linear-regression betainc — for shard_map callers
+    (parallel/sharded.dual_analyze_sharded): they compile
+    pathologically slowly under manual partitioning, so the raw
+    statistics ship out and the tails finish on gathered arrays."""
+    from stoat_tpu.pipeline import packed as _pk
+    from stoat_tpu.pipeline.binary import _binary_from_path_counts
+    from stoat_tpu.stats.linreg import (finish_linear_pvalues,
+                                        linear_regression_stats_batch)
+
+    mem_words = _pk.membership_words_body(words, path_idx)
+    g0p, g1p = _pk.packed_binary_counts.__wrapped__(
+        mem_words, path_valid, tail, g1_words)
+    out = _binary_from_path_counts(
+        g0p, g1p, snarl_path_idx, min_individuals, min_haplotypes,
+        maf_threshold, tails=tails)
+
+    membership = _pk.unpack_membership_body(mem_words, path_valid,
+                                            n_haplotypes)
+    d = _design_from_membership(
+        membership, snarl_path_idx, covar, min_individuals,
+        min_haplotypes, maf_threshold, with_covar=False, all_rows=False)
+    used = d["used"]
+    y = pheno_q[None, :] * used
+    t1, df_res, beta, se, r2 = linear_regression_stats_batch.__wrapped__(
+        d["X"], y, used, d["ncols"])
+    nan = jnp.nan
+    deg = d["degenerate"]
+    out.update({
+        "q_filtered": d["filtered"],
+        "q_allele_paths": d["allele_paths"],
+        "q_beta": jnp.where(deg, nan, beta),
+        "q_se": jnp.where(deg, nan, se),
+        "q_r2": jnp.where(deg, nan, r2),
+    })
+    if tails:
+        p = finish_linear_pvalues.__wrapped__(t1, df_res)
+        out["q_p"] = jnp.where(deg, nan, p)
+    else:
+        out["q_t1"] = t1
+        out["q_df_res"] = df_res
+        out["q_deg"] = deg
+    return out
+
+
 @partial(jax.jit, static_argnames=("n_haplotypes",))
 def _fused_dual_analysis(words, path_idx, path_valid, snarl_path_idx,
                          tail, g1_words, covar, pheno_q, min_individuals,
@@ -369,39 +420,10 @@ def _fused_dual_analysis(words, path_idx, path_valid, snarl_path_idx,
     once and feeds both the binary popcount tables and the quantitative
     design.  Quantitative outputs carry a ``q_`` prefix so both result
     sets ride one wire pack (one device→host copy per chunk)."""
-    from stoat_tpu.pipeline import packed as _pk
-    from stoat_tpu.pipeline.binary import _binary_from_path_counts
-    from stoat_tpu.stats.linreg import (finish_linear_pvalues,
-                                        linear_regression_stats_batch)
-
-    mem_words = _pk.membership_words_body(words, path_idx)
-    g0p, g1p = _pk.packed_binary_counts.__wrapped__(
-        mem_words, path_valid, tail, g1_words)
-    out = _binary_from_path_counts(
-        g0p, g1p, snarl_path_idx, min_individuals, min_haplotypes,
-        maf_threshold, tails=True)
-
-    membership = _pk.unpack_membership_body(mem_words, path_valid,
-                                            n_haplotypes)
-    d = _design_from_membership(
-        membership, snarl_path_idx, covar, min_individuals,
-        min_haplotypes, maf_threshold, with_covar=False, all_rows=False)
-    used = d["used"]
-    y = pheno_q[None, :] * used
-    t1, df_res, beta, se, r2 = linear_regression_stats_batch.__wrapped__(
-        d["X"], y, used, d["ncols"])
-    p = finish_linear_pvalues.__wrapped__(t1, df_res)
-    nan = jnp.nan
-    deg = d["degenerate"]
-    out.update({
-        "q_filtered": d["filtered"],
-        "q_allele_paths": d["allele_paths"],
-        "q_p": jnp.where(deg, nan, p),
-        "q_beta": jnp.where(deg, nan, beta),
-        "q_se": jnp.where(deg, nan, se),
-        "q_r2": jnp.where(deg, nan, r2),
-    })
-    return out
+    return _fused_dual_body(
+        words, path_idx, path_valid, snarl_path_idx, tail, g1_words,
+        covar, pheno_q, min_individuals, min_haplotypes, maf_threshold,
+        n_haplotypes=n_haplotypes, tails=True)
 
 
 class PrefixView:

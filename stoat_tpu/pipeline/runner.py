@@ -287,9 +287,15 @@ def run_vcf_analysis(
     Single-device modes only (no mesh, no eQTL).
     """
     import jax as _jax
+    # The dual-phenotype pass shards over the mesh only for its fused
+    # combination (binary + quantitative, no -T tables); other secondary
+    # shapes run the single-device pipelined path.
+    dual_mesh_ok = (secondary is not None and mode == "binary"
+                    and secondary.get("mode") == "quantitative"
+                    and table_threshold == -1)
     if use_mesh is None:
         use_mesh = _jax.device_count() > 1
-        if secondary is not None and use_mesh:
+        if secondary is not None and use_mesh and not dual_mesh_ok:
             logger.info("Dual-phenotype run: using the single-device "
                         "pipelined path")
             use_mesh = False
@@ -305,9 +311,13 @@ def run_vcf_analysis(
 
     total_filtered = 0
     total_analyzed = 0
-    if secondary is not None and (mode == "eqtl" or use_mesh):
-        raise ValueError("secondary phenotype runs are single-device, "
-                         "non-eQTL only")
+    if secondary is not None and mode == "eqtl":
+        raise ValueError("secondary phenotype runs do not support eQTL "
+                         "primaries")
+    if secondary is not None and use_mesh and not dual_mesh_ok:
+        raise ValueError(
+            "mesh-sharded secondary runs support only the fused binary "
+            "primary + quantitative secondary without -T tables")
     if secondary is not None:
         _validate_secondary(secondary)
 
@@ -445,7 +455,27 @@ def run_vcf_analysis(
                                                     jnp.float32)
 
                 from functools import partial
-                if chunk_mesh is not None and mode != "eqtl":
+                if chunk_mesh is not None and sec_fh is not None:
+                    # mesh-sharded fused dual: one shard_map per chunk
+                    # computes both result sets (shared membership)
+                    from stoat_tpu.parallel import (
+                        dual_analyze_sharded, shard_packed_chromosome)
+                    from stoat_tpu.pipeline.quantitative import PrefixView
+                    sharded = shard_packed_chromosome(
+                        packed.snarls, matrix, _jax.device_count())
+                    res = dual_analyze_sharded(
+                        sharded, binary_phenotype,
+                        secondary["quantitative_phenotype"], chunk_mesh,
+                        min_individuals, min_haplotypes, maf_threshold)
+                    holder = _SnarlHolder(packed.snarls)
+                    writer.submit(partial(
+                        _write_rows, outf, chrom, holder, res, "binary",
+                        table_threshold, regression_dir, samples))
+                    writer.submit(partial(
+                        _write_rows, sec_fh, chrom, holder,
+                        PrefixView(res), "quantitative", table_threshold,
+                        regression_dir, samples), tag="secondary")
+                elif chunk_mesh is not None and mode != "eqtl":
                     res, holder = _analyze_sharded(
                         chunk_mesh, packed, mode, binary_phenotype,
                         quantitative_phenotype, covariate,

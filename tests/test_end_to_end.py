@@ -320,6 +320,10 @@ def test_dual_phenotype_api_contract(tmp_path, monkeypatch):
             "output_tsv": str(quant_tsv),
             "quantitative_phenotype": quantitative_phenotype,
         },
+        # pin the single-device fused path (the mesh-sharded dual is
+        # covered by test_runner_mesh); under the virtual 8-device
+        # conftest the auto route would take the sharded program
+        use_mesh=False,
         sample_names=samples)
     assert fused_calls, "the fused dual-dispatch path did not run"
 

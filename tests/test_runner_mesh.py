@@ -86,3 +86,22 @@ def test_mesh_runner_eqtl_matches_single_device(data, tmp_path):
                          sample_names=samples, snarl_chunk_size=7,
                          use_mesh=use_mesh)
     assert filecmp.cmp(single, meshed, shallow=False)
+
+
+def test_mesh_runner_dual_matches_single_device(data, tmp_path):
+    """Mesh-sharded fused dual (-b -q single pass over the snarl mesh):
+    both output TSVs byte-identical to the single-device dual run."""
+    paths, snarls_chr, pheno_b, pheno_q, covar, samples, _ = data
+    outs = {}
+    for label, use_mesh in (("single", False), ("mesh", True)):
+        b_tsv = str(tmp_path / f"{label}_b.tsv")
+        q_tsv = str(tmp_path / f"{label}_q.tsv")
+        run_vcf_analysis(
+            paths["vcf"], snarls_chr, b_tsv, "binary",
+            binary_phenotype=pheno_b, sample_names=samples,
+            snarl_chunk_size=7, use_mesh=use_mesh,
+            secondary={"mode": "quantitative", "output_tsv": q_tsv,
+                       "quantitative_phenotype": pheno_q})
+        outs[label] = (b_tsv, q_tsv)
+    assert filecmp.cmp(outs["single"][0], outs["mesh"][0], shallow=False)
+    assert filecmp.cmp(outs["single"][1], outs["mesh"][1], shallow=False)
