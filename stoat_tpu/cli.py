@@ -68,6 +68,12 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-c", "--covariate", metavar="FILE")
     ap.add_argument("-C", "--covar-name", metavar="NAME")
     ap.add_argument("-k", "--kinship", metavar="FILE")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume an interrupted run: chromosomes already "
+                         "checkpointed in <output>.progress are skipped, "
+                         "a partially-written chromosome is rewritten "
+                         "(extension over the reference's snarl-cache-"
+                         "only checkpointing, vcf.cpp:317-319)")
     ap.add_argument("--lmm", action="store_true",
                     help="kinship mixed model (EMMAX) for quantitative "
                          "traits — beyond the reference, whose LMM is a "
@@ -277,6 +283,7 @@ def main_vcf(argv: List[str]) -> int:
         regression_dir=regression_dir,
         sample_names=list_samples,
         lmm_ctx=lmm_ctx,
+        resume=args.resume,
     )
 
     if mode == "binary" and args.gaf:

@@ -15,6 +15,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from functools import partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -104,6 +105,48 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             yield chrom, matrix
     finally:
         reader.close()
+
+
+def _progress_path(data_path: str) -> str:
+    return data_path + ".progress"
+
+
+def _read_progress(data_path: str) -> Dict[str, int]:
+    """{chrom: byte offset after its last row} in completion order."""
+    out: Dict[str, int] = {}
+    try:
+        with open(_progress_path(data_path)) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) == 2:
+                    try:
+                        out[parts[0]] = int(parts[1])
+                    except ValueError:
+                        pass
+    except OSError:
+        pass
+    return out
+
+
+def _record_progress(fh, data_path: str, chrom: str):
+    """Durable per-chromosome checkpoint (crash resume, --resume).
+
+    Runs on the writer thread AFTER every one of the chromosome's row
+    writes (FIFO queue): fsync the data file, then append
+    ``chrom<TAB>offset`` to the sidecar — a chromosome is resumable only
+    once its rows are actually on disk."""
+    fh.flush()
+    buf = getattr(fh, "buffer", None)
+    if buf is not None:
+        off = buf.tell()
+    else:
+        off = fh.tell()
+    os.fsync(fh.fileno())
+    with open(_progress_path(data_path), "a") as pf:
+        pf.write(f"{chrom}\t{off}\n")
+        pf.flush()
+        os.fsync(pf.fileno())
+    return 0
 
 
 def assemble_words_device(matrix):
@@ -271,6 +314,7 @@ def run_vcf_analysis(
     use_mesh: Optional[bool] = None,
     lmm_ctx=None,
     secondary: Optional[Dict] = None,
+    resume: bool = False,
 ) -> int:
     """Run the full GWAS over a VCF.  Returns total snarls filtered.
 
@@ -333,12 +377,49 @@ def run_vcf_analysis(
         else:
             raise ValueError(f"unknown mode {m}")
 
+    # --resume: per-chromosome checkpointing via a ``.progress`` sidecar
+    # (chrom + byte offset, fsynced after the chromosome's rows — see
+    # _record_progress).  A chromosome counts as complete only when every
+    # output file of the run has it; each file truncates back to the last
+    # jointly-complete offset so a partial chromosome is rewritten whole.
+    # This extends the reference's only checkpoint (the snarl_analyse.tsv
+    # cache, vcf.cpp:317-319) to the analysis phase itself.
+    resume_done: List[str] = []
+    if resume:
+        prim_prog = _read_progress(output_tsv)
+        sec_prog = (_read_progress(secondary["output_tsv"])
+                    if secondary is not None else None)
+        for c in prim_prog:
+            if sec_prog is None or c in sec_prog:
+                resume_done.append(c)
+            else:
+                break
+        if resume_done:
+            logger.info("Resume: %d chromosome(s) already complete (%s)",
+                        len(resume_done), ", ".join(resume_done))
+
+    def _open_output(path, m, prog):
+        if resume_done and prog is not None:
+            off = prog[resume_done[-1]]
+            fh = open(path, "r+", newline="")
+            fh.seek(off)
+            fh.truncate()
+            return fh
+        try:
+            os.remove(_progress_path(path))
+        except OSError:
+            pass
+        fh = open(path, "w", newline="")
+        _write_header(fh, m)
+        return fh
+
     sec_fh = None
-    with open(output_tsv, "w", newline="") as outf:
-        _write_header(outf, mode)
+    with _open_output(output_tsv, mode,
+                      prim_prog if resume else None) as outf:
         if secondary is not None:
-            sec_fh = open(secondary["output_tsv"], "w", newline="")
-            _write_header(sec_fh, secondary["mode"])
+            sec_fh = _open_output(secondary["output_tsv"],
+                                  secondary["mode"],
+                                  sec_prog if resume else None)
 
         # Overlap host phases: the next chromosome ingests on a prefetch
         # thread while this one packs/dispatches/writes, the path
@@ -362,6 +443,10 @@ def run_vcf_analysis(
             if chrom not in snarls_chr:
                 logger.warning("Chromosome %s not found in snarl paths "
                                "file. Skipping.", chrom)
+                continue
+            if chrom in resume_done:
+                logger.info("Resume: chromosome %s already complete; "
+                            "skipping.", chrom)
                 continue
             logger.info("Analysing chr : %s", chrom)
             t1 = time.time()
@@ -454,7 +539,6 @@ def run_vcf_analysis(
                         device_matrix = jnp.asarray(packed.matrix,
                                                     jnp.float32)
 
-                from functools import partial
                 if chunk_mesh is not None and sec_fh is not None:
                     # mesh-sharded fused dual: one shard_map per chunk
                     # computes both result sets (shared membership)
@@ -586,6 +670,18 @@ def run_vcf_analysis(
                                 chrom, t2 - t0)
                     return 0
                 writer.submit(_chr_done)
+            # durable per-chromosome checkpoint, recorded strictly after
+            # this chromosome's rows (FIFO writer) — secondary first so
+            # a crash between the two markers re-runs the chromosome
+            if writer is not None:
+                if sec_fh is not None:
+                    writer.submit(partial(
+                        _record_progress, sec_fh,
+                        secondary["output_tsv"], chrom))
+                writer.submit(partial(_record_progress, outf,
+                                      output_tsv, chrom))
+            else:
+                _record_progress(outf, output_tsv, chrom)
 
         if writer is not None:
             counts = writer.close()
