@@ -13,6 +13,9 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+# diploid GT strings for small allele counts (allele index < 8)
+_GT_LUT = [[f"{a}/{b}" for b in range(8)] for a in range(8)]
+
 
 def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
                  seed: int = 7, chrom: str = "ref",
@@ -66,8 +69,13 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
         draws = np.minimum(np.searchsorted(cum, rng.random((n_samples, 2)),
                                            side="right"), n_alleles - 1)
         missing = rng.random(n_samples) < 0.02
-        gts = ["./." if m else f"{a1}/{a2}"
-               for m, (a1, a2) in zip(missing, draws)]
+        # plain-list iteration + the GT string LUT: ~3x faster than
+        # per-pair f-strings over numpy rows (this loop dominates
+        # bench-scale workload generation)
+        d1 = draws[:, 0].tolist()
+        d2 = draws[:, 1].tolist()
+        gts = ["./." if m else _GT_LUT[a1][a2]
+               for m, a1, a2 in zip(missing.tolist(), d1, d2)]
         alts = ",".join(["T"] * max(n_alleles - 1, 1))
         vcf_rows.append("\t".join([
             this_chrom, str(pos), snarl_id, "A", alts, "99", "PASS",
