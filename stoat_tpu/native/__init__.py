@@ -32,10 +32,10 @@ _graph_lib = None
 _graph_tried = False
 
 # C signature of the incremental-rows callback (stoat_core.cpp
-# stoat_rows_cb): (ctx, rows_ptr, row_lo, row_hi, n_words)
+# stoat_rows_cb): (ctx, rows_ptr, row_lo, row_hi, n_words, chrom)
 STOAT_ROWS_CB = ctypes.CFUNCTYPE(
     None, ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint32),
-    ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64)
+    ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_char_p)
 
 
 def _compile(src: str, lib: str, extra=("-lz",)) -> bool:
@@ -747,20 +747,24 @@ class NativeVcfMatrixReader:
         b_id, b_rev) per row; no Python dict is built (see
         PackedEdgeMatrix.resolve_edges).
 
-        ``on_rows(rows_copy, row_lo, row_hi)``: optional incremental
-        callback fired DURING the parse with each newly-final block of
-        word rows (uint32 [row_hi-row_lo, W] copy) — lets the caller
-        start the device upload while the rest of the chromosome is
-        still parsing (the uplink is the largest per-chromosome cost
-        over the axon tunnel)."""
+        ``on_rows(rows_copy, row_lo, row_hi, chrom)``: optional
+        incremental callback fired DURING the parse with each
+        newly-appended block of word rows (uint32 [row_hi-row_lo, W]
+        copy) — lets the caller start the device upload while the rest
+        of the chromosome is still parsing (the uplink is the largest
+        per-chromosome cost over the axon tunnel).  A shipped row may
+        still gain carrier bits from a later record sharing an edge:
+        callers must reconcile against the final chunk words
+        (runner.assemble_words_device does)."""
         lib = self._lib
         cb = None
         if on_rows is not None:
-            def _trampoline(_ctx, rows_ptr, lo, hi, nw):
+            def _trampoline(_ctx, rows_ptr, lo, hi, nw, chrom):
                 n = int(hi - lo)
                 arr = np.ctypeslib.as_array(
                     rows_ptr, shape=(n, int(nw))).copy()
-                on_rows(arr, int(lo), int(hi))
+                on_rows(arr, int(lo), int(hi),
+                        chrom.decode() if chrom else "")
             cb = STOAT_ROWS_CB(_trampoline)
         while True:
             if cb is not None:

@@ -2007,7 +2007,8 @@ long stoat_graph_assoc(
     for (long i = 0; i < S; ++i)
         if (forest.snarls[size_t(i)].parent == -1) stack.push_back(int(i));
     std::sort(stack.begin(), stack.end(), std::greater<int>());
-    char buf[64];
+    // worst case: 6 20-digit integers + separators (~130 chars)
+    char buf[192];
     while (!stack.empty()) {
         int i = stack.back();
         stack.pop_back();
@@ -2092,7 +2093,10 @@ long stoat_graph_assoc(
     uint64_t* po = (uint64_t*)malloc(part_offs.size() * 8);
     uint32_t* g0b = (uint32_t*)malloc(g0_flat.size() * 4 + 4);
     uint32_t* g1b = (uint32_t*)malloc(g1_flat.size() * 4 + 4);
-    if (!rb || !kb || !po || !g0b || !g1b) return -3;
+    if (!rb || !kb || !po || !g0b || !g1b) {
+        free(rb); free(kb); free(po); free(g0b); free(g1b);
+        return -3;
+    }
     memcpy(rb, rows_blob.data(), rows_blob.size());
     rb[rows_blob.size()] = '\0';
     *rows_len_out = uint64_t(rows_blob.size());

@@ -747,14 +747,17 @@ const char* stoat_vcf_sample(void* rp, int64_t i) {
 // Parse the next chromosome chunk.  Returns an opaque Chunk* or nullptr at
 // EOF.
 // Incremental-rows callback: invoked during chunk construction after
-// each intern batch with the NEWLY FINAL word rows [row_lo, row_hi).
-// Rows never change once interned (only new rows append), so the caller
-// may ship them upstream (e.g. start the device upload) while the rest
-// of the chromosome is still parsing.  The pointer is valid only for
-// the duration of the call — copy before returning.
+// each intern batch with the word rows appended so far, [row_lo,
+// row_hi).  NOTE: a shipped row is NOT guaranteed final — a later
+// record whose traversal shares an edge with an earlier one ORs more
+// carrier bits into the existing row (intern_and_fill) — so a caller
+// that ships rows upstream MUST reconcile against the completed
+// chunk's words afterwards (runner.assemble_words_device keeps each
+// slice's host copy and patches stale rows).  The pointer is valid
+// only for the duration of the call — copy before returning.
 typedef void (*stoat_rows_cb)(void* ctx, const uint32_t* rows,
                               uint64_t row_lo, uint64_t row_hi,
-                              uint64_t n_words);
+                              uint64_t n_words, const char* chrom);
 
 static void* next_chunk_impl(void* rp, uint64_t initial_rows,
                              stoat_rows_cb cb, void* cb_ctx) {
@@ -861,10 +864,11 @@ static void* next_chunk_impl(void* rp, uint64_t initial_rows,
             }
             if (ti0) g_ns_intern.fetch_add(now_ns() - ti0);
             if (cb && mb.n_rows() > cb_done) {
-                // already-interned rows are final: hand them upstream
-                // while the next batch parses
+                // hand the newly-appended rows upstream while the next
+                // batch parses (see stoat_rows_cb: a shipped row may
+                // still gain bits — callers reconcile at chunk end)
                 cb(cb_ctx, mb.data.data() + cb_done * W, cb_done,
-                   mb.n_rows(), W);
+                   mb.n_rows(), W, chrom.c_str());
                 cb_done = mb.n_rows();
             }
             r->queue.recycle(cur);

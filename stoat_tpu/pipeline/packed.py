@@ -164,13 +164,22 @@ def upload_path_idx(idx: np.ndarray, n_rows: int):
                               jnp.asarray(delta.astype(np.int16)))
 
 
+@jax.jit
+def _decode_sidx_u16(enc):
+    dec = enc.astype(jnp.int32)
+    return jnp.where(dec == 65535, jnp.int32(-1), dec)
+
+
 def upload_snarl_path_idx(sidx: np.ndarray):
-    """Upload the [P] path→snarl map at the smallest sufficient width
-    (uint16 covers any chunk ≤ 65535 snarls), widening to int32 on
-    device for the segment ops."""
+    """Upload the [S, Pmax] snarl→path-index table at uint16 width when
+    every real index fits (chunks up to 65534 paths — pads, which are
+    ``-1`` per the tables.py layout, ride as the 65535 sentinel and
+    decode back on device).  Falls back to the raw int32 upload."""
     sidx = np.asarray(sidx)
-    if sidx.size and 0 <= int(sidx.min()) and int(sidx.max()) < 65536:
-        return jnp.asarray(sidx.astype(np.uint16)).astype(jnp.int32)
+    if (sidx.size and int(sidx.max(initial=0)) < 65535
+            and int(sidx.min(initial=0)) >= -1):
+        enc = np.where(sidx < 0, 65535, sidx).astype(np.uint16)
+        return _decode_sidx_u16(jnp.asarray(enc))
     return jnp.asarray(sidx, jnp.int32)
 
 

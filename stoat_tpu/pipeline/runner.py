@@ -43,7 +43,8 @@ __all__ = ["run_vcf_analysis", "found_gene_snarl", "iter_chromosome_matrices"]
 def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
                              snarls_chr: Dict[str, List[SnarlData]],
                              use_native: bool = True,
-                             stream_device_words: bool = False):
+                             stream_device_words: bool = False,
+                             stream_skip=()):
     """Yield (chrom, edge-matrix object) per chromosome.
 
     Prefers the native C++ core (stoat_tpu.native) — the reference's
@@ -66,9 +67,21 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             parts: List = []
             if stream_device_words:
                 import jax.numpy as _jnp
+                skip = set(stream_skip)
 
-                def on_rows(arr, lo, hi):
-                    parts.append(_jnp.asarray(arr))
+                def on_rows(arr, lo, hi, chrom):
+                    # upload the slice now AND keep the host copy:
+                    # a later record can OR carrier bits into an
+                    # already-shipped row (records sharing an edge
+                    # across parse batches), so assemble_words_device
+                    # diffs each kept copy against the final words and
+                    # patches stale rows on device (exactness pinned by
+                    # tests).  ``stream_skip`` (e.g. --resume's
+                    # completed chromosomes) suppresses the wasted
+                    # uploads of chromosomes the caller will discard.
+                    if chrom in skip or chrom not in snarls_chr:
+                        return
+                    parts.append((_jnp.asarray(arr), arr, lo, hi))
             try:
                 for chrom, words, n_haps, edges in reader.chunks_packed(
                         on_rows=on_rows):
@@ -153,16 +166,36 @@ def assemble_words_device(matrix):
     """Device words array for a natively-ingested chromosome.
 
     When the iterator streamed incremental row uploads
-    (``words_device_parts``), concatenate them on device (HBM-to-HBM)
-    and append the all-ones AND-identity row — value-identical to
-    uploading ``matrix.words`` whole, but the big transfer already
-    happened during the parse.  Falls back to the whole-array upload."""
+    (``words_device_parts``), concatenate them on device (HBM-to-HBM),
+    append the all-ones AND-identity row, and PATCH any row the parser
+    mutated after it was shipped: a record later in the chromosome can
+    OR carrier bits into an existing row when its traversal shares an
+    edge with an earlier record, so each streamed slice's retained host
+    copy is diffed against the final ``matrix.words`` and stale rows are
+    scatter-updated on device (a handful of rows in practice, zero for
+    disjoint-edge records).  Value-identical to uploading
+    ``matrix.words`` whole — pinned by tests — but the big transfer
+    already happened during the parse."""
     import jax.numpy as jnp
     parts = getattr(matrix, "words_device_parts", None)
     if parts:
-        W = int(parts[0].shape[1])
+        final = matrix.words              # [E+1, W], identity row last
+        fix_rows = []
+        dev_parts = []
+        for dev, host, lo, hi in parts:
+            dev_parts.append(dev)
+            want = final[lo:hi]
+            stale = np.flatnonzero(np.any(host != want, axis=1))
+            if stale.size:
+                fix_rows.append(stale + lo)
+        W = int(final.shape[1])
         ident = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
-        return jnp.concatenate(list(parts) + [ident], axis=0)
+        words = jnp.concatenate(dev_parts + [ident], axis=0)
+        if fix_rows:
+            idx = np.concatenate(fix_rows)
+            words = words.at[jnp.asarray(idx)].set(
+                jnp.asarray(final[idx]))
+        return words
     return jnp.asarray(matrix.words)
 
 
@@ -430,7 +463,8 @@ def run_vcf_analysis(
         matrices = _prefetched(
             iter_chromosome_matrices(
                 vcf_path, n_hap, snarls_chr,
-                stream_device_words=mesh is None))
+                stream_device_words=mesh is None,
+                stream_skip=resume_done))
         tokenizer = _QuadTokenizer(snarls_chr)
         writer = None if mode == "eqtl" else _PipelinedWriter()
         pheno_device = None   # per-run packed phenotype masks (binary)
@@ -542,16 +576,12 @@ def run_vcf_analysis(
                 if chunk_mesh is not None and sec_fh is not None:
                     # mesh-sharded fused dual: one shard_map per chunk
                     # computes both result sets (shared membership)
-                    from stoat_tpu.parallel import (
-                        dual_analyze_sharded, shard_packed_chromosome)
                     from stoat_tpu.pipeline.quantitative import PrefixView
-                    sharded = shard_packed_chromosome(
-                        packed.snarls, matrix, _jax.device_count())
-                    res = dual_analyze_sharded(
-                        sharded, binary_phenotype,
-                        secondary["quantitative_phenotype"], chunk_mesh,
-                        min_individuals, min_haplotypes, maf_threshold)
-                    holder = _SnarlHolder(packed.snarls)
+                    res, holder = _analyze_sharded(
+                        chunk_mesh, packed, "dual", binary_phenotype,
+                        secondary["quantitative_phenotype"], covariate,
+                        min_individuals, min_haplotypes, maf_threshold,
+                        matrix)
                     writer.submit(partial(
                         _write_rows, outf, chrom, holder, res, "binary",
                         table_threshold, regression_dir, samples))
@@ -717,12 +747,17 @@ def _analyze_sharded(mesh, packed, mode, binary_phenotype,
     import jax as _jax
     from stoat_tpu.parallel import (binary_analyze_sharded,
                                     binary_covar_analyze_sharded,
+                                    dual_analyze_sharded,
                                     lmm_analyze_sharded,
                                     quantitative_analyze_sharded,
                                     shard_packed_chromosome)
     n_dev = _jax.device_count()
     sharded = shard_packed_chromosome(packed.snarls, matrix, n_dev)
-    if mode == "binary":
+    if mode == "dual":
+        res = dual_analyze_sharded(
+            sharded, binary_phenotype, quantitative_phenotype, mesh,
+            min_individuals, min_haplotypes, maf_threshold)
+    elif mode == "binary":
         res = binary_analyze_sharded(
             sharded, binary_phenotype, mesh, min_individuals,
             min_haplotypes, maf_threshold)

@@ -303,3 +303,82 @@ def test_streamed_device_words_match_whole_upload(lib_available, fixture):
         "no streamed slices arrived"
     assembled = np.asarray(assemble_words_device(matrix))
     np.testing.assert_array_equal(assembled, np.asarray(matrix.words))
+
+
+def test_streamed_words_stale_rows_are_patched():
+    """A row shipped early can gain carrier bits from a LATER record
+    whose traversal shares the edge (intern_and_fill ORs into existing
+    rows across parse batches) — assemble_words_device must diff the
+    retained host copies against the final words and patch the stale
+    rows, so the device matrix always equals matrix.words."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from stoat_tpu.pipeline.runner import assemble_words_device
+
+    W = 3
+    final = np.arange(5 * W, dtype=np.uint32).reshape(5, W)
+    final[1] |= 0xF0                     # bits ORed in AFTER shipping
+    final = np.vstack([final, np.full((1, W), 0xFFFFFFFF, np.uint32)])
+
+    class M:
+        pass
+
+    m = M()
+    m.words = final
+    stale0 = final[0:2].copy()
+    stale0[1] &= ~np.uint32(0xF0)        # the shipped (stale) version
+    part1 = final[2:5].copy()            # shipped final
+    m.words_device_parts = [
+        (jnp.asarray(stale0), stale0, 0, 2),
+        (jnp.asarray(part1), part1, 2, 5),
+    ]
+    assembled = np.asarray(assemble_words_device(m))
+    np.testing.assert_array_equal(assembled, final)
+
+
+def test_streamed_words_shared_edge_across_batches(lib_available,
+                                                   tmp_path):
+    """Regression (round-4 review): a record LATE in the chromosome
+    whose traversal shares an edge with an EARLY record ORs carrier
+    bits into a row already shipped by the streaming callback (the
+    records must sit in different ~4MB parse batches).  The assembled
+    device words must still equal matrix.words exactly."""
+    import numpy as np
+
+    from stoat_tpu.pipeline.runner import (assemble_words_device,
+                                           iter_chromosome_matrices)
+
+    vcf = tmp_path / "shared_edge.vcf"
+    n_samples = 8
+    samples = [f"s{i}" for i in range(n_samples)]
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=c1>\n")
+        fh.write('##INFO=<ID=AT,Number=R,Type=String,Description="x">\n')
+        fh.write('##INFO=<ID=LV,Number=1,Type=Integer,Description="x">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\t" + "\t".join(samples) + "\n")
+        gts = ["1/1", "1/1"] + ["0/0"] * (n_samples - 2)
+        fh.write("c1\t100\tA\tA\tT\t99\tPASS\tAT=>10>13,>1>2>3;LV=0\tGT"
+                 "\t" + "\t".join(gts) + "\n")
+        filler = "\t".join(["0/0"] * n_samples)
+        for k in range(120000):          # ~12 MB: spans >2 parse batches
+            a = 1000 + 3 * k
+            fh.write(f"c1\t{200+k}\tF{k}\tA\tT\t99\tPASS\t"
+                     f"AT=>{a}>{a+1},>{a}>{a+2};LV=0\tGT\t{filler}\n")
+        gts = ["0/0"] * 6 + ["1/1", "1/1"]
+        fh.write("c1\t999999\tB\tA\tT\t99\tPASS\tAT=>20>23,>1>2>4;LV=0"
+                 "\tGT\t" + "\t".join(gts) + "\n")
+
+    gen = iter_chromosome_matrices(str(vcf), 2 * n_samples, {"c1": []},
+                                   stream_device_words=True)
+    chrom, matrix = next(gen)
+    gen.close()
+    parts = matrix.words_device_parts
+    stale = any(np.any(h != matrix.words[lo:hi])
+                for _d, h, lo, hi in parts)
+    assert len(parts) > 1, "fixture failed to span parse batches"
+    assert stale, "fixture no longer reproduces the shipped-then-" \
+        "mutated row (update it if batch sizes changed)"
+    assembled = np.asarray(assemble_words_device(matrix))
+    np.testing.assert_array_equal(assembled, np.asarray(matrix.words))

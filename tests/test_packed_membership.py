@@ -115,9 +115,18 @@ def test_delta_compressed_idx_upload_matches_raw(seed):
     got = np.asarray(pk.membership_words(jnp.asarray(words), dev))
     np.testing.assert_array_equal(got, want)
 
-    sidx = np.sort(np.random.default_rng(seed).integers(0, 7, idx.shape[0]))
+    # [S, Pmax] with -1 padding (the tables.py layout) must round-trip
+    # through the u16 sentinel encoding
+    rng2 = np.random.default_rng(seed)
+    sidx = rng2.integers(0, 19, (7, 4)).astype(np.int64)
+    sidx[rng2.random((7, 4)) < 0.4] = -1
     np.testing.assert_array_equal(
         np.asarray(pk.upload_snarl_path_idx(sidx)), sidx)
+    # wide chunk (indices beyond u16): raw int32 fallback, still exact
+    wide = sidx.copy()
+    wide[0, 0] = 70000
+    np.testing.assert_array_equal(
+        np.asarray(pk.upload_snarl_path_idx(wide)), wide)
 
 
 def test_pipeline_packed_vs_dense_end_to_end(tmp_path):
