@@ -547,9 +547,12 @@ def run_graph_bench(tmpdir, rng, repeats=2):
         run_graph_association(gfa, "", pheno_path, "chi2", "tsv", 0,
                               "ref", out)
         t_best = min(t_best, time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    n_base = run_baseline_graph_cpp(steps, offsets, starts, pheno)
-    t_base = time.perf_counter() - t0
+    t_base = float("inf")
+    for _ in range(2):                # best-of-2, like our side
+        _settle()
+        t0 = time.perf_counter()
+        n_base = run_baseline_graph_cpp(steps, offsets, starts, pheno)
+        t_base = min(t_base, time.perf_counter() - t0)
     base_rate = n_base / t_base if t_base > 0 else float("nan")
     return GRAPH_SNARLS / t_best, base_rate
 

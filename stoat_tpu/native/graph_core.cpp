@@ -2008,82 +2008,130 @@ long stoat_graph_assoc(
         if (forest.snarls[size_t(i)].parent == -1) stack.push_back(int(i));
     std::sort(stack.begin(), stack.end(), std::greater<int>());
     // worst case: 6 20-digit integers + separators (~130 chars)
-    char buf[192];
-    while (!stack.empty()) {
-        int i = stack.back();
-        stack.pop_back();
-        const Snarl& sn = forest.snarls[size_t(i)];
-        const PerSnarl& pc = pre[size_t(i)];
-        if (pc.mx < allele_size_limit) continue;
-        bool descend = true;
-        if (pc.g0.size() > 1) {
-            // coordinates
-            std::string chrom = "NA";
-            long a = 0, b = 0;
-            const uint64_t snode = node_of(sn.start), enode = node_of(sn.end);
-            for (const auto& [nm, offs] : ref_offsets) {
-                auto ia = offs.find(snode);
-                if (ia == offs.end()) continue;
-                auto ib = offs.find(enode);
-                if (ib == offs.end()) continue;
-                long x = ia->second, y = ib->second;
-                uint64_t first = snode;
-                if (x > y) {
-                    std::swap(x, y);
-                    first = enode;
-                }
-                auto li = g.node_len.find(first);
-                chrom = nm;
-                a = x + (li == g.node_len.end() ? 0 : long(li->second));
-                b = y;
-                break;
+    auto format_prefix = [&](const Snarl& sn, const PerSnarl& pc,
+                             std::string& prefix) {
+        char buf[192];
+        std::string chrom = "NA";
+        long a = 0, b = 0;
+        const uint64_t snode = node_of(sn.start), enode = node_of(sn.end);
+        for (const auto& [nm, offs] : ref_offsets) {
+            auto ia = offs.find(snode);
+            if (ia == offs.end()) continue;
+            auto ib = offs.find(enode);
+            if (ib == offs.end()) continue;
+            long x = ia->second, y = ib->second;
+            uint64_t first = snode;
+            if (x > y) {
+                std::swap(x, y);
+                first = enode;
             }
-            std::string prefix = chrom;
-            snprintf(buf, sizeof buf,
-                     "\t%ld\t%ld\t%llu_%llu\t%ld,%ld", a, b,
-                     (unsigned long long)snode, (unsigned long long)enode,
-                     pc.mn, pc.mx);
-            prefix += buf;
-            if (exact_mode) {
+            auto li = g.node_len.find(first);
+            chrom = nm;
+            a = x + (li == g.node_len.end() ? 0 : long(li->second));
+            b = y;
+            break;
+        }
+        prefix = chrom;
+        snprintf(buf, sizeof buf,
+                 "\t%ld\t%ld\t%llu_%llu\t%ld,%ld", a, b,
+                 (unsigned long long)snode, (unsigned long long)enode,
+                 pc.mn, pc.mx);
+        prefix += buf;
+    };
+    if (!exact_mode) {
+        // chi2 descends unconditionally, so the visit order is a pure
+        // function of the forest + allele-length skips: collect it
+        // serially (cheap), format the row payloads in parallel, then
+        // assemble in order.
+        std::vector<int> order;
+        order.reserve(size_t(S));
+        while (!stack.empty()) {
+            int i = stack.back();
+            stack.pop_back();
+            const Snarl& sn = forest.snarls[size_t(i)];
+            if (pre[size_t(i)].mx < allele_size_limit) continue;
+            order.push_back(i);
+            std::vector<int> kids(sn.children);
+            std::sort(kids.begin(), kids.end(), std::greater<int>());
+            for (int c : kids) stack.push_back(c);
+        }
+        std::vector<std::string> row_str(order.size());
+        std::atomic<size_t> rnext{0};
+        auto rworker = [&]() {
+            char buf[192];
+            for (;;) {
+                size_t oi = rnext.fetch_add(1);
+                if (oi >= order.size()) return;
+                int i = order[oi];
+                const Snarl& sn = forest.snarls[size_t(i)];
+                const PerSnarl& pc = pre[size_t(i)];
+                if (pc.g0.size() <= 1) continue;       // no row
+                std::string& out = row_str[oi];
+                format_prefix(sn, pc, out);
+                out += '\x01';
+                for (size_t k = 0; k < pc.g0.size(); ++k) {
+                    if (k) out += ',';
+                    snprintf(buf, sizeof buf, "%u:%u", pc.g0[k],
+                             pc.g1[k]);
+                    out += buf;
+                }
+                snprintf(buf, sizeof buf, "\t%d", sn.depth);
+                out += buf;
+            }
+        };
+        std::vector<std::thread> rpool;
+        for (unsigned t = 1; t < nt; ++t) rpool.emplace_back(rworker);
+        rworker();
+        for (auto& th : rpool) th.join();
+        for (size_t oi = 0; oi < order.size(); ++oi) {
+            if (row_str[oi].empty()) continue;
+            const PerSnarl& pc = pre[size_t(order[oi])];
+            rows_blob += row_str[oi];
+            rows_blob += '\0';
+            kinds.push_back(1);
+            for (size_t k = 0; k < pc.g0.size(); ++k) {
+                g0_flat.push_back(pc.g0[k]);
+                g1_flat.push_back(pc.g1[k]);
+            }
+            part_offs.push_back(uint64_t(g0_flat.size()));
+        }
+    } else {
+        char buf[192];
+        while (!stack.empty()) {
+            int i = stack.back();
+            stack.pop_back();
+            const Snarl& sn = forest.snarls[size_t(i)];
+            const PerSnarl& pc = pre[size_t(i)];
+            if (pc.mx < allele_size_limit) continue;
+            bool descend = true;
+            if (pc.g0.size() > 1) {
                 bool matched = false;
                 for (size_t k = 0; k < pc.g0.size(); ++k) {
-                    if ((pc.g1[k] == 0 && long(pc.g0[k]) == n_case_total) ||
-                        (pc.g0[k] == 0 && long(pc.g1[k]) == n_ctrl_total)) {
+                    if ((pc.g1[k] == 0 &&
+                         long(pc.g0[k]) == n_case_total) ||
+                        (pc.g0[k] == 0 &&
+                         long(pc.g1[k]) == n_ctrl_total)) {
                         matched = true;
                         descend = false;
                     }
                 }
                 if (matched) {
-                    snprintf(buf, sizeof buf, "\tNA\tNA\tNA\t%d", sn.depth);
+                    std::string prefix;
+                    format_prefix(sn, pc, prefix);
+                    snprintf(buf, sizeof buf, "\tNA\tNA\tNA\t%d",
+                             sn.depth);
                     rows_blob += prefix;
                     rows_blob += buf;
                     rows_blob += '\0';
                     kinds.push_back(0);
                     part_offs.push_back(uint64_t(g0_flat.size()));
                 }
-            } else {
-                rows_blob += prefix;
-                rows_blob += '\x01';
-                for (size_t k = 0; k < pc.g0.size(); ++k) {
-                    if (k) rows_blob += ',';
-                    snprintf(buf, sizeof buf, "%u:%u", pc.g0[k], pc.g1[k]);
-                    rows_blob += buf;
-                }
-                snprintf(buf, sizeof buf, "\t%d", sn.depth);
-                rows_blob += buf;
-                rows_blob += '\0';
-                kinds.push_back(1);
-                for (size_t k = 0; k < pc.g0.size(); ++k) {
-                    g0_flat.push_back(pc.g0[k]);
-                    g1_flat.push_back(pc.g1[k]);
-                }
-                part_offs.push_back(uint64_t(g0_flat.size()));
             }
-        }
-        if (descend) {
-            std::vector<int> kids(sn.children);
-            std::sort(kids.begin(), kids.end(), std::greater<int>());
-            for (int c : kids) stack.push_back(c);
+            if (descend) {
+                std::vector<int> kids(sn.children);
+                std::sort(kids.begin(), kids.end(), std::greater<int>());
+                for (int c : kids) stack.push_back(c);
+            }
         }
     }
 
