@@ -68,6 +68,13 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-c", "--covariate", metavar="FILE")
     ap.add_argument("-C", "--covar-name", metavar="NAME")
     ap.add_argument("-k", "--kinship", metavar="FILE")
+    ap.add_argument("--permutations", type=int, default=0,
+                    metavar="N",
+                    help="binary mode: run an N-permutation test after "
+                         "the GWAS (empirical + max-T FWER p-values into "
+                         "binary_permutation_vcf.tsv — a TPU-native "
+                         "extension the reference lacks)")
+    ap.add_argument("--perm-seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="resume an interrupted run: chromosomes already "
                          "checkpointed in <output>.progress are skipped, "
@@ -285,6 +292,17 @@ def main_vcf(argv: List[str]) -> int:
         lmm_ctx=lmm_ctx,
         resume=args.resume,
     )
+
+    if mode in ("binary", "binary_covar") and args.permutations > 0 \
+            and binary_phenotype is not None:
+        from stoat_tpu.pipeline.permutation import run_permutation_test
+        run_permutation_test(
+            args.vcf, snarls_chr,
+            os.path.join(args.output, "binary_permutation_vcf.tsv"),
+            binary_phenotype, n_perms=args.permutations,
+            seed=args.perm_seed, min_individuals=args.min_individuals,
+            min_haplotypes=args.min_haplotypes,
+            maf_threshold=args.maf, sample_names=list_samples)
 
     if mode == "binary" and args.gaf:
         from stoat_tpu.gaf import gaf_creation

@@ -1,0 +1,178 @@
+"""Permutation testing (beyond the reference): accounting + semantics.
+
+The chi² statistic kernel itself is oracle-pinned elsewhere
+(test_stats_oracle, test_golden_replay); these tests pin the
+permutation machinery: deterministic masks, empirical/max-T counting
+against an independent numpy recount, association detection, and the
+p_emp ≤ p_fwer ordering.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from stoat_tpu.io.phenotype import parse_binary_pheno
+from stoat_tpu.io.snarl_file import parse_snarl_path
+
+from fixtures import make_fixture
+
+N_PERMS = 40
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("perm")
+    paths = make_fixture(str(tmp), n_samples=40, n_snarls=30, seed=13,
+                         n_chroms=2)
+    snarls_chr = parse_snarl_path(paths["snarl"])
+    pheno, samples = parse_binary_pheno(paths["binary"],
+                                        list(paths["samples"]))
+    return paths, snarls_chr, pheno, samples, tmp
+
+
+def test_masks_deterministic_and_preserve_counts(data):
+    from stoat_tpu.pipeline import packed as pk
+    from stoat_tpu.pipeline.permutation import permutation_masks
+
+    _p, _s, pheno, _sm, _t = data
+    W = (2 * len(pheno) + 31) // 32
+    m1 = permutation_masks(pheno, 8, 3, W)
+    m2 = permutation_masks(pheno, 8, 3, W)
+    np.testing.assert_array_equal(m1, m2)
+    # every permutation keeps the case count (popcount invariant)
+    want = 2 * int(np.sum(pheno))
+    tail = pk.tail_mask_words(2 * len(pheno), W)
+    for row in m1:
+        bits = np.unpackbits((row & tail).view(np.uint8),
+                             bitorder="little")
+        assert int(bits.sum()) == want
+
+
+def test_counting_matches_numpy_recount(data):
+    """run_permutation_test's P_EMP/P_FWER must equal a direct numpy
+    recount over the same (obs, perm) statistics."""
+    from stoat_tpu.pipeline.permutation import (binary_permutation_stats,
+                                                permutation_masks,
+                                                run_permutation_test)
+    from stoat_tpu.pipeline.runner import iter_chromosome_matrices
+    from stoat_tpu.tables import pack_chromosome_chunks
+    from stoat_tpu.formatting import set_precision
+
+    paths, snarls_chr, pheno, samples, tmp = data
+    out = str(tmp / "perm.tsv")
+    n = run_permutation_test(paths["vcf"], snarls_chr, out, pheno,
+                             n_perms=N_PERMS, seed=SEED,
+                             sample_names=samples)
+    assert n > 0
+
+    # independent recount with the same kernels
+    W = None
+    masks = None
+    obs_rows = []
+    perms = []
+    gen = iter_chromosome_matrices(paths["vcf"], 2 * len(pheno),
+                                   snarls_chr)
+    for chrom, matrix in gen:
+        for packed in pack_chromosome_chunks(snarls_chr[chrom], matrix,
+                                             8192):
+            if masks is None:
+                W = packed.packed_words().shape[1]
+                masks = permutation_masks(pheno, N_PERMS, SEED, W)
+            obs, perm = binary_permutation_stats(packed, pheno, masks,
+                                                 3, 5, 0.05)
+            S = len(packed.snarls)
+            obs_rows.extend(
+                (s.snarl_id_str, obs[i]) for i, s in
+                enumerate(packed.snarls))
+            perms.append(perm[:, :S])
+    allperm = np.concatenate(perms, axis=1)
+    null_max = allperm.max(axis=1)
+
+    got = {}
+    with open(out) as fh:
+        fh.readline()
+        for line in fh:
+            c = line.rstrip("\n").split("\t")
+            got[c[3]] = (c[4], c[5], c[6])
+    assert set(got) == {sid for sid, _o in obs_rows}
+    checked = 0
+    sid_col = dict(obs_rows)
+    for sid, o in obs_rows:
+        stat_s, emp_s, fwer_s = got[sid]
+        if not np.isfinite(o):
+            assert stat_s == emp_s == fwer_s == "NA"
+            continue
+        # exceed counts from the recount (perm columns aligned by order
+        # of appearance, same chunking)
+        i = [s for s, _ in obs_rows].index(sid)
+        exc = int(np.sum(allperm[:, i] >= o))
+        fw = int(np.sum(null_max >= o))
+        assert emp_s == set_precision((1 + exc) / (N_PERMS + 1)), sid
+        assert fwer_s == set_precision((1 + fw) / (N_PERMS + 1)), sid
+        assert float(fwer_s) >= float(emp_s) - 1e-12
+        checked += 1
+    assert checked > 0
+
+
+def test_detects_real_association(tmp_path):
+    """A snarl whose allele IS the phenotype must reach the smallest
+    achievable empirical p (1/(K+1)) and small FWER p."""
+    import io
+
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    n_samples = 40
+    samples = [f"s{i}" for i in range(n_samples)]
+    pheno = np.array([i % 2 == 0 for i in range(n_samples)])
+    vcf = tmp_path / "a.vcf"
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=c1>\n")
+        fh.write('##INFO=<ID=AT,Number=R,Type=String,Description="x">\n')
+        fh.write('##INFO=<ID=LV,Number=1,Type=Integer,Description="x">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\t" + "\t".join(samples) + "\n")
+        # strong but imperfect association: a PERFECT split is filtered
+        # by the reference's per-path MAF criterion (group1 share 0 or 1
+        # → maf 0, snarl_analyzer.cpp:705-732 — semantics we reproduce)
+        flip = {0, 1, 2, 3}
+        gts = ["1/1" if (pheno[i] ^ (i in flip)) else "0/0"
+               for i in range(n_samples)]
+        fh.write("c1\t100\tA\tA\tT\t99\tPASS\tAT=>1>3,>1>2>3;LV=0\tGT\t"
+                 + "\t".join(gts) + "\n")
+    snarl = tmp_path / "snarl.tsv"
+    with open(snarl, "w") as fh:
+        fh.write("CHR\tSTART_POS\tEND_POS\tSNARL_HANDLEGRAPH\tSNARL\t"
+                 "PATHS\tTYPE\tREF\tDEPTH\n")
+        fh.write("c1\t100\t110\t1\t1_3\t>1>3,>1>2>3\t0,1\t1\t1\n")
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    snarls_chr = parse_snarl_path(str(snarl))
+    out = str(tmp_path / "perm.tsv")
+    K = 99
+    run_permutation_test(str(vcf), snarls_chr, out, pheno, n_perms=K,
+                         seed=1, sample_names=samples)
+    with open(out) as fh:
+        fh.readline()
+        cols = fh.readline().rstrip("\n").split("\t")
+    assert cols[5] == "1.0000e-02"     # 1/(K+1), K=99, %.4e form
+    assert float(cols[6]) <= 0.05
+
+
+def test_cli_flag(data):
+    from stoat_tpu.cli import main as cli_main
+
+    paths, snarls_chr, pheno, samples, tmp = data
+    out = tmp / "cli_out"
+    rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                   "-b", paths["binary"], "-o", str(out),
+                   "--permutations", "10", "--perm-seed", "3"])
+    assert rc == 0
+    perm_tsv = out / "binary_permutation_vcf.tsv"
+    assert perm_tsv.exists()
+    with open(perm_tsv) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        n_rows = sum(1 for _ in fh)
+    assert header == ["#CHR", "START_POS", "END_POS", "SNARL",
+                      "STAT_CHI2", "P_EMP", "P_FWER"]
+    assert n_rows == sum(len(v) for v in snarls_chr.values())
