@@ -297,25 +297,33 @@ def main_vcf(argv: List[str]) -> int:
     if args.permutations > 0 and (binary_phenotype is not None
                                   or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
-        if binary_phenotype is not None:
+        if covariate is not None or lmm_ctx is not None:
+            logger.warning(
+                "--permutations computes the UNADJUSTED chi2/t test: "
+                "covariates/kinship are not regressed out of the "
+                "permuted statistic (Freedman-Lane residual permutation "
+                "is future work); interpret the permutation p-values "
+                "against the unadjusted analysis.")
+        quant_for_perm = (quantitative_phenotype
+                          if mode != "eqtl" else None)
+        if binary_phenotype is None and quant_for_perm is None:
+            logger.warning("--permutations: no eligible phenotype "
+                           "(eQTL mode is not supported); skipping.")
+        else:
             run_permutation_test(
                 args.vcf, snarls_chr,
-                os.path.join(args.output, "binary_permutation_vcf.tsv"),
-                pheno_bin=binary_phenotype, n_perms=args.permutations,
-                seed=args.perm_seed,
-                min_individuals=args.min_individuals,
-                min_haplotypes=args.min_haplotypes,
-                maf_threshold=args.maf, sample_names=list_samples)
-        if quantitative_phenotype is not None and mode != "eqtl":
-            run_permutation_test(
-                args.vcf, snarls_chr,
-                os.path.join(args.output,
-                             "quantitative_permutation_vcf.tsv"),
-                quantitative_phenotype=quantitative_phenotype,
+                output_tsv=(os.path.join(args.output,
+                                         "binary_permutation_vcf.tsv")
+                            if binary_phenotype is not None else None),
+                pheno_bin=binary_phenotype,
+                quantitative_phenotype=quant_for_perm,
+                output_tsv_quant=(os.path.join(
+                    args.output, "quantitative_permutation_vcf.tsv")
+                    if quant_for_perm is not None else None),
                 n_perms=args.permutations, seed=args.perm_seed,
                 min_individuals=args.min_individuals,
                 min_haplotypes=args.min_haplotypes,
-                maf_threshold=args.maf, sample_names=list_samples)
+                maf_threshold=args.maf)
 
     if mode == "binary" and args.gaf:
         from stoat_tpu.gaf import gaf_creation

@@ -1,13 +1,11 @@
 """Permutation testing (beyond the reference): accounting + semantics.
 
-The chi² statistic kernel itself is oracle-pinned elsewhere
+The chi²/OLS statistic kernels are oracle-pinned elsewhere
 (test_stats_oracle, test_golden_replay); these tests pin the
-permutation machinery: deterministic masks, empirical/max-T counting
-against an independent numpy recount, association detection, and the
-p_emp ≤ p_fwer ordering.
+permutation machinery: one deterministic rng protocol, min-P
+empirical/FWER counting against an independent numpy recount,
+association detection, and the p_emp ≤ p_fwer ordering.
 """
-
-import os
 
 import numpy as np
 import pytest
@@ -34,13 +32,18 @@ def data(tmp_path_factory):
 
 def test_masks_deterministic_and_preserve_counts(data):
     from stoat_tpu.pipeline import packed as pk
-    from stoat_tpu.pipeline.permutation import permutation_masks
+    from stoat_tpu.pipeline.permutation import (permutation_indices,
+                                                permutation_masks)
 
     _p, _s, pheno, _sm, _t = data
     W = (2 * len(pheno) + 31) // 32
     m1 = permutation_masks(pheno, 8, 3, W)
     m2 = permutation_masks(pheno, 8, 3, W)
     np.testing.assert_array_equal(m1, m2)
+    # masks derive from permutation_indices (ONE rng protocol)
+    idx = permutation_indices(len(pheno), 8, 3)
+    m3 = permutation_masks(pheno, 8, 3, W, perm_idx=idx)
+    np.testing.assert_array_equal(m1, m3)
     # every permutation keeps the case count (popcount invariant)
     want = 2 * int(np.sum(pheno))
     tail = pk.tail_mask_words(2 * len(pheno), W)
@@ -52,7 +55,7 @@ def test_masks_deterministic_and_preserve_counts(data):
 
 def test_counting_matches_numpy_recount(data):
     """run_permutation_test's P_EMP/P_FWER must equal a direct numpy
-    recount over the same (obs, perm) statistics."""
+    min-P recount over the same (obs, perm) p-values."""
     from stoat_tpu.pipeline.permutation import (binary_permutation_stats,
                                                 permutation_masks,
                                                 run_permutation_test)
@@ -62,13 +65,11 @@ def test_counting_matches_numpy_recount(data):
 
     paths, snarls_chr, pheno, samples, tmp = data
     out = str(tmp / "perm.tsv")
-    n = run_permutation_test(paths["vcf"], snarls_chr, out, pheno,
-                             n_perms=N_PERMS, seed=SEED,
-                             sample_names=samples)
+    n = run_permutation_test(paths["vcf"], snarls_chr, out,
+                             pheno_bin=pheno, n_perms=N_PERMS, seed=SEED)
     assert n > 0
 
     # independent recount with the same kernels
-    W = None
     masks = None
     obs_rows = []
     perms = []
@@ -88,7 +89,7 @@ def test_counting_matches_numpy_recount(data):
                 enumerate(packed.snarls))
             perms.append(perm[:, :S])
     allperm = np.concatenate(perms, axis=1)
-    null_max = allperm.max(axis=1)
+    null_min = allperm.min(axis=1)
 
     got = {}
     with open(out) as fh:
@@ -98,17 +99,15 @@ def test_counting_matches_numpy_recount(data):
             got[c[3]] = (c[4], c[5], c[6])
     assert set(got) == {sid for sid, _o in obs_rows}
     checked = 0
-    sid_col = dict(obs_rows)
+    order = [s for s, _ in obs_rows]
     for sid, o in obs_rows:
         stat_s, emp_s, fwer_s = got[sid]
         if not np.isfinite(o):
             assert stat_s == emp_s == fwer_s == "NA"
             continue
-        # exceed counts from the recount (perm columns aligned by order
-        # of appearance, same chunking)
-        i = [s for s, _ in obs_rows].index(sid)
-        exc = int(np.sum(allperm[:, i] >= o))
-        fw = int(np.sum(null_max >= o))
+        i = order.index(sid)
+        exc = int(np.sum(allperm[:, i] <= o))
+        fw = int(np.sum(null_min <= o))
         assert emp_s == set_precision((1 + exc) / (N_PERMS + 1)), sid
         assert fwer_s == set_precision((1 + fw) / (N_PERMS + 1)), sid
         assert float(fwer_s) >= float(emp_s) - 1e-12
@@ -117,10 +116,8 @@ def test_counting_matches_numpy_recount(data):
 
 
 def test_detects_real_association(tmp_path):
-    """A snarl whose allele IS the phenotype must reach the smallest
-    achievable empirical p (1/(K+1)) and small FWER p."""
-    import io
-
+    """A strongly-associated snarl must reach the smallest achievable
+    empirical p (1/(K+1)) and small FWER p."""
     from stoat_tpu.pipeline.permutation import run_permutation_test
 
     n_samples = 40
@@ -150,8 +147,8 @@ def test_detects_real_association(tmp_path):
     snarls_chr = parse_snarl_path(str(snarl))
     out = str(tmp_path / "perm.tsv")
     K = 99
-    run_permutation_test(str(vcf), snarls_chr, out, pheno, n_perms=K,
-                         seed=1, sample_names=samples)
+    run_permutation_test(str(vcf), snarls_chr, out, pheno_bin=pheno,
+                         n_perms=K, seed=1)
     with open(out) as fh:
         fh.readline()
         cols = fh.readline().rstrip("\n").split("\t")
@@ -159,43 +156,47 @@ def test_detects_real_association(tmp_path):
     assert float(cols[6]) <= 0.05
 
 
-def test_cli_flag(data):
-    from stoat_tpu.cli import main as cli_main
+def test_dual_single_pass_matches_separate(data):
+    """-b AND -q permutations in one VCF pass: outputs identical to two
+    separate passes (same seed → same permutation set)."""
+    import filecmp
+
+    from stoat_tpu.io.phenotype import parse_quantitative_pheno
+    from stoat_tpu.pipeline.permutation import run_permutation_test
 
     paths, snarls_chr, pheno, samples, tmp = data
-    out = tmp / "cli_out"
-    rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
-                   "-b", paths["binary"], "-o", str(out),
-                   "--permutations", "10", "--perm-seed", "3"])
-    assert rc == 0
-    perm_tsv = out / "binary_permutation_vcf.tsv"
-    assert perm_tsv.exists()
-    with open(perm_tsv) as fh:
-        header = fh.readline().rstrip("\n").split("\t")
-        n_rows = sum(1 for _ in fh)
-    assert header == ["#CHR", "START_POS", "END_POS", "SNARL",
-                      "STAT_CHI2", "P_EMP", "P_FWER"]
-    assert n_rows == sum(len(v) for v in snarls_chr.values())
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    b1 = str(tmp / "dual_b.tsv")
+    q1 = str(tmp / "dual_q.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr, b1, pheno_bin=pheno,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=q1, n_perms=12, seed=3)
+    b2 = str(tmp / "solo_b.tsv")
+    q2 = str(tmp / "solo_q.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr, b2, pheno_bin=pheno,
+                         n_perms=12, seed=3)
+    run_permutation_test(paths["vcf"], snarls_chr,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=q2, n_perms=12, seed=3)
+    assert filecmp.cmp(b1, b2, shallow=False)
+    assert filecmp.cmp(q1, q2, shallow=False)
 
 
 def test_quantitative_permutations(data):
-    """Quantitative mode: |t| statistic, same accounting, and the
-    design-built-once path produces the identical observed |t| as the
-    asymptotic pipeline's t (via its p-value ordering)."""
     from stoat_tpu.io.phenotype import parse_quantitative_pheno
     from stoat_tpu.pipeline.permutation import run_permutation_test
 
     paths, snarls_chr, _pb, samples, tmp = data
     pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
     out = str(tmp / "perm_q.tsv")
-    n = run_permutation_test(paths["vcf"], snarls_chr, out,
+    n = run_permutation_test(paths["vcf"], snarls_chr,
                              quantitative_phenotype=pheno_q,
-                             n_perms=20, seed=5, sample_names=samples)
+                             output_tsv_quant=out, n_perms=20, seed=5)
     assert n > 0
     with open(out) as fh:
         header = fh.readline().rstrip("\n").split("\t")
-        rows = [l.rstrip("\n").split("\t") for l in fh]
-    assert header[4] == "STAT_T"
+        rows = [ln.rstrip("\n").split("\t") for ln in fh]
+    assert header[4] == "P_ASY"
     assert len(rows) == sum(len(v) for v in snarls_chr.values())
     finite = [r for r in rows if r[4] != "NA"]
     assert finite
@@ -204,13 +205,23 @@ def test_quantitative_permutations(data):
         assert 1 / 21 - 1e-6 <= float(r[5]) <= 1.0
 
 
-def test_cli_flag_quantitative(data):
+def test_cli_flag(data):
     from stoat_tpu.cli import main as cli_main
 
-    paths, snarls_chr, _pb, samples, tmp = data
-    out = tmp / "cli_out_q"
+    paths, snarls_chr, pheno, samples, tmp = data
+    out = tmp / "cli_out"
     rc = cli_main(["vcf", "-s", paths["snarl"], "-v", paths["vcf"],
-                   "-q", paths["quantitative"], "-o", str(out),
-                   "--permutations", "8"])
+                   "-b", paths["binary"], "-q", paths["quantitative"],
+                   "-o", str(out), "--permutations", "10",
+                   "--perm-seed", "3"])
     assert rc == 0
-    assert (out / "quantitative_permutation_vcf.tsv").exists()
+    for name in ("binary_permutation_vcf.tsv",
+                 "quantitative_permutation_vcf.tsv"):
+        perm_tsv = out / name
+        assert perm_tsv.exists(), name
+        with open(perm_tsv) as fh:
+            header = fh.readline().rstrip("\n").split("\t")
+            n_rows = sum(1 for _ in fh)
+        assert header == ["#CHR", "START_POS", "END_POS", "SNARL",
+                          "P_ASY", "P_EMP", "P_FWER"]
+        assert n_rows == sum(len(v) for v in snarls_chr.values())
