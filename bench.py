@@ -408,7 +408,7 @@ def run_baseline(packed, edge_matrix, pheno_bin, pheno_q,
         return 2 * sample / dt, "python_scalar"
 
 
-def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=2):
+def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=3):
     """Wall of the complete CLI flow: run_vcf_analysis → finished TSV.
 
     One binary + one quantitative run over the full multi-chromosome
