@@ -297,13 +297,13 @@ def main_vcf(argv: List[str]) -> int:
     if args.permutations > 0 and (binary_phenotype is not None
                                   or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
-        if covariate is not None or lmm_ctx is not None:
+        if (covariate is not None and binary_phenotype is not None) \
+                or lmm_ctx is not None:
             logger.warning(
-                "--permutations computes the UNADJUSTED chi2/t test: "
-                "covariates/kinship are not regressed out of the "
-                "permuted statistic (Freedman-Lane residual permutation "
-                "is future work); interpret the permutation p-values "
-                "against the unadjusted analysis.")
+                "--permutations: the binary permuted statistic is the "
+                "UNADJUSTED chi2 (logistic covariates and kinship are "
+                "not regressed out); quantitative permutations DO "
+                "adjust for covariates via Freedman-Lane.")
         quant_for_perm = (quantitative_phenotype
                           if mode != "eqtl" else None)
         if binary_phenotype is None and quant_for_perm is None:
@@ -323,7 +323,7 @@ def main_vcf(argv: List[str]) -> int:
                 n_perms=args.permutations, seed=args.perm_seed,
                 min_individuals=args.min_individuals,
                 min_haplotypes=args.min_haplotypes,
-                maf_threshold=args.maf)
+                maf_threshold=args.maf, covariate=covariate)
 
     if mode == "binary" and args.gaf:
         from stoat_tpu.gaf import gaf_creation

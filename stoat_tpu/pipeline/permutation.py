@@ -30,9 +30,15 @@ Method (Westfall–Young **min-P**):
   * filtered / invalid / non-finite tables score p = +inf (never
     significant, never contribute to the null minimum).
 
-Covariates and kinship are NOT regressed out here — the permuted
-statistic is the unadjusted test (callers are warned; a Freedman–Lane
-style residual permutation is future work).
+Quantitative covariates are handled by **Freedman–Lane** residual
+permutation: the reduced model ``y ~ [1 | covariates]`` is fit once
+globally, permuted phenotypes are ``ŷ_reduced + P·residuals``, and the
+per-snarl test is the covariate-including OLS — the same adjusted test
+the main pipeline reports.  With no covariates this reduces exactly to
+plain label permutation (the reduced fit is the constant mean, which is
+permutation-invariant).  Binary covariates (logistic) and kinship are
+NOT adjusted — the permuted statistic there is the unadjusted chi²
+(callers are warned).
 """
 
 from __future__ import annotations
@@ -161,24 +167,45 @@ def _binary_chunk(dev: "_ChunkDevice", pheno, masks, th,
         *th), masks, perm_chunk, obs.shape[0])
 
 
+def freedman_lane_phenos(pheno_q: np.ndarray, covar,
+                         perm_idx: np.ndarray) -> np.ndarray:
+    """[K, N] Freedman–Lane permuted phenotypes: reduced-model fit
+    (``y ~ [1 | covariates]``, ordinary least squares on host) plus
+    permuted residuals.  With no covariates this is exactly plain label
+    permutation (the reduced fit is the permutation-invariant mean)."""
+    y = np.asarray(pheno_q, np.float64)
+    C = (np.zeros((y.shape[0], 0))
+         if covar is None else np.asarray(covar, np.float64))
+    Z = np.concatenate([np.ones((y.shape[0], 1)), C], axis=1)
+    beta, *_ = np.linalg.lstsq(Z, y, rcond=None)
+    fit = Z @ beta
+    resid = y - fit
+    return fit[None, :] + resid[perm_idx]
+
+
 def _quant_chunk(dev: "_ChunkDevice", pheno_q, perm_idx, th,
-                 perm_chunk: int = 8):
+                 perm_chunk: int = 8, covar=None):
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.quantitative import _design_from_membership
 
     packed = dev.packed
     membership = _pk.unpack_membership(dev.mem, dev.valid,
                                        packed.n_haplotypes)
-    covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
-    d = _design_from_membership(membership, dev.sidx, covar0, *th,
-                                with_covar=False, all_rows=False)
+    n_samples = packed.n_haplotypes // 2
+    covar_in = jnp.asarray(
+        np.zeros((n_samples, 0)) if covar is None else covar,
+        jnp.float64)
+    with_covar = int(covar_in.shape[1]) > 0
+    d = _design_from_membership(membership, dev.sidx, covar_in, *th,
+                                with_covar=with_covar, all_rows=False)
     X, used, ncols = d["X"], d["used"], d["ncols"]
     bad = d["filtered"] | d["degenerate"]
     ph = np.asarray(pheno_q, np.float64)
     obs = np.asarray(_perm_quant_pvalues(
         X, used, ncols, bad, jnp.asarray(ph[None, :])))[0]
+    phenos = freedman_lane_phenos(ph, covar, perm_idx)
     return obs, _batched(lambda block: _perm_quant_pvalues(
-        X, used, ncols, bad, jnp.asarray(block)), ph[perm_idx],
+        X, used, ncols, bad, jnp.asarray(block)), phenos,
         perm_chunk, obs.shape[0])
 
 
@@ -211,12 +238,13 @@ def binary_permutation_stats(packed, pheno_bin, masks, min_individuals,
 def quantitative_permutation_stats(packed, pheno_q, perm_idx,
                                    min_individuals, min_haplotypes,
                                    maf_threshold, device_matrix=None,
-                                   perm_chunk: int = 8):
-    """(obs p [S], perm p [K, S]) for one snarl chunk (OLS t)."""
+                                   perm_chunk: int = 8, covariate=None):
+    """(obs p [S], perm p [K, S]) for one snarl chunk (OLS t;
+    Freedman-Lane when ``covariate`` is given)."""
     th = (jnp.float64(min_individuals), jnp.float64(min_haplotypes),
           jnp.float64(maf_threshold))
     return _quant_chunk(_ChunkDevice(packed, device_matrix), pheno_q,
-                        perm_idx, th, perm_chunk)
+                        perm_idx, th, perm_chunk, covar=covariate)
 
 
 def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
@@ -229,7 +257,8 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                          snarl_chunk_size: int = 8192,
                          quantitative_phenotype: Optional[np.ndarray]
                          = None,
-                         output_tsv_quant: Optional[str] = None) -> int:
+                         output_tsv_quant: Optional[str] = None,
+                         covariate: Optional[np.ndarray] = None) -> int:
     """Genome-wide permutation pass.
 
     With BOTH phenotypes supplied, ONE VCF pass (and one membership
@@ -289,7 +318,8 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                                                   dev.W, perm_idx)
                     obs, perm = _binary_chunk(dev, pheno, masks, thj)
                 else:
-                    obs, perm = _quant_chunk(dev, pheno, perm_idx, thj)
+                    obs, perm = _quant_chunk(dev, pheno, perm_idx, thj,
+                                             covar=covariate)
                 S = len(packed.snarls)
                 obs = obs[:S]
                 perm = perm[:, :S]

@@ -225,3 +225,58 @@ def test_cli_flag(data):
         assert header == ["#CHR", "START_POS", "END_POS", "SNARL",
                           "P_ASY", "P_EMP", "P_FWER"]
         assert n_rows == sum(len(v) for v in snarls_chr.values())
+
+
+def test_freedman_lane_reduces_to_plain_permutation(data):
+    """With no covariates the reduced fit is the permutation-invariant
+    mean, so Freedman-Lane phenotypes == plainly permuted phenotypes."""
+    from stoat_tpu.pipeline.permutation import (freedman_lane_phenos,
+                                                permutation_indices)
+
+    rng = np.random.default_rng(0)
+    y = rng.standard_normal(30) * 2 + 1
+    idx = permutation_indices(30, 5, 9)
+    fl = freedman_lane_phenos(y, None, idx)
+    np.testing.assert_allclose(fl, y[idx], rtol=0, atol=1e-12)
+
+
+def test_covariate_adjusted_observed_p_matches_main_pipeline(data):
+    """With -c, the permutation file's observed P_ASY must be the SAME
+    covariate-adjusted OLS p the main quantitative_covar analysis
+    reports (same test, same filtration)."""
+    from stoat_tpu.io.phenotype import (parse_covariates,
+                                        parse_quantitative_pheno)
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+
+    paths, snarls_chr, _pb, samples, tmp = data
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    covar = parse_covariates(paths["covariate"], ["AGE", "SEX"], samples)
+
+    main_out = str(tmp / "main_covar.tsv")
+    run_vcf_analysis(paths["vcf"], snarls_chr, main_out, "quantitative",
+                     quantitative_phenotype=pheno_q, covariate=covar,
+                     sample_names=samples, use_mesh=False)
+    main_p = {}
+    with open(main_out) as fh:
+        fh.readline()
+        for line in fh:
+            c = line.rstrip("\n").split("\t")
+            main_p[c[3]] = c[5]
+
+    perm_out = str(tmp / "perm_covar.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=perm_out, covariate=covar,
+                         n_perms=10, seed=2)
+    checked = 0
+    with open(perm_out) as fh:
+        fh.readline()
+        for line in fh:
+            c = line.rstrip("\n").split("\t")
+            if c[4] == "NA":
+                continue
+            assert c[3] in main_p
+            assert c[4] == main_p[c[3]], c[3]
+            checked += 1
+    assert checked > 0
