@@ -297,13 +297,18 @@ def main_vcf(argv: List[str]) -> int:
     if args.permutations > 0 and (binary_phenotype is not None
                                   or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
-        if (covariate is not None and binary_phenotype is not None) \
-                or lmm_ctx is not None:
+        if covariate is not None and binary_phenotype is not None:
             logger.warning(
                 "--permutations: the binary permuted statistic is the "
-                "UNADJUSTED chi2 (logistic covariates and kinship are "
-                "not regressed out); quantitative permutations DO "
-                "adjust for covariates via Freedman-Lane.")
+                "UNADJUSTED chi2 (logistic covariates are not regressed "
+                "out); quantitative permutations DO adjust for "
+                "covariates via Freedman-Lane.")
+        if lmm_ctx is not None:
+            logger.warning(
+                "--permutations: the permuted statistic is plain OLS — "
+                "kinship is NOT modeled, so the permutation P_ASY will "
+                "differ from the LMM table's p-values and the FWER "
+                "applies to the unrelated-sample analysis only.")
         quant_for_perm = (quantitative_phenotype
                           if mode != "eqtl" else None)
         if binary_phenotype is None and quant_for_perm is None:

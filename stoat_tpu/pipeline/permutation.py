@@ -172,7 +172,14 @@ def freedman_lane_phenos(pheno_q: np.ndarray, covar,
     """[K, N] Freedman–Lane permuted phenotypes: reduced-model fit
     (``y ~ [1 | covariates]``, ordinary least squares on host) plus
     permuted residuals.  With no covariates this is exactly plain label
-    permutation (the reduced fit is the permutation-invariant mean)."""
+    permutation (the reduced fit is the permutation-invariant mean).
+
+    Approximation note: the reduced model is fit on ALL samples once
+    (the standard whole-sample Freedman–Lane), while each snarl's OLS
+    runs on its called-sample subset — for snarls with very low call
+    rates whose callers have skewed covariates, permuted residuals can
+    retain some within-subset covariate signal, so the adjusted null is
+    approximate exactly where data are sparsest."""
     y = np.asarray(pheno_q, np.float64)
     C = (np.zeros((y.shape[0], 0))
          if covar is None else np.asarray(covar, np.float64))
@@ -184,7 +191,7 @@ def freedman_lane_phenos(pheno_q: np.ndarray, covar,
 
 
 def _quant_chunk(dev: "_ChunkDevice", pheno_q, perm_idx, th,
-                 perm_chunk: int = 8, covar=None):
+                 perm_chunk: int = 8, covar=None, phenos=None):
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.quantitative import _design_from_membership
 
@@ -203,7 +210,8 @@ def _quant_chunk(dev: "_ChunkDevice", pheno_q, perm_idx, th,
     ph = np.asarray(pheno_q, np.float64)
     obs = np.asarray(_perm_quant_pvalues(
         X, used, ncols, bad, jnp.asarray(ph[None, :])))[0]
-    phenos = freedman_lane_phenos(ph, covar, perm_idx)
+    if phenos is None:      # chunk-invariant: callers hoist when looping
+        phenos = freedman_lane_phenos(ph, covar, perm_idx)
     return obs, _batched(lambda block: _perm_quant_pvalues(
         X, used, ncols, bad, jnp.asarray(block)), phenos,
         perm_chunk, obs.shape[0])
@@ -294,6 +302,7 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     n_hap = 2 * n_samples
     perm_idx = permutation_indices(n_samples, n_perms, seed)
     masks = None
+    fl_phenos = None      # [K, N] Freedman-Lane matrix, computed once
     th = (min_individuals, min_haplotypes, maf_threshold)
 
     # per job: rows (chrom, snarl, obs p, exceed count), null min [K]
@@ -318,8 +327,12 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                                                   dev.W, perm_idx)
                     obs, perm = _binary_chunk(dev, pheno, masks, thj)
                 else:
+                    if fl_phenos is None:
+                        fl_phenos = freedman_lane_phenos(
+                            pheno, covariate, perm_idx)
                     obs, perm = _quant_chunk(dev, pheno, perm_idx, thj,
-                                             covar=covariate)
+                                             covar=covariate,
+                                             phenos=fl_phenos)
                 S = len(packed.snarls)
                 obs = obs[:S]
                 perm = perm[:, :S]

@@ -280,3 +280,27 @@ def test_covariate_adjusted_observed_p_matches_main_pipeline(data):
             assert c[4] == main_p[c[3]], c[3]
             checked += 1
     assert checked > 0
+
+
+def test_freedman_lane_permuted_arm_with_covariates():
+    """With a real covariate the FL phenotypes must be fit + permuted
+    residuals (checked against an independent pinv projection) and must
+    DIFFER from plain label permutation — a regression to y[perm]
+    (ignoring the covariate) fails here."""
+    from stoat_tpu.pipeline.permutation import (freedman_lane_phenos,
+                                                permutation_indices)
+
+    rng = np.random.default_rng(4)
+    n = 50
+    covar = rng.standard_normal((n, 2))
+    y = 3.0 * covar[:, 0] - 1.5 * covar[:, 1] + rng.standard_normal(n)
+    idx = permutation_indices(n, 6, 11)
+    fl = freedman_lane_phenos(y, covar, idx)
+
+    Z = np.concatenate([np.ones((n, 1)), covar], axis=1)
+    fit = Z @ (np.linalg.pinv(Z) @ y)       # independent projection
+    resid = y - fit
+    np.testing.assert_allclose(fl, fit[None, :] + resid[idx],
+                               rtol=0, atol=1e-9)
+    # and it is NOT plain label permutation when covariates matter
+    assert not np.allclose(fl, y[idx])
