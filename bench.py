@@ -124,7 +124,7 @@ def device_args(packed):
     W = int(words.shape[1])
     path_idx = _pk.upload_path_idx(packed.path_edge_idx(),
                                    int(words.shape[0]) - 1)
-    valid = jnp.asarray(packed.path_valid)
+    valid = _pk.upload_bool_bits(packed.path_valid)
     sidx = _pk.upload_snarl_path_idx(packed.snarl_path_idx)
     tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
     return words, path_idx, valid, sidx, tail, W
@@ -338,7 +338,7 @@ def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=6,
             idx = _pk.upload_path_idx(packed.path_edge_idx(),
                                       int(words.shape[0]) - 1)
             out = _fused_dual_analysis(
-                words, idx, jnp.asarray(packed.path_valid),
+                words, idx, _pk.upload_bool_bits(packed.path_valid),
                 _pk.upload_snarl_path_idx(packed.snarl_path_idx), tail,
                 g1_words, covar0, pheno_qd, *th, n_haplotypes=n_hap)
             results.append(flatten_result(out))

@@ -32,6 +32,7 @@ import numpy as np
 
 from stoat_tpu.pipeline.membership import path_membership
 from stoat_tpu.pipeline import packed as _pk
+from stoat_tpu.pipeline.packed import upload_bool_bits as _upload_bool_bits
 from stoat_tpu.stats.chi2 import (chi2_2x2_stat, chi2_2xn_stat,
                                   finish_chi2_pvalues)
 from stoat_tpu.stats.fisher import fisher_exact_2x2
@@ -208,7 +209,7 @@ def binary_analyze_chromosome(packed: PackedChromosome,
         out = binary_tables_device_packed(
             device_matrix,
             _pk.upload_path_idx(path_idx, int(device_matrix.shape[0]) - 1),
-            jnp.asarray(packed.path_valid),
+            _upload_bool_bits(packed.path_valid),
             tail,
             g1_words,
             _pk.upload_snarl_path_idx(packed.snarl_path_idx),
@@ -226,7 +227,7 @@ def binary_analyze_chromosome(packed: PackedChromosome,
         jnp.asarray(packed.coo_path),
         jnp.asarray(packed.coo_row),
         jnp.asarray(packed.n_edges_per_path),
-        jnp.asarray(packed.path_valid),
+        _upload_bool_bits(packed.path_valid),
         jnp.asarray(packed.snarl_path_idx),
         jnp.asarray(pheno_hap),
         jnp.float64(min_individuals),

@@ -135,19 +135,39 @@ def _expand_idx_device(base, delta):
     return jnp.concatenate([base[:, None], base[:, None] + steps], axis=1)
 
 
+@jax.jit
+def _expand_idx_device_db(base0, base_delta, delta):
+    base = jnp.concatenate(
+        [base0, base0 + jnp.cumsum(base_delta.astype(jnp.int32))])
+    steps = jnp.cumsum(delta.astype(jnp.int32), axis=1)
+    return jnp.concatenate([base[:, None], base[:, None] + steps], axis=1)
+
+
+def _narrow(arr: np.ndarray):
+    """Smallest of int8/int16/int32 holding ``arr`` exactly."""
+    lo = int(arr.min(initial=0))
+    hi = int(arr.max(initial=0))
+    if -128 <= lo and hi <= 127:
+        return arr.astype(np.int8)
+    if -32768 <= lo and hi <= 32767:
+        return arr.astype(np.int16)
+    return arr.astype(np.int32)
+
+
 def upload_path_idx(idx: np.ndarray, n_rows: int):
-    """Upload the [P, K] path→edge-row index, delta-compressed when the
-    per-path row deltas fit int16 (the common case: a path's edges land
-    on consecutive VCF-order rows).
+    """Upload the [P, K] path→edge-row index, delta-compressed.
 
     The uplink is the axon tunnel's scarce resource (~30 MB/s measured);
     int32 indices are the second-largest per-chromosome transfer after
     the packed words.  Compression first rewrites pad entries (row
     ``n_rows``, the all-ones AND-identity appended by pack_matrix_words)
     to REPEAT the previous column — `a & a = a`, so membership is
-    value-identical — then ships base int32 [P] + delta int16 [P, K-1]
-    and reconstructs on device.  Falls back to the raw int32 upload when
-    any delta overflows.  Returns a device int32 [P, K] array either way.
+    value-identical — then ships the per-path deltas at the narrowest
+    width that holds them (int8 usually: a path's edges land on
+    consecutive VCF-order rows) and the path-to-path BASE deltas the
+    same way (paths arrive in row order), reconstructing on device with
+    two cumsums.  Falls back widthwise as needed; returns a device
+    int32 [P, K] array in every case.
     """
     idx = np.asarray(idx, np.int32)
     P, K = idx.shape
@@ -157,11 +177,14 @@ def upload_path_idx(idx: np.ndarray, n_rows: int):
     for k in range(1, K):
         col = filled[:, k]
         np.copyto(col, filled[:, k - 1], where=col == n_rows)
-    delta = np.diff(filled, axis=1)
-    if delta.min(initial=0) < -32768 or delta.max(initial=0) > 32767:
-        return jnp.asarray(idx)
-    return _expand_idx_device(jnp.asarray(filled[:, 0]),
-                              jnp.asarray(delta.astype(np.int16)))
+    delta = _narrow(np.diff(filled, axis=1))
+    base = filled[:, 0]
+    base_delta = _narrow(np.diff(base))
+    if base_delta.itemsize < 4:
+        return _expand_idx_device_db(jnp.asarray(base[:1]),
+                                     jnp.asarray(base_delta),
+                                     jnp.asarray(delta))
+    return _expand_idx_device(jnp.asarray(base), jnp.asarray(delta))
 
 
 @jax.jit
@@ -170,17 +193,59 @@ def _decode_sidx_u16(enc):
     return jnp.where(dec == 65535, jnp.int32(-1), dec)
 
 
+@partial(jax.jit, static_argnames=("pmax",))
+def _decode_sidx_counts(counts_u8, pmax: int):
+    c = counts_u8.astype(jnp.int32)
+    starts = jnp.cumsum(c) - c
+    j = jnp.arange(pmax, dtype=jnp.int32)
+    return jnp.where(j[None, :] < c[:, None],
+                     starts[:, None] + j[None, :], jnp.int32(-1))
+
+
 def upload_snarl_path_idx(sidx: np.ndarray):
-    """Upload the [S, Pmax] snarl→path-index table at uint16 width when
-    every real index fits (chunks up to 65534 paths — pads, which are
-    ``-1`` per the tables.py layout, ride as the 65535 sentinel and
-    decode back on device).  Falls back to the raw int32 upload."""
+    """Upload the [S, Pmax] snarl→path-index table.
+
+    The tables.py layout assigns flat path indices CONSECUTIVELY across
+    the chunk's snarls (``arange`` scattered by snarl), so the whole
+    table is a function of the per-snarl path counts: ship one uint8
+    per snarl and rebuild on device with a cumsum (8x fewer bytes than
+    the u16 ship, 64x fewer than int32).  The reconstruction is
+    verified against the host table (cheap numpy) and falls back to the
+    u16/int32 ship on any mismatch — exactness never depends on the
+    layout assumption."""
     sidx = np.asarray(sidx)
+    S, pmax = sidx.shape if sidx.ndim == 2 else (0, 0)
+    if S and pmax < 255:
+        counts = (sidx >= 0).sum(axis=1).astype(np.uint8)
+        c = counts.astype(np.int64)
+        starts = np.cumsum(c) - c
+        j = np.arange(pmax)
+        rebuilt = np.where(j[None, :] < c[:, None],
+                           starts[:, None] + j[None, :], -1)
+        if np.array_equal(rebuilt, sidx):
+            return _decode_sidx_counts(jnp.asarray(counts), pmax)
     if (sidx.size and int(sidx.max(initial=0)) < 65535
             and int(sidx.min(initial=0)) >= -1):
         enc = np.where(sidx < 0, 65535, sidx).astype(np.uint16)
         return _decode_sidx_u16(jnp.asarray(enc))
     return jnp.asarray(sidx, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _unpack_bool_bits(u8, n: int):
+    bits = (u8[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
+    return bits.reshape(-1)[:n] != 0
+
+
+def upload_bool_bits(mask: np.ndarray):
+    """Upload a bool [N] mask as packed bits (8x fewer bytes than the
+    1-byte-per-bool jnp.asarray ship); returns a device bool [N]."""
+    mask = np.asarray(mask, bool)
+    n = int(mask.shape[0])
+    if n < 4096:
+        return jnp.asarray(mask)
+    return _unpack_bool_bits(
+        jnp.asarray(np.packbits(mask, bitorder="little")), n)
 
 
 def membership_words_body(words, idx):

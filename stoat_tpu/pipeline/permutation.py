@@ -146,7 +146,7 @@ class _ChunkDevice:
         idx_dev = _pk.upload_path_idx(packed.path_edge_idx(),
                                       int(words.shape[0]) - 1)
         self.mem = _pk.membership_words(words, idx_dev)
-        self.valid = jnp.asarray(packed.path_valid)
+        self.valid = _pk.upload_bool_bits(packed.path_valid)
         self.sidx = _pk.upload_snarl_path_idx(packed.snarl_path_idx)
         self.tail = jnp.asarray(
             _pk.tail_mask_words(packed.n_haplotypes, self.W))

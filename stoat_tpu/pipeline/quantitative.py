@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from stoat_tpu.pipeline.packed import upload_bool_bits as _upload_bool_bits
+
 from stoat_tpu.pipeline.fetch import fetch_all
 from stoat_tpu.pipeline.membership import path_membership
 from stoat_tpu.stats.linreg import linear_regression_batch
@@ -279,7 +281,7 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
         return quantitative_design_packed(
             words,
             _pk.upload_path_idx(path_idx, int(words.shape[0]) - 1),
-            jnp.asarray(packed.path_valid),
+            _upload_bool_bits(packed.path_valid),
             _pk.upload_snarl_path_idx(packed.snarl_path_idx),
             jnp.asarray(covar_in, jnp.float64),
             jnp.float64(min_individuals),
@@ -295,7 +297,7 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
         jnp.asarray(packed.coo_path),
         jnp.asarray(packed.coo_row),
         jnp.asarray(packed.n_edges_per_path),
-        jnp.asarray(packed.path_valid),
+        _upload_bool_bits(packed.path_valid),
         jnp.asarray(packed.snarl_path_idx),
         jnp.asarray(covar_in, jnp.float64),
         jnp.float64(min_individuals),
@@ -458,7 +460,7 @@ def _packed_args(packed: PackedChromosome, covar, device_matrix):
     return (words,
             _pk.upload_path_idx(packed.path_edge_idx(),
                                 int(words.shape[0]) - 1),
-            jnp.asarray(packed.path_valid),
+            _upload_bool_bits(packed.path_valid),
             _pk.upload_snarl_path_idx(packed.snarl_path_idx),
             jnp.asarray(covar_in, jnp.float64))
 

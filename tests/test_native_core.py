@@ -329,9 +329,11 @@ def test_streamed_words_stale_rows_are_patched():
     stale0 = final[0:2].copy()
     stale0[1] &= ~np.uint32(0xF0)        # the shipped (stale) version
     part1 = final[2:5].copy()            # shipped final
+    # parts ride deduplicated: (unique rows, new-row flags, host copy,
+    # lo, hi) — all rows distinct here, so flags are all-True
     m.words_device_parts = [
-        (jnp.asarray(stale0), stale0, 0, 2),
-        (jnp.asarray(part1), part1, 2, 5),
+        (jnp.asarray(stale0), np.ones(2, bool), stale0, 0, 2),
+        (jnp.asarray(part1), np.ones(3, bool), part1, 2, 5),
     ]
     assembled = np.asarray(assemble_words_device(m))
     np.testing.assert_array_equal(assembled, final)
@@ -376,7 +378,7 @@ def test_streamed_words_shared_edge_across_batches(lib_available,
     gen.close()
     parts = matrix.words_device_parts
     stale = any(np.any(h != matrix.words[lo:hi])
-                for _d, h, lo, hi in parts)
+                for _d, _f, h, lo, hi in parts)
     assert len(parts) > 1, "fixture failed to span parse batches"
     assert stale, "fixture no longer reproduces the shipped-then-" \
         "mutated row (update it if batch sizes changed)"
