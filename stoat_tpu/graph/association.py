@@ -549,26 +549,49 @@ def _batch_test_and_write(blob, kinds, part_offs, g0, g1, out_fh) -> None:
         ti += 1
 
 
-def _run_graph_association_native(graph_path: str, binary_path: str,
-                                  test_method: str, allele_size_limit: int,
+def _run_graph_association_native(graph_path: str, fmt: str,
+                                  binary_path: str, test_method: str,
+                                  output_format: str,
+                                  allele_size_limit: int,
                                   reference_sample: str,
                                   output_dir: str) -> Optional[int]:
-    """The production `stoat graph` fast path: one native call does GFA
-    load + snarl finding + partitioning + the tree walk
-    (graph_core.cpp stoat_graph_assoc); the device batch-tests the
-    partition counts and the rows stream out.  Returns None when the
-    native core is unavailable (caller falls back to the Python path)."""
-    from stoat_tpu.native import graph_assoc_native
+    """The production `stoat graph` fast path: one native call does the
+    snarl finding + partitioning + tree walk (graph_core.cpp
+    stoat_graph_assoc / stoat_graph_assoc_mem).  GFA graphs load inside
+    the native core; the reference's binary containers (.hg/.pg/.gbz,
+    loaded by VPKG at graph.cpp:217-224) decode through the Python
+    format readers and hand the graph over as flat arrays.  TSV rows
+    get the device-batched chi²/Fisher splice; FASTA text comes back
+    complete from the native walk.  Returns None when the native core
+    is unavailable (caller falls back to the Python path)."""
+    from stoat_tpu.native import graph_assoc_mem_native, graph_assoc_native
 
     samples: List[str] = []
     pheno, samples = parse_binary_pheno(binary_path, samples)
-    got = graph_assoc_native(graph_path,
-                             {reference_sample} if reference_sample else None,
-                             samples, pheno.astype(np.uint8), test_method,
-                             allele_size_limit)
+    refs = {reference_sample} if reference_sample else None
+    if fmt == "gfa":
+        got = graph_assoc_native(graph_path, refs, samples,
+                                 pheno.astype(np.uint8), test_method,
+                                 allele_size_limit,
+                                 output_format=output_format)
+    elif fmt in ("hg", "pg", "gbz"):
+        from stoat_tpu.graph.formats import load_graph
+        g = load_graph(graph_path, refs)
+        got = graph_assoc_mem_native(g, refs, samples,
+                                     pheno.astype(np.uint8), test_method,
+                                     allele_size_limit,
+                                     output_format=output_format)
+    else:
+        return None
     if got is None:
         return None
     blob, kinds, part_offs, g0, g1, n_snarls = got
+    if output_format == "fasta":
+        out_path = os.path.join(output_dir, "binary_output.fasta")
+        with open(out_path, "wb") as fh:
+            fh.write(blob)
+        logger.info("Wrote FASTA for %d snarls to %s", n_snarls, out_path)
+        return 0
     out_path = os.path.join(output_dir, "binary_table_graph.tsv")
     with open(out_path, "w") as fh:
         W.write_binary_header(fh)
@@ -584,13 +607,12 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
     """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
     from stoat_tpu.graph.formats import sniff_graph_format
     from stoat_tpu.logsetup import TRACE
-    if (output_format == "tsv"
-            and sniff_graph_format(graph_path) == "gfa"
-            and not logger.isEnabledFor(TRACE)
+    if (not logger.isEnabledFor(TRACE)
             and os.environ.get("STOAT_GRAPH_PYTHON") != "1"):
         try:
             res = _run_graph_association_native(
-                graph_path, binary_path, test_method, allele_size_limit,
+                graph_path, sniff_graph_format(graph_path), binary_path,
+                test_method, output_format, allele_size_limit,
                 reference_sample, output_dir)
         except RuntimeError as e:
             if "No graph paths" in str(e):   # graph.cpp-style soft error

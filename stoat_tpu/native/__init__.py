@@ -300,11 +300,7 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint64)]
-    lib.stoat_graph_assoc.restype = ctypes.c_long
-    lib.stoat_graph_assoc.argtypes = [
-        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_long,
-        ctypes.c_long,
+    _assoc_outs = [
         ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
         ctypes.POINTER(ctypes.c_uint64),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
@@ -312,46 +308,37 @@ def get_graph_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
         ctypes.POINTER(ctypes.c_long)]
+    lib.stoat_graph_assoc.restype = ctypes.c_long
+    lib.stoat_graph_assoc.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_long] + _assoc_outs
+    lib.stoat_graph_assoc_mem.restype = ctypes.c_long
+    lib.stoat_graph_assoc_mem.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint32),
+        ctypes.c_long, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_long, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_long, ctypes.c_long] + _assoc_outs
     _graph_lib = lib
     return _graph_lib
 
 
-def graph_assoc_native(gfa_path: str, ref_names, pheno_samples,
-                       pheno_case: np.ndarray, test_method: str,
-                       allele_size_limit: int, threads: int = 0):
-    """One-call native `stoat graph` prepare: GFA load + snarl finding +
-    walk-set partitioning + tree walk (graph_core.cpp stoat_graph_assoc;
-    reference pipeline graph.cpp:217-288 + partitioner.cpp:36-268 +
-    graph_path_association_finder.cpp:29-199).
+def _assoc_out_ptrs():
+    return (ctypes.POINTER(ctypes.c_char)(), ctypes.c_uint64(),
+            ctypes.POINTER(ctypes.c_uint8)(),
+            ctypes.POINTER(ctypes.c_uint64)(),
+            ctypes.POINTER(ctypes.c_uint32)(),
+            ctypes.POINTER(ctypes.c_uint32)(), ctypes.c_long())
 
-    Returns (blob, kinds, part_offs, g0, g1, n_snarls) where ``blob`` is
-    the '\\0'-joined row payloads in walk order — kind 0 entries are
-    complete lines, kind 1 entries "prefix\\x01suffix" awaiting the
-    device p-values (splice with graph_format_rows_native) — or None
-    when the native core is unavailable.  Raises RuntimeError for real
-    input errors (unreadable GFA / no matching phenotype paths)."""
-    lib = get_graph_lib()
-    if lib is None:
-        return None
-    refs = ",".join(sorted(ref_names)) if ref_names else ""
-    names_blob = ("\0".join(pheno_samples) + "\0").encode()
-    case = np.ascontiguousarray(pheno_case, np.uint8)
-    rows_p = ctypes.POINTER(ctypes.c_char)()
-    rows_len = ctypes.c_uint64()
-    kind_p = ctypes.POINTER(ctypes.c_uint8)()
-    offs_p = ctypes.POINTER(ctypes.c_uint64)()
-    g0_p = ctypes.POINTER(ctypes.c_uint32)()
-    g1_p = ctypes.POINTER(ctypes.c_uint32)()
-    n_snarls = ctypes.c_long()
-    n_rows = lib.stoat_graph_assoc(
-        gfa_path.encode(), refs.encode(), names_blob, len(pheno_samples),
-        case.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        1 if test_method == "exact" else 0, allele_size_limit, threads,
-        ctypes.byref(rows_p), ctypes.byref(rows_len), ctypes.byref(kind_p),
-        ctypes.byref(offs_p), ctypes.byref(g0_p), ctypes.byref(g1_p),
-        ctypes.byref(n_snarls))
+
+def _decode_assoc_result(lib, n_rows, rows_p, rows_len, kind_p, offs_p,
+                         g0_p, g1_p, n_snarls, src: str):
     if n_rows == -1:
-        raise RuntimeError(f"could not read GFA: {gfa_path}")
+        raise RuntimeError(f"could not read GFA: {src}")
     if n_rows == -2:
         raise RuntimeError("No graph paths match the phenotype samples")
     if n_rows < 0:
@@ -366,6 +353,113 @@ def graph_assoc_native(gfa_path: str, ref_names, pheno_samples,
     for p in (rows_p, kind_p, offs_p, g0_p, g1_p):
         lib.stoat_free_str(p)
     return blob, kinds, offs, g0, g1, int(n_snarls.value)
+
+
+def graph_assoc_native(gfa_path: str, ref_names, pheno_samples,
+                       pheno_case: np.ndarray, test_method: str,
+                       allele_size_limit: int, threads: int = 0,
+                       output_format: str = "tsv"):
+    """One-call native `stoat graph` prepare: GFA load + snarl finding +
+    walk-set partitioning + tree walk (graph_core.cpp stoat_graph_assoc;
+    reference pipeline graph.cpp:217-288 + partitioner.cpp:36-268 +
+    graph_path_association_finder.cpp:29-199).
+
+    Returns (blob, kinds, part_offs, g0, g1, n_snarls) where ``blob`` is
+    the '\\0'-joined row payloads in walk order — kind 0 entries are
+    complete lines, kind 1 entries "prefix\\x01suffix" awaiting the
+    device p-values (splice with graph_format_rows_native) — or None
+    when the native core is unavailable.  With ``output_format="fasta"``
+    the blob is instead the COMPLETE FASTA text (writer.cpp:89-178) and
+    kinds/part_offs/g0/g1 are empty.  Raises RuntimeError for real
+    input errors (unreadable GFA / no matching phenotype paths)."""
+    lib = get_graph_lib()
+    if lib is None:
+        return None
+    refs = ",".join(sorted(ref_names)) if ref_names else ""
+    names_blob = ("\0".join(pheno_samples) + "\0").encode()
+    case = np.ascontiguousarray(pheno_case, np.uint8)
+    outs = _assoc_out_ptrs()
+    n_rows = lib.stoat_graph_assoc(
+        gfa_path.encode(), refs.encode(), names_blob, len(pheno_samples),
+        case.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if test_method == "exact" else 0,
+        1 if output_format == "fasta" else 0, allele_size_limit, threads,
+        *[ctypes.byref(o) for o in outs])
+    return _decode_assoc_result(lib, n_rows, *outs, gfa_path)
+
+
+def graph_assoc_mem_native(g, ref_names, pheno_samples,
+                           pheno_case: np.ndarray, test_method: str,
+                           allele_size_limit: int, threads: int = 0,
+                           output_format: str = "tsv"):
+    """graph_assoc_native fed from an in-memory GfaGraph-shaped object —
+    the production path for the reference's binary graph containers
+    (.hg/.pg/.gbz, graph.cpp:217-224): the Python format reader decodes
+    the container, the graph is handed over once as flat arrays, and the
+    whole prepare (snarl finding + partitioning + walk) runs native
+    (graph_core.cpp stoat_graph_assoc_mem)."""
+    lib = get_graph_lib()
+    if lib is None:
+        return None
+    node_ids = np.fromiter(g.sequences.keys(), np.uint64,
+                           count=len(g.sequences))
+    node_ids.sort()
+    want_seq = output_format == "fasta"
+    seqs = [g.sequences[int(n)] for n in node_ids]
+    node_lens = np.fromiter((len(s) for s in seqs), np.uint32,
+                            count=len(seqs))
+    if want_seq:
+        seq_blob = "".join(seqs).encode()
+        seq_offs = np.zeros(len(seqs) + 1, np.uint64)
+        np.cumsum(node_lens, out=seq_offs[1:])
+    edge_list = []
+    for u, vs in g._succ.items():
+        uh = (u[0] << 1) | int(u[1])
+        for v in vs:
+            edge_list.append((uh, (v[0] << 1) | int(v[1])))
+    edges = np.array(edge_list, np.uint64).reshape(-1, 2) \
+        if edge_list else np.zeros((0, 2), np.uint64)
+    steps_flat: list = []
+    step_offs = [0]
+    names = []
+    samples = []
+    is_ref = []
+    for p in g.paths:
+        steps_flat.extend((st[0] << 1) | int(st[1]) for st in p.steps)
+        step_offs.append(len(steps_flat))
+        names.append(p.name)
+        samples.append(p.sample)
+        is_ref.append(1 if p.is_reference else 0)
+    steps_arr = np.array(steps_flat, np.uint64)
+    offs_arr = np.array(step_offs, np.int64)
+    ref_flags = np.array(is_ref, np.uint8)
+    refs = ",".join(sorted(ref_names)) if ref_names else ""
+    pnames_blob = ("\0".join(names) + "\0").encode() if names else b"\0"
+    psamp_blob = ("\0".join(samples) + "\0").encode() if samples else b"\0"
+    names_blob = ("\0".join(pheno_samples) + "\0").encode()
+    case = np.ascontiguousarray(pheno_case, np.uint8)
+    outs = _assoc_out_ptrs()
+
+    def u64p(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+    n_rows = lib.stoat_graph_assoc_mem(
+        u64p(node_ids),
+        node_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        len(node_ids),
+        seq_blob if want_seq else None,
+        u64p(seq_offs) if want_seq else None,
+        u64p(np.ascontiguousarray(edges)), len(edges),
+        u64p(steps_arr),
+        offs_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(names), pnames_blob, psamp_blob,
+        ref_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        refs.encode(), names_blob, len(pheno_samples),
+        case.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        1 if test_method == "exact" else 0,
+        1 if output_format == "fasta" else 0, allele_size_limit, threads,
+        *[ctypes.byref(o) for o in outs])
+    return _decode_assoc_result(lib, n_rows, *outs, "<memory graph>")
 
 
 def graph_format_rows_native(blob: bytes, kinds: np.ndarray,

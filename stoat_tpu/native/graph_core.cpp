@@ -16,6 +16,7 @@
 // Build: g++ -O3 -std=c++17 -shared -fPIC graph_core.cpp -o libstoat_graph.so
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <chrono>
 #include <cmath>
@@ -66,6 +67,8 @@ struct Graph {
     std::map<uint64_t, uint32_t> node_len;  // ordered (node_ids() sorted)
     std::unordered_map<Handle, std::vector<Handle>> succ;
     std::vector<GPath> paths;
+    // node sequences, kept only when an output needs them (FASTA mode)
+    std::unordered_map<uint64_t, std::string> seq;
 
     const std::vector<Handle>& successors(Handle h) const {
         static const std::vector<Handle> kEmpty;
@@ -109,7 +112,8 @@ static std::vector<std::string> split(const std::string& s, char d) {
 }
 
 static bool load_gfa(const char* path,
-                     const std::set<std::string>& ref_names, Graph& g) {
+                     const std::set<std::string>& ref_names, Graph& g,
+                     bool keep_seq = false) {
     FILE* fh = fopen(path, "r");
     if (!fh) return false;
     char* lineptr = nullptr;
@@ -129,8 +133,9 @@ static bool load_gfa(const char* path,
             if (p && *p == '\t') {
                 const char* seq = p + 1;
                 const char* q = strchr(seq, '\t');
-                g.node_len[id] = uint32_t(
-                    q ? size_t(q - seq) : strlen(seq));
+                size_t len = q ? size_t(q - seq) : strlen(seq);
+                g.node_len[id] = uint32_t(len);
+                if (keep_seq) g.seq[id].assign(seq, len);
             }
             continue;
         }
@@ -1803,28 +1808,48 @@ long stoat_graph_partitions(
 //   g0/g1_out     u32[total]    — distinct case/control samples per
 //                                 partition
 // Returns n_rows (>= 0), or -1 (bad GFA), -2 (no phenotype paths).
-long stoat_graph_assoc(
-        const char* gfa_path, const char* ref_names_csv,
-        const char* pheno_names_blob, long n_pheno,
-        const uint8_t* pheno_case, int exact_mode,
+static std::set<std::string> parse_csv_set(const char* csv_in) {
+    std::set<std::string> out;
+    if (!csv_in || !*csv_in) return out;
+    std::string csv = csv_in;
+    size_t start = 0;
+    for (;;) {
+        size_t pos = csv.find(',', start);
+        std::string tok = csv.substr(
+            start, pos == std::string::npos ? std::string::npos
+                                            : pos - start);
+        if (!tok.empty()) out.insert(tok);
+        if (pos == std::string::npos) break;
+        start = pos + 1;
+    }
+    return out;
+}
+
+static std::vector<std::string> parse_name_blob(const char* blob, long n) {
+    std::vector<std::string> out;
+    out.reserve(size_t(n));
+    const char* p = blob;
+    for (long i = 0; i < n; ++i) {
+        out.emplace_back(p);
+        p += out.back().size() + 1;
+    }
+    return out;
+}
+
+// Shared engine behind stoat_graph_assoc / stoat_graph_assoc_mem: the
+// graph is already loaded; runs snarl finding + partitioning + the tree
+// walk and emits either the TSV row payloads (kind/part_offs/g0/g1
+// contract for the device chi²/Fisher splice) or, with fasta_mode, the
+// complete FASTA text via rows_out (writer.cpp:89-178 semantics, byte-
+// parity-pinned against association.py _write_fasta_partitions).
+static long assoc_run(
+        Graph& g, const std::set<std::string>& refs,
+        const std::vector<std::string>& pheno_names,
+        const uint8_t* pheno_case, int exact_mode, int fasta_mode,
         long allele_size_limit, long threads,
         char** rows_out, uint64_t* rows_len_out, uint8_t** kind_out,
         uint64_t** part_offs_out, uint32_t** g0_out, uint32_t** g1_out,
         long* n_snarls_out) {
-    std::set<std::string> refs;
-    if (ref_names_csv && *ref_names_csv) {
-        std::string csv = ref_names_csv;
-        size_t start = 0;
-        for (;;) {
-            size_t pos = csv.find(',', start);
-            std::string tok = csv.substr(
-                start,
-                pos == std::string::npos ? std::string::npos : pos - start);
-            if (!tok.empty()) refs.insert(tok);
-            if (pos == std::string::npos) break;
-            start = pos + 1;
-        }
-    }
     const bool prof = getenv("STOAT_PROFILE") &&
                       !strcmp(getenv("STOAT_PROFILE"), "1");
     auto now = [] {
@@ -1832,21 +1857,13 @@ long stoat_graph_assoc(
                    std::chrono::steady_clock::now().time_since_epoch())
             .count();
     };
-    double t0 = now();
-    Graph g;
-    if (!load_gfa(gfa_path, refs, g)) return -1;
+    const long n_pheno = long(pheno_names.size());
     double t1 = now();
 
     // phenotype sample table
     std::unordered_map<std::string, int32_t> pheno_id;
-    {
-        const char* p = pheno_names_blob;
-        for (long i = 0; i < n_pheno; ++i) {
-            std::string nm = p;
-            p += nm.size() + 1;
-            pheno_id.emplace(std::move(nm), int32_t(i));
-        }
-    }
+    for (long i = 0; i < n_pheno; ++i)
+        pheno_id.emplace(pheno_names[size_t(i)], int32_t(i));
     long n_case_total = 0;
     for (long i = 0; i < n_pheno; ++i)
         if (pheno_case[i]) ++n_case_total;
@@ -1872,8 +1889,7 @@ long stoat_graph_assoc(
     double t2 = now();
     if (prof)
         fprintf(stderr,
-                "[prof] graph_assoc: load=%.2fs find||index=%.2fs\n",
-                t1 - t0, t2 - t1);
+                "[prof] graph_assoc: find||index=%.2fs\n", t2 - t1);
     const long S = long(forest.snarls.size());
     *n_snarls_out = S;
 
@@ -1899,8 +1915,25 @@ long stoat_graph_assoc(
     struct PerSnarl {
         long mn = 0, mx = 0;
         std::vector<uint32_t> g0, g1;   // per partition (case, control)
+        std::vector<int32_t> rep;       // fasta_mode: representative
+                                        // sample id per partition (the
+                                        // lexicographically-smallest
+                                        // member name, sorted(p)[0])
     };
     std::vector<PerSnarl> pre{size_t(S)};
+    // lexicographic rank of each phenotype sample name (fasta reps)
+    std::vector<int32_t> name_rank;
+    if (fasta_mode) {
+        std::vector<int32_t> order(static_cast<size_t>(n_pheno), 0);
+        for (long i = 0; i < n_pheno; ++i) order[size_t(i)] = int32_t(i);
+        std::sort(order.begin(), order.end(),
+                  [&](int32_t a, int32_t b) {
+                      return pheno_names[size_t(a)] < pheno_names[size_t(b)];
+                  });
+        name_rank.assign(size_t(n_pheno), 0);
+        for (long r = 0; r < n_pheno; ++r)
+            name_rank[size_t(order[size_t(r)])] = int32_t(r);
+    }
     unsigned nt = threads >= 1 ? unsigned(threads) : num_threads();
     std::atomic<long> next{0};
     auto worker = [&]() {
@@ -1959,10 +1992,17 @@ long stoat_graph_assoc(
                 }
                 for (const auto& gs : group_samples) {
                     uint32_t c = 0, t = 0;
-                    for (int32_t sm : gs)
+                    int32_t best = -1;
+                    for (int32_t sm : gs) {
                         if (pheno_case[sm]) ++c; else ++t;
+                        if (fasta_mode &&
+                            (best < 0 || name_rank[size_t(sm)] <
+                                             name_rank[size_t(best)]))
+                            best = sm;
+                    }
                     out.g0.push_back(c);
                     out.g1.push_back(t);
+                    if (fasta_mode) out.rep.push_back(best);
                 }
                 continue;
             }
@@ -1982,10 +2022,17 @@ long stoat_graph_assoc(
             for (int32_t sid = 1; sid < set_count; ++sid) {
                 if (members[size_t(sid)].empty()) continue;
                 uint32_t c = 0, t = 0;
-                for (int32_t sm : members[size_t(sid)])
+                int32_t best = -1;
+                for (int32_t sm : members[size_t(sid)]) {
                     if (pheno_case[sm]) ++c; else ++t;
+                    if (fasta_mode &&
+                        (best < 0 || name_rank[size_t(sm)] <
+                                         name_rank[size_t(best)]))
+                        best = sm;
+                }
                 out.g0.push_back(c);
                 out.g1.push_back(t);
+                if (fasta_mode) out.rep.push_back(best);
             }
         }
     };
@@ -1997,6 +2044,230 @@ long stoat_graph_assoc(
     if (prof)
         fprintf(stderr, "[prof] graph_assoc: refoffs=%.2fs persnarl=%.2fs\n",
                 t3 - t2, now() - t3);
+
+    if (fasta_mode) {
+        // ---- FASTA output (writer.cpp:89-178; mirrors association.py
+        // _write_fasta_partitions byte for byte) ----
+        // complement table (gfa.py _COMPLEMENT: ACGTacgtNn -> TGCAtgcaNn,
+        // other characters unchanged)
+        static const auto kComp = [] {
+            std::array<char, 256> t{};
+            for (int i = 0; i < 256; ++i) t[size_t(i)] = char(i);
+            const char* a = "ACGTacgtNn";
+            const char* b = "TGCAtgcaNn";
+            for (int i = 0; a[i]; ++i)
+                t[size_t((unsigned char)a[i])] = b[i];
+            return t;
+        }();
+        auto append_seq = [&](Handle st, std::string& out) {
+            auto it = g.seq.find(node_of(st));
+            if (it == g.seq.end()) return;
+            const std::string& s = it->second;
+            if (!(st & 1)) {
+                out += s;
+            } else {
+                for (size_t k = s.size(); k-- > 0;)
+                    out += kComp[size_t((unsigned char)s[k])];
+            }
+        };
+        // cumulative step offsets per phenotype path
+        std::vector<std::vector<long>> poffs(n_paths);
+        for (size_t p = 0; p < n_paths; ++p) {
+            const auto& sv = *ix.steps[p];
+            poffs[p].resize(sv.size());
+            long pos = 0;
+            for (size_t k = 0; k < sv.size(); ++k) {
+                poffs[p][k] = pos;
+                auto li = g.node_len.find(node_of(sv[k]));
+                pos += li == g.node_len.end() ? 0 : long(li->second);
+            }
+        }
+        // reference candidate paths (same filter as ref_offsets) with
+        // their own step index + offsets
+        struct RefCand {
+            const GPath* p;
+            std::vector<long> offs;
+        };
+        std::vector<RefCand> ref_cands;
+        for (const auto& p : g.paths) {
+            bool cand = !refs.empty()
+                            ? (refs.count(p.name) || refs.count(p.sample))
+                            : p.is_ref;
+            if (!cand) continue;
+            RefCand rc;
+            rc.p = &p;
+            rc.offs.resize(p.steps.size());
+            long pos = 0;
+            for (size_t k = 0; k < p.steps.size(); ++k) {
+                rc.offs[k] = pos;
+                auto li = g.node_len.find(node_of(p.steps[k]));
+                pos += li == g.node_len.end() ? 0 : long(li->second);
+            }
+            ref_cands.push_back(std::move(rc));
+        }
+        AssocIndex rix;
+        for (auto& c : ref_cands) rix.steps.push_back(&c.p->steps);
+        if (!ref_cands.empty()) rix.build(g);
+
+        // step indices on either boundary node, grouped per path
+        auto boundary_steps =
+            [&](const AssocIndex& index, uint64_t a, uint64_t b,
+                std::map<int32_t, std::vector<int32_t>>& per) {
+                per.clear();
+                int64_t sa = index.slot(a);
+                if (sa >= 0)
+                    for (uint64_t e = index.ns_offs[size_t(sa)];
+                         e < index.ns_offs[size_t(sa) + 1]; ++e)
+                        per[index.ns_entries[size_t(e)].first].push_back(
+                            index.ns_entries[size_t(e)].second);
+                if (b != a) {
+                    int64_t sb = index.slot(b);
+                    if (sb >= 0)
+                        for (uint64_t e = index.ns_offs[size_t(sb)];
+                             e < index.ns_offs[size_t(sb) + 1]; ++e)
+                            per[index.ns_entries[size_t(e)].first]
+                                .push_back(
+                                    index.ns_entries[size_t(e)].second);
+                }
+                for (auto& [pi, v] : per) std::sort(v.begin(), v.end());
+            };
+        // consecutive boundary-step pairs with strictly-interior steps
+        // between (association.py traversals(); a pair may join two
+        // visits of the SAME bound)
+        auto traversal_ok = [&](const std::vector<Handle>& sv,
+                                const std::set<uint64_t>& interior,
+                                int32_t i, int32_t j) {
+            for (int32_t k = i + 1; k < j; ++k)
+                if (!interior.count(node_of(sv[size_t(k)]))) return false;
+            return true;
+        };
+
+        std::string fasta;
+        std::map<int32_t, std::vector<int32_t>> per, rper;
+        auto emit_fasta = [&](int si_idx, const PerSnarl& pc) {
+            const Snarl& sn = forest.snarls[size_t(si_idx)];
+            const uint64_t a = node_of(sn.start), b = node_of(sn.end);
+            char hdr[256];
+            // reference range through the snarl (NOREF:?:? when absent)
+            std::string ref_coord = "NOREF:?:?";
+            if (!ref_cands.empty()) {
+                boundary_steps(rix, a, b, rper);
+                for (size_t c = 0; c < ref_cands.size(); ++c) {
+                    auto it = rper.find(int32_t(c));
+                    if (it == rper.end()) continue;
+                    const auto& sv = ref_cands[c].p->steps;
+                    const auto& offs = ref_cands[c].offs;
+                    bool found = false;
+                    const auto& idxs = it->second;
+                    for (size_t k = 0; k + 1 < idxs.size(); ++k) {
+                        int32_t i = idxs[k], j = idxs[k + 1];
+                        if (!traversal_ok(sv, sn.interior, i, j)) continue;
+                        auto li = g.node_len.find(node_of(sv[size_t(i)]));
+                        long so = offs[size_t(i)] +
+                                  (li == g.node_len.end()
+                                       ? 0 : long(li->second));
+                        snprintf(hdr, sizeof hdr, ":%ld-%ld", so,
+                                 offs[size_t(j)]);
+                        ref_coord = ref_cands[c].p->name + hdr;
+                        found = true;
+                        break;
+                    }
+                    if (found) break;
+                }
+            }
+            std::set<int32_t> write_ids(pc.rep.begin(), pc.rep.end());
+            for (size_t p = 0; p < n_paths; ++p) {
+                if (!write_ids.empty() &&
+                    !write_ids.count(ix.path_sample[p]))
+                    continue;
+                auto it = per.find(int32_t(p));
+                if (it == per.end()) continue;
+                const auto& sv = *ix.steps[p];
+                const auto& idxs = it->second;
+                for (size_t k = 0; k + 1 < idxs.size(); ++k) {
+                    int32_t i = idxs[k], j = idxs[k + 1];
+                    if (!traversal_ok(sv, sn.interior, i, j)) continue;
+                    std::string seq;
+                    for (int32_t q = i + 1; q < j; ++q)
+                        append_seq(sv[size_t(q)], seq);
+                    auto li = g.node_len.find(node_of(sv[size_t(i)]));
+                    long so = poffs[p][size_t(i)] +
+                              (li == g.node_len.end() ? 0
+                                                      : long(li->second));
+                    snprintf(hdr, sizeof hdr,
+                             ">snarl:%llu-%llu|%s|%s:%ld-%ld\n",
+                             (unsigned long long)a, (unsigned long long)b,
+                             ref_coord.c_str(),
+                             pheno_names[size_t(
+                                 ix.path_sample[p])].c_str(),
+                             so, poffs[p][size_t(j)]);
+                    fasta += hdr;
+                    for (size_t q = 0; q < seq.size(); q += 80) {
+                        fasta.append(seq, q, 80);
+                        fasta += '\n';
+                    }
+                    if (seq.empty()) fasta += '\n';
+                }
+            }
+        };
+
+        std::vector<int> fstack;
+        for (long i = 0; i < S; ++i)
+            if (forest.snarls[size_t(i)].parent == -1)
+                fstack.push_back(int(i));
+        std::sort(fstack.begin(), fstack.end(), std::greater<int>());
+        while (!fstack.empty()) {
+            int i = fstack.back();
+            fstack.pop_back();
+            const Snarl& sn = forest.snarls[size_t(i)];
+            const PerSnarl& pc = pre[size_t(i)];
+            if (pc.mx < allele_size_limit) continue;
+            bool descend = true;
+            if (pc.g0.size() > 1) {
+                bool write = !exact_mode;
+                if (exact_mode) {
+                    for (size_t k = 0; k < pc.g0.size(); ++k) {
+                        if ((pc.g1[k] == 0 &&
+                             long(pc.g0[k]) == n_case_total) ||
+                            (pc.g0[k] == 0 &&
+                             long(pc.g1[k]) == n_ctrl_total)) {
+                            write = true;
+                            descend = false;
+                        }
+                    }
+                }
+                if (write) {
+                    boundary_steps(ix, node_of(sn.start), node_of(sn.end),
+                                   per);
+                    emit_fasta(i, pc);
+                }
+            }
+            if (descend) {
+                std::vector<int> kids(sn.children);
+                std::sort(kids.begin(), kids.end(), std::greater<int>());
+                for (int c : kids) fstack.push_back(c);
+            }
+        }
+        char* rb = (char*)malloc(fasta.size() + 1);
+        uint8_t* kb = (uint8_t*)malloc(1);
+        uint64_t* po = (uint64_t*)malloc(8);
+        uint32_t* g0b = (uint32_t*)malloc(4);
+        uint32_t* g1b = (uint32_t*)malloc(4);
+        if (!rb || !kb || !po || !g0b || !g1b) {
+            free(rb); free(kb); free(po); free(g0b); free(g1b);
+            return -3;
+        }
+        memcpy(rb, fasta.data(), fasta.size());
+        rb[fasta.size()] = '\0';
+        *rows_len_out = uint64_t(fasta.size());
+        po[0] = 0;
+        *rows_out = rb;
+        *kind_out = kb;
+        *part_offs_out = po;
+        *g0_out = g0b;
+        *g1_out = g1b;
+        return 0;
+    }
 
     // ---- serial tree walk (test_snarls order, conditional descent)
     std::string rows_blob;
@@ -2160,5 +2431,88 @@ long stoat_graph_assoc(
     return n_rows;
 }
 
+
+long stoat_graph_assoc(
+        const char* gfa_path, const char* ref_names_csv,
+        const char* pheno_names_blob, long n_pheno,
+        const uint8_t* pheno_case, int exact_mode, int fasta_mode,
+        long allele_size_limit, long threads,
+        char** rows_out, uint64_t* rows_len_out, uint8_t** kind_out,
+        uint64_t** part_offs_out, uint32_t** g0_out, uint32_t** g1_out,
+        long* n_snarls_out) {
+    std::set<std::string> refs = parse_csv_set(ref_names_csv);
+    const bool prof = getenv("STOAT_PROFILE") &&
+                      !strcmp(getenv("STOAT_PROFILE"), "1");
+    auto now = [] {
+        return std::chrono::duration<double>(
+                   std::chrono::steady_clock::now().time_since_epoch())
+            .count();
+    };
+    double t0 = now();
+    Graph g;
+    if (!load_gfa(gfa_path, refs, g, fasta_mode != 0)) return -1;
+    if (prof)
+        fprintf(stderr, "[prof] graph_assoc: load=%.2fs\n", now() - t0);
+    return assoc_run(g, refs,
+                     parse_name_blob(pheno_names_blob, n_pheno),
+                     pheno_case, exact_mode, fasta_mode,
+                     allele_size_limit, threads, rows_out, rows_len_out,
+                     kind_out, part_offs_out, g0_out, g1_out,
+                     n_snarls_out);
+}
+
+
+// In-memory graph entry: the same engine fed from flat arrays — the
+// production path for the reference's binary formats (.hg/.pg/.gbz,
+// graph.cpp:217-224 VPKG load): Python's format readers decode the
+// container, then hand the graph over once and the whole prepare runs
+// native.  ``edges`` are handle pairs ((id<<1)|rev); ``seq_blob`` +
+// ``seq_offs`` are optional (FASTA mode only).
+long stoat_graph_assoc_mem(
+        const uint64_t* node_ids, const uint32_t* node_lens, long n_nodes,
+        const char* seq_blob, const uint64_t* seq_offs,
+        const uint64_t* edges, long n_edges,
+        const uint64_t* steps, const int64_t* step_offs, long n_gpaths,
+        const char* path_names_blob, const char* path_samples_blob,
+        const uint8_t* path_is_ref, const char* ref_names_csv,
+        const char* pheno_names_blob, long n_pheno,
+        const uint8_t* pheno_case, int exact_mode, int fasta_mode,
+        long allele_size_limit, long threads,
+        char** rows_out, uint64_t* rows_len_out, uint8_t** kind_out,
+        uint64_t** part_offs_out, uint32_t** g0_out, uint32_t** g1_out,
+        long* n_snarls_out) {
+    Graph g;
+    for (long i = 0; i < n_nodes; ++i) {
+        g.node_len[node_ids[i]] = node_lens[i];
+        if (seq_blob && seq_offs)
+            g.seq[node_ids[i]].assign(
+                seq_blob + seq_offs[i],
+                size_t(seq_offs[i + 1] - seq_offs[i]));
+    }
+    // the caller ships the full directed successor relation (already
+    // symmetric-closed), so add_succ preserves its exact adjacency order
+    for (long e = 0; e < n_edges; ++e)
+        g.add_succ(Handle(edges[2 * e]), Handle(edges[2 * e + 1]));
+    {
+        const char* pn = path_names_blob;
+        const char* ps = path_samples_blob;
+        for (long p = 0; p < n_gpaths; ++p) {
+            GPath gp;
+            gp.name = pn;
+            pn += gp.name.size() + 1;
+            gp.sample = ps;
+            ps += gp.sample.size() + 1;
+            gp.is_ref = path_is_ref[p] != 0;
+            gp.steps.assign(steps + step_offs[p], steps + step_offs[p + 1]);
+            g.paths.push_back(std::move(gp));
+        }
+    }
+    return assoc_run(g, parse_csv_set(ref_names_csv),
+                     parse_name_blob(pheno_names_blob, n_pheno),
+                     pheno_case, exact_mode, fasta_mode,
+                     allele_size_limit, threads, rows_out, rows_len_out,
+                     kind_out, part_offs_out, g0_out, g1_out,
+                     n_snarls_out);
+}
 
 }  // extern "C"

@@ -106,3 +106,99 @@ def test_native_path_is_taken(parity_graph, monkeypatch):
                                      "ref", str(out))
     assert rc == 0
     assert calls, "native graph fast path was not taken"
+
+
+@pytest.mark.parametrize("method", ["chi2", "exact"])
+def test_native_fasta_matches_python(parity_graph, method, monkeypatch):
+    """Round-5: the native walk also emits FASTA (writer.cpp:89-178);
+    byte parity with the Python _write_fasta_partitions path."""
+    from stoat_tpu.graph.association import run_graph_association
+    from stoat_tpu.native import get_graph_lib
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    gfa, pheno, tmp = parity_graph
+    out_n = tmp / f"fasta_native_{method}"
+    out_p = tmp / f"fasta_python_{method}"
+    out_n.mkdir()
+    out_p.mkdir()
+    rc = run_graph_association(gfa, "", pheno, method, "fasta", 0, "ref",
+                               str(out_n))
+    assert rc == 0
+    monkeypatch.setenv("STOAT_GRAPH_PYTHON", "1")
+    rc = run_graph_association(gfa, "", pheno, method, "fasta", 0, "ref",
+                               str(out_p))
+    assert rc == 0
+    assert filecmp.cmp(out_n / "binary_output.fasta",
+                       out_p / "binary_output.fasta", shallow=False)
+
+
+@pytest.mark.parametrize("fmt", ["tsv", "fasta"])
+def test_mem_entry_matches_file_entry(parity_graph, fmt):
+    """stoat_graph_assoc_mem (the in-memory feed used for .hg/.pg/.gbz)
+    must reproduce the file-based GFA entry byte for byte."""
+    import numpy as np
+
+    from stoat_tpu.graph.gfa import load_gfa
+    from stoat_tpu.io.phenotype import parse_binary_pheno
+    from stoat_tpu.native import (get_graph_lib, graph_assoc_mem_native,
+                                  graph_assoc_native)
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    gfa, pheno_path, tmp = parity_graph
+    pheno, samples = parse_binary_pheno(pheno_path, [])
+    g = load_gfa(gfa, {"ref"})
+    a = graph_assoc_native(gfa, {"ref"}, samples, pheno.astype(np.uint8),
+                           "chi2", 0, output_format=fmt)
+    b = graph_assoc_mem_native(g, {"ref"}, samples,
+                               pheno.astype(np.uint8), "chi2", 0,
+                               output_format=fmt)
+    assert a is not None and b is not None
+    assert a[0] == b[0]                          # blob (rows or FASTA)
+    np.testing.assert_array_equal(a[1], b[1])    # kinds
+    np.testing.assert_array_equal(a[2], b[2])    # part offsets
+    np.testing.assert_array_equal(a[3], b[3])    # g0
+    np.testing.assert_array_equal(a[4], b[4])    # g1
+
+
+@pytest.mark.parametrize("fmt", ["tsv", "fasta"])
+def test_gbz_native_assoc_matches_python(parity_graph, fmt, monkeypatch):
+    """A .gbz graph-mode run takes the native mem path and matches the
+    Python pipeline on the same container (round-3/4 verdicts: the
+    binary formats fell back to the ~20x slower Python prepare)."""
+    import stoat_tpu.graph.association as assoc
+    from stoat_tpu.graph.gbz_write import save_gbz
+    from stoat_tpu.graph.gfa import load_gfa
+    from stoat_tpu.native import get_graph_lib
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    gfa, pheno, tmp = parity_graph
+    gbz = tmp / f"parity_{fmt}.gbz"
+    if not gbz.exists():
+        save_gbz(load_gfa(gfa, {"ref"}), str(gbz))
+    out_n = tmp / f"gbz_native_{fmt}"
+    out_p = tmp / f"gbz_python_{fmt}"
+    out_n.mkdir()
+    out_p.mkdir()
+    calls = []
+    real = assoc._run_graph_association_native
+
+    def spy(*a, **k):
+        res = real(*a, **k)
+        calls.append(res)
+        return res
+
+    monkeypatch.setattr(assoc, "_run_graph_association_native", spy)
+    rc = assoc.run_graph_association(str(gbz), "", pheno, "chi2", fmt, 0,
+                                     "ref", str(out_n))
+    assert rc == 0
+    assert calls and calls[-1] == 0, "native mem path was not taken"
+    monkeypatch.setenv("STOAT_GRAPH_PYTHON", "1")
+    rc = assoc.run_graph_association(str(gbz), "", pheno, "chi2", fmt, 0,
+                                     "ref", str(out_p))
+    assert rc == 0
+    name = ("binary_table_graph.tsv" if fmt == "tsv"
+            else "binary_output.fasta")
+    assert filecmp.cmp(out_n / name, out_p / name, shallow=False)
