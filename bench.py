@@ -348,6 +348,47 @@ def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=6,
     return min(times)
 
 
+PERMS = 256   # permutations for the --permutations subsystem metric
+
+
+def run_perm(packed, pheno_bin, pheno_q, repeats=2):
+    """Throughput of the --permutations subsystem (beyond-reference):
+    PERMS Westfall–Young permutations of BOTH phenotypes over one
+    32k-snarl chunk through the production entry points
+    (binary_permutation_stats / quantitative_permutation_stats — packed
+    membership computed once, mask/phenotype batches ride it).  All
+    [K, S] p-value arrays are numpy on return (bytes on host), so the
+    timing includes the result fetches.  Returns permuted snarl-tests
+    per second: PERMS × S × 2 phenotypes / wall."""
+    import jax.numpy as jnp
+
+    from stoat_tpu.pipeline.permutation import (
+        binary_permutation_stats, freedman_lane_phenos,
+        permutation_indices, permutation_masks,
+        quantitative_permutation_stats)
+
+    S = packed.n_snarls
+    W = (packed.n_haplotypes + 31) // 32
+    perm_idx = permutation_indices(N_SAMPLES, PERMS, SEED)
+    masks = permutation_masks(pheno_bin, PERMS, SEED, W, perm_idx)
+    device_words = jnp.asarray(packed.packed_words())
+
+    def once():
+        binary_permutation_stats(packed, pheno_bin, masks, 3, 5, 0.05,
+                                 device_matrix=device_words)
+        quantitative_permutation_stats(packed, pheno_q, perm_idx, 3, 5,
+                                       0.05, device_matrix=device_words)
+
+    once()                                    # warm (jit compiles)
+    best = float("inf")
+    for _ in range(repeats):
+        _settle()
+        t0 = time.perf_counter()
+        once()
+        best = min(best, time.perf_counter() - t0)
+    return 2 * PERMS * S / best
+
+
 def _pack_for_baseline(packed, edge_matrix):
     """Per-path edge-row lists + per-snarl path offsets for the C++ loop."""
     from stoat_tpu.io.snarl_file import path_to_edges
@@ -610,6 +651,8 @@ def main():
     baseline_rate, baseline_kind = run_baseline(packed, matrix, pheno_bin,
                                                 pheno_q)
 
+    perm_rate = run_perm(packed, pheno_bin, pheno_q)
+
     graph_rate, graph_base_rate = run_graph_bench(tmpdir, rng)
 
     print(json.dumps({
@@ -633,6 +676,10 @@ def main():
         "analysis_each_s": round(t_each, 4),
         "single_dispatch_snarls_per_s": round(device_rate_2disp, 1),
         "baseline_snarls_per_s": round(baseline_rate, 1),
+        "perm_snarl_tests_per_s": round(perm_rate, 1),
+        "perm_vs_baseline_full_runs": round(
+            perm_rate / baseline_rate, 2),
+        "n_perms": PERMS,
         "graph_snarls_per_s": round(graph_rate, 1),
         "graph_vs_baseline": round(graph_rate / graph_base_rate, 2),
         "graph_baseline_snarls_per_s": round(graph_base_rate, 1),

@@ -14,9 +14,11 @@ from stoat_tpu.parallel.mesh import (
 )
 from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
                                         binary_covar_analyze_sharded,
+                                        binary_perm_pvalues_sharded,
                                         dual_analyze_sharded,
                                         eqtl_regress_pairs_sharded,
                                         lmm_analyze_sharded,
+                                        quant_perm_pvalues_sharded,
                                         quantitative_analyze_sharded)
 
 __all__ = [
@@ -29,4 +31,6 @@ __all__ = [
     "lmm_analyze_sharded",
     "quantitative_analyze_sharded",
     "eqtl_regress_pairs_sharded",
+    "binary_perm_pvalues_sharded",
+    "quant_perm_pvalues_sharded",
 ]

@@ -36,7 +36,8 @@ from stoat_tpu.parallel.mesh import ShardedChromosome
 
 __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
            "lmm_analyze_sharded", "binary_covar_analyze_sharded",
-           "eqtl_regress_pairs_sharded", "dual_analyze_sharded"]
+           "eqtl_regress_pairs_sharded", "dual_analyze_sharded",
+           "binary_perm_pvalues_sharded", "quant_perm_pvalues_sharded"]
 
 # Design outputs forwarded to the writer when -T table dumps are on.
 _TABLE_KEYS = ("norm", "used", "kept")
@@ -378,6 +379,156 @@ def binary_covar_analyze_sharded(sharded: ShardedChromosome,
         jnp.float64(maf_threshold),
     )
     return _unshard(out, sharded.shard_sizes)
+
+
+def binary_perm_pvalues_sharded(sharded: ShardedChromosome,
+                                masks: np.ndarray, mesh: Mesh,
+                                min_individuals: int, min_haplotypes: int,
+                                maf_threshold: float,
+                                perm_chunk: int = 16) -> np.ndarray:
+    """[K, S] asymptotic chi² p-values for K packed phenotype masks with
+    SNARLS sharded over ``mesh`` — the multi-chip twin of
+    permutation._perm_binary_pvalues.  Each shard computes its packed
+    membership ONCE, every mask block rides it (masks replicated, the
+    production layout); the igammac chi² tail finishes OUTSIDE the shard
+    on gathered arrays (see module docstring).  Value parity with the
+    single-device path is pinned by tests."""
+    from stoat_tpu.pipeline.binary import _binary_from_path_counts
+    from stoat_tpu.stats.special import chi2_sf
+
+    W = sharded.words.shape[1]
+    tail = _pk.tail_mask_words(sharded.n_haps, W)
+    shard = NamedSharding(mesh, P("snarls"))
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(words, path_idx, valid, idx, tail_a, masks_a,
+                 min_ind, min_hap, maf):
+        mem = _pk.membership_words_body(words, path_idx[0])
+
+        def one(mask):
+            g0p, g1p = _pk.packed_binary_counts.__wrapped__(
+                mem, valid[0], tail_a, mask)
+            out = _binary_from_path_counts(
+                g0p, g1p, idx[0], min_ind, min_hap, maf, tails=False)
+            bad = (out["filtered"] | out["chi2_invalid"]
+                   | out["chi2_zexp"])
+            return out["chi2_stat"], out["chi2_df"], bad
+
+        stat, df, bad = jax.vmap(one)(masks_a)
+        return {"stat": stat[None], "df": df[None], "bad": bad[None]}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P(), P(),
+                  P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    words_d = jax.device_put(jnp.asarray(sharded.words), repl)
+    args = (
+        jax.device_put(jnp.asarray(sharded.path_idx), shard),
+        jax.device_put(jnp.asarray(sharded.path_valid), shard),
+        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
+        jax.device_put(jnp.asarray(tail), repl),
+    )
+    th = (jnp.float64(min_individuals), jnp.float64(min_haplotypes),
+          jnp.float64(maf_threshold))
+    K = masks.shape[0]
+    blocks = []
+    for lo in range(0, K, perm_chunk):
+        hi = min(K, lo + perm_chunk)
+        block = masks[lo:hi]
+        if hi - lo < perm_chunk:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
+                                  axis=0)], axis=0)
+        out = fn(words_d, *args,
+                 jax.device_put(jnp.asarray(block), repl), *th)
+        got = _unshard_perm(out, sharded.shard_sizes)
+        p = np.asarray(chi2_sf(jnp.asarray(got["stat"]),
+                               jnp.asarray(got["df"])))
+        p = np.clip(p, 0.0, 1.0)
+        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
+        blocks.append(p)
+    return np.concatenate(blocks, axis=0)[:K]
+
+
+def _unshard_perm(out: Dict[str, jnp.ndarray], sizes) -> Dict[str,
+                                                             np.ndarray]:
+    """Gather [D, K, S_local] permutation outputs to [K, S] global snarl
+    order (the snarl axis is LAST here, unlike _unshard's row layouts)."""
+    for value in out.values():
+        copy_async = getattr(value, "copy_to_host_async", None)
+        if copy_async is not None:
+            copy_async()
+    result: Dict[str, np.ndarray] = {}
+    for key, value in out.items():
+        arr = np.asarray(value)
+        parts = [arr[d][:, :sizes[d]] for d in range(len(sizes))]
+        result[key] = np.concatenate(parts, axis=1)
+    return result
+
+
+def quant_perm_pvalues_sharded(sharded: ShardedChromosome,
+                               phenos: np.ndarray, covar, mesh: Mesh,
+                               min_individuals: int, min_haplotypes: int,
+                               maf_threshold: float,
+                               perm_chunk: int = 8) -> np.ndarray:
+    """[K, S] asymptotic OLS-t p-values for K (Freedman–Lane) permuted
+    phenotypes with snarls sharded over ``mesh`` — the multi-chip twin
+    of permutation._perm_quant_pvalues.  The phenotype-independent
+    design assembles ONCE per shard; the betainc t-tail finishes outside
+    the shard on gathered arrays."""
+    n_haps = sharded.n_haps
+    with_covar = covar is not None and np.asarray(covar).shape[1] > 0
+    args, specs, _ = _design_inputs(sharded, covar, mesh)
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(words, path_idx, valid, idx, covar_d, phenos_a,
+                 min_ind, min_hap, maf):
+        d = quantitative_design_packed(
+            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
+            min_hap, maf, n_haplotypes=n_haps, with_covar=with_covar)
+        X, used, ncols = d["X"], d["used"], d["ncols"]
+        bad = d["filtered"] | d["degenerate"]
+
+        def one(ph):
+            y = ph[None, :] * used
+            t1, df_res, _b, _se, _r2 = linear_regression_stats_batch(
+                X, y, used, ncols)
+            return t1, df_res
+
+        t1, df_res = jax.vmap(one)(phenos_a)
+        K_, S_ = t1.shape
+        return {"t1": t1[None], "df_res": df_res[None],
+                "bad": jnp.broadcast_to(bad[None, None], (1, K_, S_))}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(*specs, P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    K = phenos.shape[0]
+    outs = []
+    for lo in range(0, K, perm_chunk):
+        hi = min(K, lo + perm_chunk)
+        block = np.asarray(phenos[lo:hi], np.float64)
+        if hi - lo < perm_chunk:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
+                                  axis=0)], axis=0)
+        out = fn(*args, jax.device_put(jnp.asarray(block), repl),
+                 jnp.float64(min_individuals),
+                 jnp.float64(min_haplotypes),
+                 jnp.float64(maf_threshold))
+        got = _unshard_perm(out, sharded.shard_sizes)
+        p = np.asarray(finish_linear_pvalues(jnp.asarray(got["t1"]),
+                                             jnp.asarray(got["df_res"])))
+        p = np.clip(p, 0.0, 1.0)
+        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
+        outs.append(p)
+    return np.concatenate(outs, axis=0)[:K]
 
 
 def eqtl_regress_pairs_sharded(design, pair_snarl: np.ndarray,

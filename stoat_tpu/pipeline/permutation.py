@@ -266,15 +266,24 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                          quantitative_phenotype: Optional[np.ndarray]
                          = None,
                          output_tsv_quant: Optional[str] = None,
-                         covariate: Optional[np.ndarray] = None) -> int:
+                         covariate: Optional[np.ndarray] = None,
+                         use_mesh: Optional[bool] = None) -> int:
     """Genome-wide permutation pass.
 
     With BOTH phenotypes supplied, ONE VCF pass (and one membership
     computation per chunk) serves both — the dual-run discipline of
     run_vcf_analysis.  Writes per-snarl rows of the observed asymptotic
     p (``P_ASY``), the empirical p, and the min-P FWER p.  Returns the
-    number of tested (non-filtered) snarls across all outputs."""
+    number of tested (non-filtered) snarls across all outputs.
+
+    ``use_mesh``: shard the snarl axis over all visible devices
+    (parallel/sharded.py binary_perm_pvalues_sharded /
+    quant_perm_pvalues_sharded); default automatic — on when more than
+    one device is attached.  Output parity across mesh shapes is pinned
+    by tests."""
     import logging
+
+    import jax as _jax
 
     from stoat_tpu import writer as Wr
     from stoat_tpu.pipeline.runner import (assemble_words_device,
@@ -282,6 +291,14 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     from stoat_tpu.tables import pack_chromosome_chunks
 
     logger = logging.getLogger("stoat")
+    if use_mesh is None:
+        use_mesh = _jax.device_count() > 1
+    mesh = None
+    if use_mesh:
+        from stoat_tpu.parallel import make_snarl_mesh
+        mesh = make_snarl_mesh()
+        logger.info("Permutations: sharding snarls over %d devices",
+                    _jax.device_count())
     jobs = []   # (kind, output path, phenotype)
     if pheno_bin is not None:
         if output_tsv is None:
@@ -310,9 +327,49 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
              for kind, _o, _p in jobs}
 
     matrices = iter_chromosome_matrices(vcf_path, n_hap, snarls_chr,
-                                        stream_device_words=True)
+                                        stream_device_words=mesh is None)
     for chrom, matrix in matrices:
         if chrom not in snarls_chr:
+            continue
+        if mesh is not None:
+            # mesh path: the snarl axis shards over devices; the
+            # observed phenotype rides as batch row 0 so every value
+            # (incl. P_ASY) comes from the same sharded program
+            from stoat_tpu.parallel import (binary_perm_pvalues_sharded,
+                                            quant_perm_pvalues_sharded,
+                                            shard_packed_chromosome)
+            import jax as _jx
+            sharded = shard_packed_chromosome(
+                snarls_chr[chrom], matrix, _jx.device_count())
+            Wm = sharded.words.shape[1]
+            for kind, _out, pheno in jobs:
+                if kind == "binary":
+                    if masks is None:
+                        masks = permutation_masks(pheno, n_perms, seed,
+                                                  Wm, perm_idx)
+                    from stoat_tpu.pipeline import packed as _pk
+                    obs_mask = _pk.pack_hap_mask_words(
+                        np.repeat(np.asarray(pheno).astype(bool), 2), Wm)
+                    all_p = binary_perm_pvalues_sharded(
+                        sharded, np.concatenate([obs_mask[None, :],
+                                                 masks]), mesh, *th)
+                else:
+                    if fl_phenos is None:
+                        fl_phenos = freedman_lane_phenos(
+                            pheno, covariate, perm_idx)
+                    all_p = quant_perm_pvalues_sharded(
+                        sharded, np.concatenate(
+                            [np.asarray(pheno, np.float64)[None, :],
+                             fl_phenos]), covariate, mesh, *th)
+                obs, perm = all_p[0], all_p[1:]
+                st = state[kind]
+                exc = np.sum(perm <= obs[None, :], axis=0)
+                if obs.shape[0]:
+                    st["null_min"] = np.minimum(
+                        st["null_min"], perm.min(axis=1, initial=np.inf))
+                st["rows"].extend(
+                    (chrom, sn, float(obs[i]), int(exc[i]))
+                    for i, sn in enumerate(sharded.snarls))
             continue
         device_matrix = assemble_words_device(matrix)
         for packed in pack_chromosome_chunks(snarls_chr[chrom], matrix,

@@ -304,3 +304,32 @@ def test_freedman_lane_permuted_arm_with_covariates():
                                rtol=0, atol=1e-9)
     # and it is NOT plain label permutation when covariates matter
     assert not np.allclose(fl, y[idx])
+
+
+def test_mesh_sharded_matches_single_device(data, tmp_path):
+    """Round-5: the permutation pass sharded over the 8-device CPU mesh
+    (binary_perm_pvalues_sharded / quant_perm_pvalues_sharded) must
+    write byte-identical outputs to the single-device path — the same
+    mesh-shape value-parity contract as the main pipeline
+    (test_runner_mesh)."""
+    import filecmp
+
+    from stoat_tpu.io.phenotype import parse_quantitative_pheno
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    paths, snarls_chr, pheno, samples, _tmp = data
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    b1 = str(tmp_path / "b_single.tsv")
+    q1 = str(tmp_path / "q_single.tsv")
+    b2 = str(tmp_path / "b_mesh.tsv")
+    q2 = str(tmp_path / "q_mesh.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr, b1, pheno_bin=pheno,
+                         n_perms=N_PERMS, seed=SEED,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=q1, use_mesh=False)
+    run_permutation_test(paths["vcf"], snarls_chr, b2, pheno_bin=pheno,
+                         n_perms=N_PERMS, seed=SEED,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=q2, use_mesh=True)
+    assert filecmp.cmp(b1, b2, shallow=False)
+    assert filecmp.cmp(q1, q2, shallow=False)
