@@ -298,11 +298,13 @@ def main_vcf(argv: List[str]) -> int:
                                   or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
         if covariate is not None and binary_phenotype is not None:
-            logger.warning(
-                "--permutations: the binary permuted statistic is the "
-                "UNADJUSTED chi2 (logistic covariates are not regressed "
-                "out); quantitative permutations DO adjust for "
-                "covariates via Freedman-Lane.")
+            logger.info(
+                "--permutations: binary + covariates runs the "
+                "covariate-ADJUSTED score test (reduced-model residual "
+                "permutation) — P_ASY is the adjusted score-test p, not "
+                "the covariate-free Wald p of the main table "
+                "(the reference's logistic ignores covariates, "
+                "stats_test.cpp:59-62).")
         if lmm_ctx is not None:
             logger.warning(
                 "--permutations: the permuted statistic is plain OLS — "

@@ -18,6 +18,7 @@ from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
                                         dual_analyze_sharded,
                                         eqtl_regress_pairs_sharded,
                                         lmm_analyze_sharded,
+                                        logistic_score_perm_sharded,
                                         quant_perm_pvalues_sharded,
                                         quantitative_analyze_sharded)
 
@@ -33,4 +34,5 @@ __all__ = [
     "eqtl_regress_pairs_sharded",
     "binary_perm_pvalues_sharded",
     "quant_perm_pvalues_sharded",
+    "logistic_score_perm_sharded",
 ]

@@ -37,7 +37,8 @@ from stoat_tpu.parallel.mesh import ShardedChromosome
 __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
            "lmm_analyze_sharded", "binary_covar_analyze_sharded",
            "eqtl_regress_pairs_sharded", "dual_analyze_sharded",
-           "binary_perm_pvalues_sharded", "quant_perm_pvalues_sharded"]
+           "binary_perm_pvalues_sharded", "quant_perm_pvalues_sharded",
+           "logistic_score_perm_sharded"]
 
 # Design outputs forwarded to the writer when -T table dumps are on.
 _TABLE_KEYS = ("norm", "used", "kept")
@@ -525,6 +526,74 @@ def quant_perm_pvalues_sharded(sharded: ShardedChromosome,
         got = _unshard_perm(out, sharded.shard_sizes)
         p = np.asarray(finish_linear_pvalues(jnp.asarray(got["t1"]),
                                              jnp.asarray(got["df_res"])))
+        p = np.clip(p, 0.0, 1.0)
+        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
+        outs.append(p)
+    return np.concatenate(outs, axis=0)[:K]
+
+
+def logistic_score_perm_sharded(sharded: ShardedChromosome,
+                                Z: np.ndarray, w: np.ndarray,
+                                e_batch: np.ndarray, mesh: Mesh,
+                                min_individuals: int, min_haplotypes: int,
+                                maf_threshold: float,
+                                perm_chunk: int = 8) -> np.ndarray:
+    """[K, S] covariate-adjusted logistic score-test p-values with
+    snarls sharded over ``mesh`` — the multi-chip twin of
+    permutation._perm_logistic_score_pvalues (reduced-model residual
+    permutation; Z/w/e replicated, V⁻¹ built once per shard, the chi²
+    tail finished outside the shard)."""
+    from stoat_tpu.pipeline.permutation import _score_test_precompute
+    from stoat_tpu.stats.special import chi2_sf
+
+    n_haps = sharded.n_haps
+    args, specs, _ = _design_inputs(sharded, None, mesh)
+    repl = NamedSharding(mesh, P())
+
+    def local_fn(words, path_idx, valid, idx, covar_d, Z_a, w_a,
+                 e_a, min_ind, min_hap, maf):
+        d = quantitative_design_packed(
+            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
+            min_hap, maf, n_haplotypes=n_haps, with_covar=False)
+        X, used, ncols = d["X"], d["used"], d["ncols"]
+        bad = d["filtered"] | d["degenerate"]
+        D, Vinv, df, extra_bad = _score_test_precompute(X, used, ncols,
+                                                        Z_a, w_a)
+        allbad = bad | extra_bad | (df < 1)
+
+        def one(e):
+            U = jnp.einsum("snp,sn->sp", D, used * e[None, :])
+            T = jnp.einsum("sp,spq,sq->s", U, Vinv, U)
+            return T, jnp.maximum(df, 1.0), allbad | ~jnp.isfinite(T)
+
+        T, dfk, badk = jax.vmap(one)(e_a)
+        return {"T": T[None], "df": dfk[None], "bad": badk[None]}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(*specs, P(), P(), P(), P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    K = e_batch.shape[0]
+    Zd = jax.device_put(jnp.asarray(Z, jnp.float64), repl)
+    wd = jax.device_put(jnp.asarray(w, jnp.float64), repl)
+    outs = []
+    for lo in range(0, K, perm_chunk):
+        hi = min(K, lo + perm_chunk)
+        block = np.asarray(e_batch[lo:hi], np.float64)
+        if hi - lo < perm_chunk:
+            block = np.concatenate(
+                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
+                                  axis=0)], axis=0)
+        out = fn(*args, Zd, wd,
+                 jax.device_put(jnp.asarray(block), repl),
+                 jnp.float64(min_individuals),
+                 jnp.float64(min_haplotypes),
+                 jnp.float64(maf_threshold))
+        got = _unshard_perm(out, sharded.shard_sizes)
+        p = np.asarray(chi2_sf(jnp.asarray(np.maximum(got["T"], 0.0)),
+                               jnp.asarray(got["df"])))
         p = np.clip(p, 0.0, 1.0)
         p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
         outs.append(p)

@@ -36,9 +36,20 @@ globally, permuted phenotypes are ``ŷ_reduced + P·residuals``, and the
 per-snarl test is the covariate-including OLS — the same adjusted test
 the main pipeline reports.  With no covariates this reduces exactly to
 plain label permutation (the reduced fit is the constant mean, which is
-permutation-invariant).  Binary covariates (logistic) and kinship are
-NOT adjusted — the permuted statistic there is the unadjusted chi²
-(callers are warned).
+permutation-invariant).
+
+Binary covariates run the covariate-ADJUSTED **score test**: fit the
+reduced logistic ``y ~ [1 | covariates]`` once, then per snarl
+T = Uᵀ V⁻¹ U with U = Dᵀ(y − p̂) over the variant dosage columns D and
+V the efficient information (covariate-projected); permutations permute
+the reduced-model residuals (only the U matmul re-runs per
+permutation).  The null respects the covariates — calibration on a
+confounded cohort is pinned by tests.  Note P_ASY here is the adjusted
+score-test p, deliberately NOT the main table's Wald p: the reference's
+logistic ignores covariates entirely (stats_test.cpp:59-62, shadowed
+locals — faithfully reproduced in stats/logreg.py), so the adjusted
+permutation is the one place a confounded binary cohort gets a valid
+answer.  Kinship (LMM) remains unadjusted (callers are warned).
 """
 
 from __future__ import annotations
@@ -104,6 +115,80 @@ def _perm_quant_pvalues(X, used, ncols, bad, phenos):
         return _sanitize_p(p, bad)
 
     return jax.vmap(one)(phenos)
+
+
+def logistic_null_context(pheno_bin: np.ndarray, covar):
+    """Reduced-model logistic fit ``y ~ [1 | covariates]`` (host f64
+    IRLS, tiny ridge for stability).  Returns (Z, w, e): the reduced
+    design, the working weights p̂(1-p̂), and the response residuals
+    y − p̂ — the ingredients of the covariate-adjusted score test."""
+    y = np.asarray(pheno_bin, np.float64)
+    C = (np.zeros((y.shape[0], 0))
+         if covar is None else np.asarray(covar, np.float64))
+    Z = np.concatenate([np.ones((y.shape[0], 1)), C], axis=1)
+    beta = np.zeros(Z.shape[1])
+    for _ in range(50):
+        eta = Z @ beta
+        p = 1.0 / (1.0 + np.exp(-eta))
+        w = np.clip(p * (1.0 - p), 1e-8, None)
+        H = Z.T @ (w[:, None] * Z) + 1e-8 * np.eye(Z.shape[1])
+        step = np.linalg.solve(H, Z.T @ (y - p))
+        beta = beta + step
+        if np.max(np.abs(step)) < 1e-10:
+            break
+    p = 1.0 / (1.0 + np.exp(-(Z @ beta)))
+    w = np.clip(p * (1.0 - p), 1e-8, None)
+    return Z, w, y - p
+
+
+def _score_test_precompute(X, used, ncols, Z, w):
+    """Permutation-invariant pieces of the covariate-adjusted logistic
+    score test, per snarl: the variant-column design D (slots 1..ncols-1
+    of the with_covar=False quantitative design) and the inverse
+    efficient information V⁻¹ = (DᵀWD − DᵀWZ (ZᵀWZ)⁻¹ ZᵀWD)⁻¹ with W
+    restricted to each snarl's used samples.  Returns (D, Vinv, df,
+    extra_bad)."""
+    from stoat_tpu.stats.linalg import ldlt_inverse, ldlt_solve
+
+    S, N, PT = X.shape
+    t = jnp.arange(PT)
+    varmask = (t[None, :] >= 1) & (t[None, :] < ncols[:, None])  # [S,PT]
+    D = X * varmask[:, None, :]
+    wt = w[None, :] * used                                   # [S, N]
+    DW = D * wt[:, :, None]
+    Vfull = jnp.einsum("snp,snq->spq", DW, D)
+    A = jnp.einsum("snp,nc->spc", DW, Z)                     # DᵀWZ
+    G = jnp.einsum("sn,nc,nd->scd", wt, Z, Z)                # ZᵀWZ
+    GinvAt = ldlt_solve(G, jnp.swapaxes(A, 1, 2))            # [S, C, P]
+    V = Vfull - jnp.einsum("spc,scq->spq", A, GinvAt)
+    # pad non-variant diagonal with 1 so the LDLT stays regular; the
+    # padded block inverts to I and never touches T (U is 0 there)
+    pad = (~varmask).astype(jnp.float64)
+    Vp = V + jnp.einsum("sp,pq->spq", pad, jnp.eye(PT))
+    Vinv = ldlt_inverse(Vp)
+    extra_bad = ~jnp.isfinite(jnp.sum(Vinv, axis=(1, 2)))
+    df = (ncols - 1).astype(jnp.float64)
+    return D, Vinv, df, extra_bad
+
+
+@jax.jit
+def _perm_logistic_score_pvalues(X, used, ncols, bad, Z, w, e_batch):
+    """[K, S] covariate-adjusted score-test p-values: T = Uᵀ V⁻¹ U with
+    U = Dᵀ(used ⊙ e_k), df = variant columns, p from the chi² tail.
+    The reduced-model pieces (Z, w) and V⁻¹ are permutation-invariant —
+    only the cheap U matmul runs per permutation."""
+    from stoat_tpu.stats.special import chi2_sf
+
+    D, Vinv, df, extra_bad = _score_test_precompute(X, used, ncols, Z, w)
+    allbad = bad | extra_bad | (df < 1)
+
+    def one(e):
+        U = jnp.einsum("snp,sn->sp", D, used * e[None, :])
+        T = jnp.einsum("sp,spq,sq->s", U, Vinv, U)
+        p = chi2_sf(jnp.maximum(T, 0.0), jnp.maximum(df, 1.0))
+        return _sanitize_p(p, allbad | ~jnp.isfinite(T))
+
+    return jax.vmap(one)(e_batch)
 
 
 def permutation_indices(n_samples: int, n_perms: int,
@@ -188,6 +273,34 @@ def freedman_lane_phenos(pheno_q: np.ndarray, covar,
     fit = Z @ beta
     resid = y - fit
     return fit[None, :] + resid[perm_idx]
+
+
+def _logistic_chunk(dev: "_ChunkDevice", ctx, perm_idx, th,
+                    perm_chunk: int = 16):
+    """(obs p, perm p) for the covariate-adjusted binary mode: the
+    score test with reduced-model (``y ~ [1|covariates]``) residual
+    permutation.  ``ctx`` = logistic_null_context output."""
+    from stoat_tpu.pipeline import packed as _pk
+    from stoat_tpu.pipeline.quantitative import _design_from_membership
+
+    Z, w, e = ctx
+    packed = dev.packed
+    membership = _pk.unpack_membership(dev.mem, dev.valid,
+                                       packed.n_haplotypes)
+    covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
+    d = _design_from_membership(membership, dev.sidx, covar0, *th,
+                                with_covar=False, all_rows=False)
+    X, used, ncols = d["X"], d["used"], d["ncols"]
+    bad = d["filtered"] | d["degenerate"]
+    Zd = jnp.asarray(Z, jnp.float64)
+    wd = jnp.asarray(w, jnp.float64)
+    obs = np.asarray(_perm_logistic_score_pvalues(
+        X, used, ncols, bad, Zd, wd,
+        jnp.asarray(e[None, :], jnp.float64)))[0]
+    e_perm = e[perm_idx]                                   # [K, N]
+    return obs, _batched(lambda block: _perm_logistic_score_pvalues(
+        X, used, ncols, bad, Zd, wd, jnp.asarray(block, jnp.float64)),
+        e_perm, perm_chunk, obs.shape[0])
 
 
 def _quant_chunk(dev: "_ChunkDevice", pheno_q, perm_idx, th,
@@ -303,7 +416,11 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     if pheno_bin is not None:
         if output_tsv is None:
             raise ValueError("output_tsv required for the binary pass")
-        jobs.append(("binary", output_tsv, np.asarray(pheno_bin)))
+        # with covariates, the binary pass runs the covariate-ADJUSTED
+        # score test (reduced-model residual permutation) — the null
+        # respects the covariates, unlike the unadjusted chi²
+        kind = "binary" if covariate is None else "binary_score"
+        jobs.append((kind, output_tsv, np.asarray(pheno_bin)))
     if quantitative_phenotype is not None:
         q_out = output_tsv_quant or output_tsv
         if q_out is None or (pheno_bin is not None
@@ -320,6 +437,7 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     perm_idx = permutation_indices(n_samples, n_perms, seed)
     masks = None
     fl_phenos = None      # [K, N] Freedman-Lane matrix, computed once
+    score_ctx = None      # (Z, w, e) reduced logistic fit, computed once
     th = (min_individuals, min_haplotypes, maf_threshold)
 
     # per job: rows (chrom, snarl, obs p, exceed count), null min [K]
@@ -353,6 +471,17 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                     all_p = binary_perm_pvalues_sharded(
                         sharded, np.concatenate([obs_mask[None, :],
                                                  masks]), mesh, *th)
+                elif kind == "binary_score":
+                    from stoat_tpu.parallel import \
+                        logistic_score_perm_sharded
+                    if score_ctx is None:
+                        score_ctx = logistic_null_context(pheno,
+                                                          covariate)
+                    Zc, wc, ec = score_ctx
+                    all_p = logistic_score_perm_sharded(
+                        sharded, Zc, wc,
+                        np.concatenate([ec[None, :], ec[perm_idx]]),
+                        mesh, *th)
                 else:
                     if fl_phenos is None:
                         fl_phenos = freedman_lane_phenos(
@@ -383,6 +512,12 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                         masks = permutation_masks(pheno, n_perms, seed,
                                                   dev.W, perm_idx)
                     obs, perm = _binary_chunk(dev, pheno, masks, thj)
+                elif kind == "binary_score":
+                    if score_ctx is None:
+                        score_ctx = logistic_null_context(pheno,
+                                                          covariate)
+                    obs, perm = _logistic_chunk(dev, score_ctx,
+                                                perm_idx, thj)
                 else:
                     if fl_phenos is None:
                         fl_phenos = freedman_lane_phenos(

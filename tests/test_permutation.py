@@ -333,3 +333,121 @@ def test_mesh_sharded_matches_single_device(data, tmp_path):
                          output_tsv_quant=q2, use_mesh=True)
     assert filecmp.cmp(b1, b2, shallow=False)
     assert filecmp.cmp(q1, q2, shallow=False)
+
+
+def _confounded_cohort(tmp_path, n_samples=120, n_snarls=60, seed=5,
+                       genotype_effect=0.0):
+    """Binary cohort where BOTH the phenotype and the genotypes are
+    driven by one covariate (classic confounding): under the null of no
+    direct genotype effect given the covariate, an adjusted test must
+    stay calibrated while the unadjusted chi² inflates."""
+    rng = np.random.default_rng(seed)
+    samples = [f"s{i}" for i in range(n_samples)]
+    c = rng.standard_normal(n_samples)
+    pheno = rng.random(n_samples) < 1.0 / (1.0 + np.exp(-1.5 * c))
+    vcf = tmp_path / "conf.vcf"
+    snarl = tmp_path / "conf_snarl.tsv"
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=c1>\n")
+        fh.write('##INFO=<ID=AT,Number=R,Type=String,Description="x">\n')
+        fh.write('##INFO=<ID=LV,Number=1,Type=Integer,Description="x">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\t" + "\t".join(samples) + "\n")
+        p_alt = 1.0 / (1.0 + np.exp(-(1.2 * c + genotype_effect
+                                      * pheno)))
+        for k in range(n_snarls):
+            a = 1 + 3 * k
+            hap = (rng.random((n_samples, 2))
+                   < p_alt[:, None]).astype(int)
+            gts = [f"{hap[i,0]}/{hap[i,1]}" for i in range(n_samples)]
+            fh.write(f"c1\t{100+10*k}\tV{k}\tA\tT\t99\tPASS\t"
+                     f"AT=>{a}>{a+2},>{a}>{a+1}>{a+2};LV=0\tGT\t"
+                     + "\t".join(gts) + "\n")
+    with open(snarl, "w") as fh:
+        fh.write("CHR\tSTART_POS\tEND_POS\tSNARL_HANDLEGRAPH\tSNARL\t"
+                 "PATHS\tTYPE\tREF\tDEPTH\n")
+        for k in range(n_snarls):
+            a = 1 + 3 * k
+            fh.write(f"c1\t{100+10*k}\t{105+10*k}\t{k}\t{a}_{a+2}\t"
+                     f">{a}>{a+2},>{a}>{a+1}>{a+2}\t0,1\t1\t1\n")
+    return str(vcf), str(snarl), pheno, c
+
+
+def _perm_pvals(path):
+    out = []
+    with open(path) as fh:
+        fh.readline()
+        for line in fh:
+            cols = line.rstrip("\n").split("\t")
+            if cols[4] != "NA":
+                out.append(float(cols[4]))
+    return np.array(out)
+
+
+def test_covariate_adjusted_binary_permutation_calibrated(tmp_path):
+    """Round-5 (round-4 verdict item 4): binary + covariates permutes a
+    covariate-ADJUSTED score statistic (reduced-model residual
+    permutation).  On a confounded null cohort the adjusted observed
+    p-values stay calibrated while the unadjusted chi² inflates; the
+    FWER p's are valid (≥ empirical, not systematically tiny)."""
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    vcf, snarl, pheno, c = _confounded_cohort(tmp_path)
+    snarls_chr = parse_snarl_path(snarl)
+    out_adj = str(tmp_path / "adj.tsv")
+    out_raw = str(tmp_path / "raw.tsv")
+    run_permutation_test(vcf, snarls_chr, out_adj, pheno_bin=pheno,
+                         n_perms=60, seed=2,
+                         covariate=c.reshape(-1, 1), use_mesh=False)
+    run_permutation_test(vcf, snarls_chr, out_raw, pheno_bin=pheno,
+                         n_perms=60, seed=2, use_mesh=False)
+    p_adj = _perm_pvals(out_adj)
+    p_raw = _perm_pvals(out_raw)
+    assert len(p_adj) >= 40
+    # adjusted: roughly uniform under the confounded null
+    assert 0.35 <= float(np.mean(p_adj)) <= 0.65, np.mean(p_adj)
+    assert float(np.mean(p_adj < 0.05)) <= 0.15
+    # unadjusted chi²: visibly inflated on the same cohort
+    assert float(np.mean(p_raw)) < float(np.mean(p_adj)) - 0.1
+    assert float(np.mean(p_raw < 0.05)) > 0.3
+
+
+def test_covariate_adjusted_binary_permutation_detects_signal(tmp_path):
+    """With a real genotype→phenotype effect ON TOP of the confounder,
+    the adjusted permutation must still find small p-values (power is
+    not destroyed by the adjustment)."""
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    vcf, snarl, pheno, c = _confounded_cohort(tmp_path, seed=8,
+                                              genotype_effect=2.5)
+    snarls_chr = parse_snarl_path(snarl)
+    out = str(tmp_path / "sig.tsv")
+    run_permutation_test(vcf, snarls_chr, out, pheno_bin=pheno,
+                         n_perms=60, seed=2,
+                         covariate=c.reshape(-1, 1), use_mesh=False)
+    p = _perm_pvals(out)
+    assert float(np.mean(p < 0.05)) > 0.5
+
+
+def test_logistic_score_mesh_matches_single(tmp_path):
+    """The sharded score-test permutation (logistic_score_perm_sharded)
+    writes byte-identical output to the single-device path."""
+    import filecmp
+
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    vcf, snarl, pheno, c = _confounded_cohort(tmp_path, n_samples=40,
+                                              n_snarls=20)
+    snarls_chr = parse_snarl_path(snarl)
+    o1 = str(tmp_path / "s1.tsv")
+    o2 = str(tmp_path / "s2.tsv")
+    run_permutation_test(vcf, snarls_chr, o1, pheno_bin=pheno,
+                         n_perms=20, seed=2,
+                         covariate=c.reshape(-1, 1), use_mesh=False)
+    run_permutation_test(vcf, snarls_chr, o2, pheno_bin=pheno,
+                         n_perms=20, seed=2,
+                         covariate=c.reshape(-1, 1), use_mesh=True)
+    assert filecmp.cmp(o1, o2, shallow=False)
