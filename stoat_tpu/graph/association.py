@@ -607,6 +607,13 @@ def run_graph_association(graph_path: str, dist_path: str, binary_path: str,
     """CLI entry for ``stoat graph`` (graph.cpp:52-290)."""
     from stoat_tpu.graph.formats import sniff_graph_format
     from stoat_tpu.logsetup import TRACE
+    if dist_path:
+        logger.warning(
+            "-d/--dist: the SnarlDistanceIndex file %s is accepted for "
+            "stoat interface parity but NOT read — the snarl tree is "
+            "recomputed from the graph itself (snarl ids may differ in "
+            "orientation from the reference's .dist-derived ids; see "
+            "DESIGN.md §7).", dist_path)
     if (not logger.isEnabledFor(TRACE)
             and os.environ.get("STOAT_GRAPH_PYTHON") != "1"):
         try:

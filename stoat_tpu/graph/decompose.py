@@ -506,6 +506,18 @@ def decompose_to_snarl_file(graph_path: str, dist_path: Optional[str],
     """
     from stoat_tpu.graph.formats import sniff_graph_format
     from stoat_tpu.graph.gfa import load_gfa
+    if dist_path:
+        # Silent-ignore here is the one behavior a stoat user would
+        # mistake for a bug, so say it loudly (round-4 verdict item 6).
+        logger.warning(
+            "-d/--dist: the SnarlDistanceIndex file %s is accepted for "
+            "stoat interface parity but NOT read — the snarl tree is "
+            "recomputed from the graph itself.  Results are content-"
+            "identical to the reference, but snarl ids may differ in "
+            "orientation (a_b vs b_a) on some graphs because the "
+            "reference takes its orientation from the .dist index "
+            "(snarl_data_t.cpp:365-366); comparisons should key on "
+            "unordered id pairs (see DESIGN.md §7).", dist_path)
     fmt = sniff_graph_format(graph_path)
     os.makedirs(output_dir, exist_ok=True)
     out_snarl_path = os.path.join(output_dir, "snarl_analyse.tsv")

@@ -96,3 +96,25 @@ def test_case2_decompose_plus_gwas(tmp_path):
     assert {r[3] for r in rows} == {"1_4", "4_7", "7_10"}
     for r in rows:
         assert r[5] != "" and r[6] != ""
+
+
+def test_dist_flag_warns_loudly(tmp_path, caplog):
+    """-d is interface parity only: every run that passes a .dist file
+    must log a warning that the file is not read (round-4 verdict item
+    6 — silent-ignore reads as a bug to real stoat users)."""
+    import logging
+
+    from stoat_tpu.graph.decompose import decompose_to_snarl_file
+
+    gfa = tmp_path / "g.gfa"
+    gfa.write_text(
+        "H\tVN:Z:1.0\nS\t1\tA\nS\t2\tC\nS\t3\tG\nS\t4\tT\n"
+        "L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n"
+        "L\t2\t+\t4\t+\t0M\nL\t3\t+\t4\t+\t0M\n"
+        "P\tref\t1+,2+,4+\t*\n")
+    dist = tmp_path / "g.dist"
+    dist.write_text("not really a dist index")
+    with caplog.at_level(logging.WARNING, logger="stoat"):
+        decompose_to_snarl_file(str(gfa), str(dist), str(tmp_path),
+                                {"ref"})
+    assert any("NOT read" in r.message for r in caplog.records)
