@@ -30,7 +30,13 @@ COPY . /stoat
 
 RUN python3 -m venv /opt/stoat-venv \
     && /opt/stoat-venv/bin/pip install --upgrade pip \
-    && /opt/stoat-venv/bin/pip install .
+    && /opt/stoat-venv/bin/pip install . pytest
+
+# vg-in-the-loop integration tests (image-gated; skip without vg):
+#   docker run --entrypoint pytest <image> \
+#       /stoat/tests/test_vg_integration.py -v
+# With a reference stoat build mounted, add -e STOAT_BIN=/path/to/stoat
+# to also diff both tools' outputs on identical vg-built inputs.
 
 ENV PATH=/opt/stoat-venv/bin:$PATH
 
