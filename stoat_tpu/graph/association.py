@@ -490,6 +490,29 @@ def _write_fasta_partitions(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
                 out_fh.write("\n")
 
 
+_GRAPH_STATS_CACHE: Dict[str, object] = {}
+
+
+def _graph_stats_fused(G0, G1, mask):
+    """chi² 2×2 + Fisher + chi² 2×N in one jitted device dispatch
+    (compiled once per shape via the module cache)."""
+    import jax
+
+    fn = _GRAPH_STATS_CACHE.get("fn")
+    if fn is None:
+        from stoat_tpu.stats import chi2_2x2, chi2_2xn, fisher_exact_2x2
+
+        @jax.jit
+        def fn(G0d, G1d, maskd):
+            return (chi2_2x2(G0d[:, 0], G0d[:, 1], G1d[:, 0], G1d[:, 1]),
+                    fisher_exact_2x2(G0d[:, 0], G0d[:, 1], G1d[:, 0],
+                                     G1d[:, 1]),
+                    chi2_2xn(G0d, G1d, maskd))
+
+        _GRAPH_STATS_CACHE["fn"] = fn
+    return fn(G0, G1, mask)
+
+
 def _batch_test_and_write(blob, kinds, part_offs, g0, g1, out_fh) -> None:
     """Device-batched chi²/Fisher over the native prepare's partition
     counts + row splice-and-write (the tail of test_snarls' TSV path,
@@ -522,11 +545,14 @@ def _batch_test_and_write(blob, kinds, part_offs, g0, g1, out_fh) -> None:
         flat_src = (lo[:, None] + col[None, :])[mask[:B]]
         G0[:B][mask[:B]] = g0[flat_src]
         G1[:B][mask[:B]] = g1[flat_src]
-        p22 = np.asarray(chi2_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
-                                  G1[:, 1]))[:B]
-        pf = np.asarray(fisher_exact_2x2(G0[:, 0], G0[:, 1], G1[:, 0],
-                                         G1[:, 1]))[:B]
-        pn = np.asarray(chi2_2xn(G0, G1, mask))[:B]
+        # ONE device dispatch for all three statistics + overlapped
+        # fetches: three serial jit calls each paid a tunnel round trip
+        outs = _graph_stats_fused(G0, G1, mask)
+        for o in outs:
+            copy = getattr(o, "copy_to_host_async", None)
+            if copy is not None:
+                copy()
+        p22, pf, pn = (np.asarray(o)[:B] for o in outs)
     from stoat_tpu.native import graph_format_rows_native
     text = graph_format_rows_native(blob, kinds, p22, pf, pn,
                                     (k_arr == 2).astype(np.uint8))

@@ -70,10 +70,85 @@ struct Graph {
     // node sequences, kept only when an output needs them (FASTA mode)
     std::unordered_map<uint64_t, std::string> seq;
 
+    // Dense fast index over contiguous-ish node ids (build_index();
+    // when absent or a node falls outside it, every accessor falls back
+    // to the maps).  The per-query unordered_map/std::map lookups were
+    // the find/per-snarl phases' CPU sink at 100k-snarl scale.
+    uint64_t fx_min = 0;
+    bool fx_ready = false;
+    std::vector<int32_t> fx_slot;       // [id - fx_min] -> slot or -1
+    std::vector<uint32_t> fx_len;       // slot -> node length
+    std::vector<uint32_t> fx_offs;      // vertex (2*slot | orient) CSR
+    std::vector<Handle> fx_adj;
+
     const std::vector<Handle>& successors(Handle h) const {
         static const std::vector<Handle> kEmpty;
         auto it = succ.find(h);
         return it == succ.end() ? kEmpty : it->second;
+    }
+
+    inline int64_t fx_slot_of(uint64_t n) const {
+        if (n < fx_min) return -1;
+        uint64_t k = n - fx_min;
+        return k < fx_slot.size() ? fx_slot[size_t(k)] : -1;
+    }
+
+    inline uint32_t len_of(uint64_t n) const {
+        if (fx_ready) {
+            int64_t s = fx_slot_of(n);
+            if (s >= 0) return fx_len[size_t(s)];
+        }
+        auto it = node_len.find(n);
+        return it == node_len.end() ? 0 : it->second;
+    }
+
+    // successor span: CSR when indexed, map fallback otherwise
+    inline std::pair<const Handle*, size_t> succ_span(Handle h) const {
+        if (fx_ready) {
+            int64_t s = fx_slot_of(node_of(h));
+            if (s >= 0) {
+                size_t v = 2 * size_t(s) + size_t(h & 1);
+                return {fx_adj.data() + fx_offs[v],
+                        size_t(fx_offs[v + 1] - fx_offs[v])};
+            }
+        }
+        const auto& vs = successors(h);
+        return {vs.data(), vs.size()};
+    }
+
+    void build_index() {
+        fx_ready = false;
+        if (node_len.empty()) return;
+        const uint64_t mn = node_len.begin()->first;
+        const uint64_t mx = node_len.rbegin()->first;
+        if (mx - mn + 1 > 4 * uint64_t(node_len.size()) + 1024)
+            return;                      // sparse id space: keep the maps
+        fx_min = mn;
+        fx_slot.assign(size_t(mx - mn + 1), -1);
+        fx_len.resize(node_len.size());
+        int32_t s = 0;
+        for (const auto& [nid, len] : node_len) {
+            fx_slot[size_t(nid - mn)] = s;
+            fx_len[size_t(s)] = len;
+            ++s;
+        }
+        const size_t V = 2 * node_len.size();
+        fx_offs.assign(V + 1, 0);
+        for (const auto& [h, vs] : succ) {
+            int64_t sl = fx_slot_of(node_of(h));
+            if (sl >= 0)
+                fx_offs[2 * size_t(sl) + size_t(h & 1) + 1] =
+                    uint32_t(vs.size());
+        }
+        for (size_t v = 0; v < V; ++v) fx_offs[v + 1] += fx_offs[v];
+        fx_adj.resize(fx_offs[V]);
+        for (const auto& [h, vs] : succ) {
+            int64_t sl = fx_slot_of(node_of(h));
+            if (sl < 0) continue;
+            size_t base = fx_offs[2 * size_t(sl) + size_t(h & 1)];
+            std::copy(vs.begin(), vs.end(), fx_adj.begin() + long(base));
+        }
+        fx_ready = true;
     }
 
     void add_succ(Handle u, Handle v) {
@@ -111,20 +186,112 @@ static std::vector<std::string> split(const std::string& s, char d) {
     return out;
 }
 
+static void parse_gfa_path_line(const std::string& line,
+                                const std::set<std::string>& ref_names,
+                                std::vector<GPath>& out) {
+    auto f = split(line, '\t');
+    if (f[0] == "P" && f.size() >= 3) {
+        GPath p;
+        p.name = f[1];
+        // PanSN sample#hap#contig
+        auto parts = split(f[1], '#');
+        p.sample = parts.size() == 3 ? parts[0] : f[1];
+        p.is_ref = ref_names.empty() || ref_names.count(f[1]) ||
+                   ref_names.count(p.sample);
+        // in-place step scan (no per-token substr allocations — the
+        // steps field dominates the file at pangenome scale)
+        const std::string& sf = f[2];
+        p.steps.reserve(size_t(
+            std::count(sf.begin(), sf.end(), ',') + 1));
+        size_t k = 0;
+        while (k < sf.size()) {
+            uint64_t id = 0;
+            bool any = false;
+            while (k < sf.size() && sf[k] >= '0' && sf[k] <= '9') {
+                id = id * 10 + uint64_t(sf[k] - '0');
+                ++k;
+                any = true;
+            }
+            bool rev = k < sf.size() && sf[k] == '-';
+            if (any) p.steps.push_back(make_handle(id, rev));
+            while (k < sf.size() && sf[k] != ',') ++k;
+            ++k;
+        }
+        out.push_back(std::move(p));
+    } else if (f[0] == "W" && f.size() >= 7) {
+        GPath p;
+        p.sample = f[1];
+        p.name = f[1] + "#" + f[2] + "#" + f[3];
+        p.is_ref = ref_names.count(f[1]) > 0;
+        const std::string& walk = f[6];
+        size_t i = 0;
+        while (i < walk.size()) {
+            char c = walk[i];
+            if (c == '>' || c == '<') {
+                bool rev = c == '<';
+                size_t j = ++i;
+                while (i < walk.size() && isdigit(walk[i])) ++i;
+                p.steps.push_back(make_handle(
+                    std::stoull(walk.substr(j, i - j)), rev));
+            } else {
+                ++i;
+            }
+        }
+        out.push_back(std::move(p));
+    }
+}
+
+
 static bool load_gfa(const char* path,
                      const std::set<std::string>& ref_names, Graph& g,
                      bool keep_seq = false) {
-    FILE* fh = fopen(path, "r");
-    if (!fh) return false;
-    char* lineptr = nullptr;
-    size_t cap = 0;
-    ssize_t got;
+    // One read into memory, then S/L (nodes+edges) and P/W (paths)
+    // parse on separate threads — at pangenome scale the path-step
+    // tokens rival the S/L line count, so the split roughly halves the
+    // load wall on a 2-core host (measured).
+    std::string buf;
+    {
+        FILE* fh = fopen(path, "rb");
+        if (!fh) return false;
+        fseek(fh, 0, SEEK_END);
+        long sz = ftell(fh);
+        fseek(fh, 0, SEEK_SET);
+        if (sz < 0) { fclose(fh); return false; }
+        buf.resize(size_t(sz));
+        size_t rd = sz ? fread(&buf[0], 1, size_t(sz), fh) : 0;
+        fclose(fh);
+        buf.resize(rd);
+    }
+    std::vector<std::pair<size_t, size_t>> lines;   // (start, len)
+    {
+        size_t start = 0;
+        while (start < buf.size()) {
+            const char* nl = (const char*)memchr(
+                buf.data() + start, '\n', buf.size() - start);
+            size_t end = nl ? size_t(nl - buf.data()) : buf.size();
+            size_t len = end - start;
+            while (len && buf[start + len - 1] == '\r') --len;
+            if (len) lines.push_back({start, len});
+            start = end + 1;
+        }
+    }
+
+    std::vector<GPath> paths_out;
+    std::thread path_thread([&]() {
+        std::string line;
+        for (const auto& [lo, ln] : lines) {
+            char c0 = buf[lo];
+            if (c0 != 'P' && c0 != 'W') continue;
+            line.assign(buf, lo, ln);
+            parse_gfa_path_line(line, ref_names, paths_out);
+        }
+    });
+
     std::string line;
-    while ((got = getline(&lineptr, &cap, fh)) != -1) {
-        line.assign(lineptr, size_t(got));
-        while (!line.empty() && (line.back() == '\n' || line.back() == '\r'))
-            line.pop_back();
-        if (line.empty() || line[0] == '#') continue;
+    for (const auto& [lo, ln] : lines) {
+        char c0 = buf[lo];
+        if (c0 != 'S' && c0 != 'L') continue;
+        line.assign(buf, lo, ln);
         // S/L dominate line counts at scale: scan them in place instead
         // of allocating per-field substrings
         if (line[0] == 'S' && line[1] == '\t') {
@@ -153,59 +320,9 @@ static bool load_gfa(const char* path,
             }
             continue;
         }
-        auto f = split(line, '\t');
-        if (f[0] == "P" && f.size() >= 3) {
-            GPath p;
-            p.name = f[1];
-            // PanSN sample#hap#contig
-            auto parts = split(f[1], '#');
-            p.sample = parts.size() == 3 ? parts[0] : f[1];
-            p.is_ref = ref_names.empty() || ref_names.count(f[1]) ||
-                       ref_names.count(p.sample);
-            // in-place step scan (no per-token substr allocations — the
-            // steps field dominates the file at pangenome scale)
-            const std::string& sf = f[2];
-            p.steps.reserve(size_t(
-                std::count(sf.begin(), sf.end(), ',') + 1));
-            size_t k = 0;
-            while (k < sf.size()) {
-                uint64_t id = 0;
-                bool any = false;
-                while (k < sf.size() && sf[k] >= '0' && sf[k] <= '9') {
-                    id = id * 10 + uint64_t(sf[k] - '0');
-                    ++k;
-                    any = true;
-                }
-                bool rev = k < sf.size() && sf[k] == '-';
-                if (any) p.steps.push_back(make_handle(id, rev));
-                while (k < sf.size() && sf[k] != ',') ++k;
-                ++k;
-            }
-            g.paths.push_back(std::move(p));
-        } else if (f[0] == "W" && f.size() >= 7) {
-            GPath p;
-            p.sample = f[1];
-            p.name = f[1] + "#" + f[2] + "#" + f[3];
-            p.is_ref = ref_names.count(f[1]) > 0;
-            const std::string& walk = f[6];
-            size_t i = 0;
-            while (i < walk.size()) {
-                char c = walk[i];
-                if (c == '>' || c == '<') {
-                    bool rev = c == '<';
-                    size_t j = ++i;
-                    while (i < walk.size() && isdigit(walk[i])) ++i;
-                    p.steps.push_back(make_handle(
-                        std::stoull(walk.substr(j, i - j)), rev));
-                } else {
-                    ++i;
-                }
-            }
-            g.paths.push_back(std::move(p));
-        }
     }
-    free(lineptr);
-    fclose(fh);
+    path_thread.join();
+    g.paths = std::move(paths_out);
     return true;
 }
 
@@ -241,33 +358,45 @@ static std::optional<PairResult> test_pair(const Graph& g, Handle a,
     Handle a_inside = a;  // side key == handle
     if (b_node == a_node) return std::nullopt;
 
-    std::set<uint64_t> U;
+    // scratch reused across the ~2 candidate tests per snarl (the
+    // former per-call std::set/std::deque allocations were measurable
+    // at 200k candidates); U stays an ordered set only in the returned
+    // PairResult
+    static thread_local std::unordered_set<uint64_t> U;
+    static thread_local std::vector<uint64_t> queue;
+    U.clear();
+    queue.clear();
+    size_t qh = 0;
     std::set<Handle> b_faces;
-    std::deque<uint64_t> queue;
 
-    for (Handle v : g.successors(a)) {
-        uint64_t m = node_of(v);
-        if (m == a_node) {
-            if (entry_side(v) != a_inside) return std::nullopt;
-            continue;
+    {
+        auto [sp, sn] = g.succ_span(a);
+        for (size_t si = 0; si < sn; ++si) {
+            Handle v = sp[si];
+            uint64_t m = node_of(v);
+            if (m == a_node) {
+                if (entry_side(v) != a_inside) return std::nullopt;
+                continue;
+            }
+            if (m == b_node) {
+                b_faces.insert(entry_side(v));
+                if (b_faces.size() > 1) return std::nullopt;
+                continue;
+            }
+            queue.push_back(m);
         }
-        if (m == b_node) {
-            b_faces.insert(entry_side(v));
-            if (b_faces.size() > 1) return std::nullopt;
-            continue;
-        }
-        queue.push_back(m);
     }
 
-    while (!queue.empty()) {
-        uint64_t u = queue.front();
-        queue.pop_front();
+    while (qh < queue.size()) {
+        uint64_t u = queue[qh++];
         if (U.count(u)) continue;
         U.insert(u);
         if (U.size() > budget || U.size() > kMaxInterior) return std::nullopt;
         for (int o = 0; o < 2; ++o) {
             Handle side = make_handle(u, o);
-            for (Handle v : g.successors(side)) {
+            auto [sp, sn] = g.succ_span(side);
+            for (size_t si = 0; si < sn; ++si) {
+                Handle v = sp[si];
                 uint64_t m = node_of(v);
                 if (m == a_node) {
                     if (entry_side(v) != a_inside) return std::nullopt;
@@ -288,7 +417,9 @@ static std::optional<PairResult> test_pair(const Graph& g, Handle a,
 
     auto ok_inside = [&](Handle side, Handle own_inside, uint64_t other_node,
                          Handle other_inside) {
-        for (Handle v : g.successors(side)) {
+        auto [sp, sn] = g.succ_span(side);
+        for (size_t si = 0; si < sn; ++si) {
+            Handle v = sp[si];
             uint64_t m = node_of(v);
             Handle es = entry_side(v);
             if (U.count(m)) continue;
@@ -300,7 +431,9 @@ static std::optional<PairResult> test_pair(const Graph& g, Handle a,
     };
     auto ok_outside = [&](Handle side, uint64_t other_node,
                           Handle other_inside) {
-        for (Handle v : g.successors(side)) {
+        auto [sp, sn] = g.succ_span(side);
+        for (size_t si = 0; si < sn; ++si) {
+            Handle v = sp[si];
             uint64_t m = node_of(v);
             Handle es = entry_side(v);
             if (U.count(m)) return false;
@@ -315,9 +448,9 @@ static std::optional<PairResult> test_pair(const Graph& g, Handle a,
     if (!ok_inside(b_inside, b_inside, a_node, a_inside)) return std::nullopt;
     if (!ok_outside(a_outside, b_node, b_inside)) return std::nullopt;
     if (!ok_outside(b_outside, a_node, a_inside)) return std::nullopt;
-    if (U.empty() && g.successors(a).size() < 2) return std::nullopt;
+    if (U.empty() && g.succ_span(a).second < 2) return std::nullopt;
 
-    return PairResult{std::move(U), b_outside};
+    return PairResult{std::set<uint64_t>(U.begin(), U.end()), b_outside};
 }
 
 struct FindResult {
@@ -331,11 +464,14 @@ static std::optional<FindResult> find_snarl_from(
         int max_tries) {
     std::vector<uint64_t> order;
     std::set<uint64_t> seen{node_of(a)};
-    for (Handle v : g.successors(a)) {
-        uint64_t m = node_of(v);
-        if (!seen.count(m)) {
-            seen.insert(m);
-            order.push_back(m);
+    {
+        auto [sp, sn] = g.succ_span(a);
+        for (size_t si = 0; si < sn; ++si) {
+            uint64_t m = node_of(sp[si]);
+            if (!seen.count(m)) {
+                seen.insert(m);
+                order.push_back(m);
+            }
         }
     }
     int tried = 0;
@@ -352,8 +488,9 @@ static std::optional<FindResult> find_snarl_from(
                                         res->end_handle};
         }
         for (int o = 0; o < 2; ++o) {
-            for (Handle v : g.successors(make_handle(b, o))) {
-                uint64_t m = node_of(v);
+            auto [sp, sn] = g.succ_span(make_handle(b, o));
+            for (size_t si = 0; si < sn; ++si) {
+                uint64_t m = node_of(sp[si]);
                 if (!seen.count(m)) {
                     seen.insert(m);
                     order.push_back(m);
@@ -437,10 +574,10 @@ static std::set<uint64_t> cyclic_nodes(const Graph& g) {
         on_stack[root] = 1;
         while (!work.empty()) {
             uint32_t v = work.back().v;
-            const auto& succs = g.successors(vert[v]);
+            auto [sp, sn] = g.succ_span(vert[v]);
             bool advanced = false;
-            while (work.back().pos < succs.size()) {
-                Handle wh = succs[work.back().pos++];
+            while (work.back().pos < sn) {
+                Handle wh = sp[work.back().pos++];
                 int64_t wi = vid(wh);
                 if (wi < 0) continue;       // edge to an undeclared node
                 uint32_t w = uint32_t(wi);
@@ -1289,36 +1426,80 @@ static void assoc_min_max_len(const Graph& g, const Snarl& s,
                               long* mn_out, long* mx_out) {
     // mirror of association.py _snarl_min_max_len: min/max interior
     // sequence length over simple start->end traversals, LIFO stack,
-    // budget 200000 pops
-    struct Item {
-        Handle h;
-        std::set<uint64_t> visited;
-        long total;
-    };
-    std::vector<Item> stack;
-    stack.push_back({s.start, {}, 0});
-    long budget = 200000;
+    // budget 200000 pops.  Interiors of <= 64 nodes (virtually every
+    // snarl) carry the visited set as one uint64 bitmask — the former
+    // per-item std::set copies were the per-snarl hot spot (malloc
+    // churn at 100k-snarl scale, measured).
     long best_min = -1, best_max = -1;
     const uint64_t end_node = node_of(s.end);
-    while (!stack.empty() && budget > 0) {
-        --budget;
-        Item it = std::move(stack.back());
-        stack.pop_back();
-        for (Handle v : g.successors(it.h)) {
-            uint64_t m = node_of(v);
-            if (m == end_node) {
-                if (best_min < 0 || it.total < best_min)
-                    best_min = it.total;
-                if (it.total > best_max) best_max = it.total;
-            } else if (s.interior.count(m) && !it.visited.count(m)) {
-                Item ni;
-                ni.h = v;
-                ni.visited = it.visited;
-                ni.visited.insert(m);
-                auto li = g.node_len.find(m);
-                ni.total = it.total +
-                           (li == g.node_len.end() ? 0 : long(li->second));
-                stack.push_back(std::move(ni));
+    const size_t ni_count = s.interior.size();
+    if (ni_count <= 64) {
+        std::vector<uint64_t> ids(s.interior.begin(), s.interior.end());
+        auto bit = [&](uint64_t m) -> int {
+            size_t lo = 0, hi = ids.size();
+            while (lo < hi) {
+                size_t mid = (lo + hi) / 2;
+                if (ids[mid] < m) lo = mid + 1; else hi = mid;
+            }
+            return (lo < ids.size() && ids[lo] == m) ? int(lo) : -1;
+        };
+        struct Item {
+            Handle h;
+            uint64_t visited;
+            long total;
+        };
+        std::vector<Item> stack;
+        stack.push_back({s.start, 0, 0});
+        long budget = 200000;
+        while (!stack.empty() && budget > 0) {
+            --budget;
+            Item it = stack.back();
+            stack.pop_back();
+            auto [sp, sn] = g.succ_span(it.h);
+            for (size_t si = 0; si < sn; ++si) {
+                Handle v = sp[si];
+                uint64_t m = node_of(v);
+                if (m == end_node) {
+                    if (best_min < 0 || it.total < best_min)
+                        best_min = it.total;
+                    if (it.total > best_max) best_max = it.total;
+                    continue;
+                }
+                int b = bit(m);
+                if (b < 0 || (it.visited >> b) & 1) continue;
+                stack.push_back({v, it.visited | (uint64_t(1) << b),
+                                 it.total + long(g.len_of(m))});
+            }
+        }
+    } else {
+        struct Item {
+            Handle h;
+            std::set<uint64_t> visited;
+            long total;
+        };
+        std::vector<Item> stack;
+        stack.push_back({s.start, {}, 0});
+        long budget = 200000;
+        while (!stack.empty() && budget > 0) {
+            --budget;
+            Item it = std::move(stack.back());
+            stack.pop_back();
+            auto [sp, sn] = g.succ_span(it.h);
+            for (size_t si = 0; si < sn; ++si) {
+                Handle v = sp[si];
+                uint64_t m = node_of(v);
+                if (m == end_node) {
+                    if (best_min < 0 || it.total < best_min)
+                        best_min = it.total;
+                    if (it.total > best_max) best_max = it.total;
+                } else if (s.interior.count(m) && !it.visited.count(m)) {
+                    Item ni;
+                    ni.h = v;
+                    ni.visited = it.visited;
+                    ni.visited.insert(m);
+                    ni.total = it.total + long(g.len_of(m));
+                    stack.push_back(std::move(ni));
+                }
             }
         }
     }
@@ -1337,17 +1518,20 @@ static bool assoc_is_regular(const Graph& g, const Snarl& s) {
     const uint64_t sn = node_of(s.start), en = node_of(s.end);
     for (uint64_t nid : s.interior) {
         for (int o = 0; o < 2; ++o) {
-            for (Handle v : g.successors(make_handle(nid, o))) {
-                uint64_t m = node_of(v);
+            auto [sp, snc] = g.succ_span(make_handle(nid, o));
+            for (size_t si = 0; si < snc; ++si) {
+                uint64_t m = node_of(sp[si]);
                 if (s.interior.count(m)) return false;   // child-child edge
                 if (m != sn && m != en) return false;    // leaves the snarl
             }
         }
     }
     const Handle bounds[2] = {s.start, flip(s.end)};
-    for (Handle h : bounds)
-        for (Handle v : g.successors(h))
-            if (node_of(v) == node_of(h)) return false;  // reversal at bound
+    for (Handle h : bounds) {
+        auto [sp, snc] = g.succ_span(h);
+        for (size_t si = 0; si < snc; ++si)
+            if (node_of(sp[si]) == node_of(h)) return false;  // reversal
+    }
     return true;
 }
 
@@ -1858,6 +2042,7 @@ static long assoc_run(
             .count();
     };
     const long n_pheno = long(pheno_names.size());
+    g.build_index();         // dense CSR adjacency + length lookups
     double t1 = now();
 
     // phenotype sample table
@@ -1905,8 +2090,7 @@ static long assoc_run(
         long pos = 0;
         for (Handle st : p.steps) {
             offs.emplace(node_of(st), pos);
-            auto li = g.node_len.find(node_of(st));
-            pos += li == g.node_len.end() ? 0 : long(li->second);
+            pos += long(g.len_of(node_of(st)));
         }
         ref_offsets.push_back({p.name, std::move(offs)});
     }
@@ -1940,9 +2124,12 @@ static long assoc_run(
         std::vector<std::vector<std::pair<int32_t, Handle>>> per_path(
             n_paths);
         std::vector<int32_t> touched, inter_sets(n_paths), old_sets;
-        std::vector<std::set<int32_t>> members;
-        std::map<std::vector<Handle>, int32_t> group_of;
-        std::vector<std::set<int32_t>> group_samples;
+        std::vector<std::vector<int32_t>> members;
+        // group keys/members as reused flat vectors: the former
+        // std::map<vector,int> + per-group std::set cost ~50 node
+        // allocations per snarl (the persnarl phase's malloc churn)
+        std::vector<std::vector<Handle>> group_keys;
+        std::vector<std::vector<int32_t>> group_members;
         std::vector<Handle> gkey;
         for (;;) {
             long s = next.fetch_add(1);
@@ -1976,21 +2163,33 @@ static long assoc_run(
                     }
                     std::sort(touched.begin(), touched.end());
                 }
-                group_of.clear();
-                group_samples.clear();
+                size_t n_groups = 0;
                 for (int32_t p : touched) {
                     auto& cr = per_path[size_t(p)];
                     std::sort(cr.begin(), cr.end());
                     gkey.clear();
                     for (const auto& e : cr) gkey.push_back(e.second);
-                    auto ins = group_of.emplace(
-                        gkey, int32_t(group_samples.size()));
-                    if (ins.second) group_samples.emplace_back();
-                    group_samples[size_t(ins.first->second)].insert(
+                    size_t gi = 0;
+                    for (; gi < n_groups; ++gi)
+                        if (group_keys[gi] == gkey) break;
+                    if (gi == n_groups) {       // first appearance order
+                        if (group_keys.size() <= gi) {
+                            group_keys.emplace_back();
+                            group_members.emplace_back();
+                        }
+                        group_keys[gi] = gkey;
+                        group_members[gi].clear();
+                        ++n_groups;
+                    }
+                    group_members[gi].push_back(
                         ix.path_sample[size_t(p)]);
                     cr.clear();
                 }
-                for (const auto& gs : group_samples) {
+                for (size_t gi = 0; gi < n_groups; ++gi) {
+                    auto& gs = group_members[gi];
+                    std::sort(gs.begin(), gs.end());
+                    gs.erase(std::unique(gs.begin(), gs.end()),
+                             gs.end());
                     uint32_t c = 0, t = 0;
                     int32_t best = -1;
                     for (int32_t sm : gs) {
@@ -2015,15 +2214,22 @@ static long assoc_run(
                              touched, inter_sets);
             // distinct-sample case/control counts per set, set-id order,
             // empties skipped (partition_samples_in_snarl's return)
-            members.assign(size_t(set_count), {});
+            if (members.size() < size_t(set_count))
+                members.resize(size_t(set_count));
+            for (int32_t sid = 0; sid < set_count; ++sid)
+                members[size_t(sid)].clear();
             for (size_t i = 0; i < n_paths; ++i)
                 if (old_sets[i] != 0)
-                    members[size_t(old_sets[i])].insert(ix.path_sample[i]);
+                    members[size_t(old_sets[i])].push_back(
+                        ix.path_sample[i]);
             for (int32_t sid = 1; sid < set_count; ++sid) {
-                if (members[size_t(sid)].empty()) continue;
+                auto& gs = members[size_t(sid)];
+                if (gs.empty()) continue;
+                std::sort(gs.begin(), gs.end());
+                gs.erase(std::unique(gs.begin(), gs.end()), gs.end());
                 uint32_t c = 0, t = 0;
                 int32_t best = -1;
-                for (int32_t sm : members[size_t(sid)]) {
+                for (int32_t sm : gs) {
                     if (pheno_case[sm]) ++c; else ++t;
                     if (fasta_mode &&
                         (best < 0 || name_rank[size_t(sm)] <
@@ -2078,8 +2284,7 @@ static long assoc_run(
             long pos = 0;
             for (size_t k = 0; k < sv.size(); ++k) {
                 poffs[p][k] = pos;
-                auto li = g.node_len.find(node_of(sv[k]));
-                pos += li == g.node_len.end() ? 0 : long(li->second);
+                pos += long(g.len_of(node_of(sv[k])));
             }
         }
         // reference candidate paths (same filter as ref_offsets) with
@@ -2100,8 +2305,7 @@ static long assoc_run(
             long pos = 0;
             for (size_t k = 0; k < p.steps.size(); ++k) {
                 rc.offs[k] = pos;
-                auto li = g.node_len.find(node_of(p.steps[k]));
-                pos += li == g.node_len.end() ? 0 : long(li->second);
+                pos += long(g.len_of(node_of(p.steps[k])));
             }
             ref_cands.push_back(std::move(rc));
         }
@@ -2162,10 +2366,8 @@ static long assoc_run(
                     for (size_t k = 0; k + 1 < idxs.size(); ++k) {
                         int32_t i = idxs[k], j = idxs[k + 1];
                         if (!traversal_ok(sv, sn.interior, i, j)) continue;
-                        auto li = g.node_len.find(node_of(sv[size_t(i)]));
                         long so = offs[size_t(i)] +
-                                  (li == g.node_len.end()
-                                       ? 0 : long(li->second));
+                                  long(g.len_of(node_of(sv[size_t(i)])));
                         snprintf(hdr, sizeof hdr, ":%ld-%ld", so,
                                  offs[size_t(j)]);
                         ref_coord = ref_cands[c].p->name + hdr;
@@ -2190,10 +2392,8 @@ static long assoc_run(
                     std::string seq;
                     for (int32_t q = i + 1; q < j; ++q)
                         append_seq(sv[size_t(q)], seq);
-                    auto li = g.node_len.find(node_of(sv[size_t(i)]));
                     long so = poffs[p][size_t(i)] +
-                              (li == g.node_len.end() ? 0
-                                                      : long(li->second));
+                              long(g.len_of(node_of(sv[size_t(i)])));
                     snprintf(hdr, sizeof hdr,
                              ">snarl:%llu-%llu|%s|%s:%ld-%ld\n",
                              (unsigned long long)a, (unsigned long long)b,
@@ -2296,9 +2496,8 @@ static long assoc_run(
                 std::swap(x, y);
                 first = enode;
             }
-            auto li = g.node_len.find(first);
             chrom = nm;
-            a = x + (li == g.node_len.end() ? 0 : long(li->second));
+            a = x + long(g.len_of(first));
             b = y;
             break;
         }
