@@ -25,7 +25,9 @@
 #include <cstring>
 #include <deque>
 #include <functional>
+#include <condition_variable>
 #include <map>
+#include <mutex>
 #include <optional>
 #include <set>
 #include <sstream>
@@ -245,53 +247,70 @@ static void parse_gfa_path_line(const std::string& line,
 static bool load_gfa(const char* path,
                      const std::set<std::string>& ref_names, Graph& g,
                      bool keep_seq = false) {
-    // One read into memory, then S/L (nodes+edges) and P/W (paths)
-    // parse on separate threads — at pangenome scale the path-step
+    // Streaming parse with the P/W path lines handed to a second
+    // thread through a BOUNDED queue: at pangenome scale the path-step
     // tokens rival the S/L line count, so the split roughly halves the
-    // load wall on a 2-core host (measured).
-    std::string buf;
-    {
-        FILE* fh = fopen(path, "rb");
-        if (!fh) return false;
-        fseek(fh, 0, SEEK_END);
-        long sz = ftell(fh);
-        fseek(fh, 0, SEEK_SET);
-        if (sz < 0) { fclose(fh); return false; }
-        buf.resize(size_t(sz));
-        size_t rd = sz ? fread(&buf[0], 1, size_t(sz), fh) : 0;
-        fclose(fh);
-        buf.resize(rd);
-    }
-    std::vector<std::pair<size_t, size_t>> lines;   // (start, len)
-    {
-        size_t start = 0;
-        while (start < buf.size()) {
-            const char* nl = (const char*)memchr(
-                buf.data() + start, '\n', buf.size() - start);
-            size_t end = nl ? size_t(nl - buf.data()) : buf.size();
-            size_t len = end - start;
-            while (len && buf[start + len - 1] == '\r') --len;
-            if (len) lines.push_back({start, len});
-            start = end + 1;
-        }
-    }
+    // load wall on a 2-core host (measured) — while memory stays at
+    // one line + the queue depth, never the whole file (a multi-GB
+    // GFA must not be slurped).
+    FILE* fh = fopen(path, "r");
+    if (!fh) return false;
 
+    constexpr size_t kQueueCap = 256;
+    struct PWLine {
+        char* p;
+        size_t len;
+    };
+    std::vector<PWLine> pw_queue;
+    std::mutex qmu;
+    std::condition_variable qcv_push, qcv_pop;
+    bool done = false;
     std::vector<GPath> paths_out;
     std::thread path_thread([&]() {
-        std::string line;
-        for (const auto& [lo, ln] : lines) {
-            char c0 = buf[lo];
-            if (c0 != 'P' && c0 != 'W') continue;
-            line.assign(buf, lo, ln);
-            parse_gfa_path_line(line, ref_names, paths_out);
+        std::vector<PWLine> local;
+        std::string l;
+        for (;;) {
+            {
+                std::unique_lock<std::mutex> lk(qmu);
+                qcv_pop.wait(lk, [&] { return done || !pw_queue.empty(); });
+                if (pw_queue.empty() && done) return;
+                local.swap(pw_queue);
+            }
+            qcv_push.notify_one();
+            for (const auto& pl : local) {
+                l.assign(pl.p, pl.len);
+                free(pl.p);
+                parse_gfa_path_line(l, ref_names, paths_out);
+            }
+            local.clear();
         }
     });
 
+    char* lineptr = nullptr;
+    size_t cap = 0;
+    ssize_t got;
     std::string line;
-    for (const auto& [lo, ln] : lines) {
-        char c0 = buf[lo];
+    while ((got = getline(&lineptr, &cap, fh)) != -1) {
+        size_t len = size_t(got);
+        while (len && (lineptr[len - 1] == '\n' || lineptr[len - 1] == '\r'))
+            --len;
+        if (!len) continue;
+        char c0 = lineptr[0];
+        if (c0 == 'P' || c0 == 'W') {
+            // hand the getline buffer itself across (zero copy on this
+            // thread); getline mallocs a fresh one next iteration
+            PWLine pl{lineptr, len};
+            lineptr = nullptr;
+            cap = 0;
+            std::unique_lock<std::mutex> lk(qmu);
+            qcv_push.wait(lk, [&] { return pw_queue.size() < kQueueCap; });
+            pw_queue.push_back(pl);
+            lk.unlock();
+            qcv_pop.notify_one();
+            continue;
+        }
         if (c0 != 'S' && c0 != 'L') continue;
-        line.assign(buf, lo, ln);
+        line.assign(lineptr, len);
         // S/L dominate line counts at scale: scan them in place instead
         // of allocating per-field substrings
         if (line[0] == 'S' && line[1] == '\t') {
@@ -321,6 +340,13 @@ static bool load_gfa(const char* path,
             continue;
         }
     }
+    free(lineptr);
+    fclose(fh);
+    {
+        std::lock_guard<std::mutex> lk(qmu);
+        done = true;
+    }
+    qcv_pop.notify_one();
     path_thread.join();
     g.paths = std::move(paths_out);
     return true;
@@ -2394,13 +2420,17 @@ static long assoc_run(
                         append_seq(sv[size_t(q)], seq);
                     long so = poffs[p][size_t(i)] +
                               long(g.len_of(node_of(sv[size_t(i)])));
-                    snprintf(hdr, sizeof hdr,
-                             ">snarl:%llu-%llu|%s|%s:%ld-%ld\n",
-                             (unsigned long long)a, (unsigned long long)b,
-                             ref_coord.c_str(),
-                             pheno_names[size_t(
-                                 ix.path_sample[p])].c_str(),
-                             so, poffs[p][size_t(j)]);
+                    // header via std::string — names are unbounded
+                    // (long PanSN sample/contig names must not truncate)
+                    snprintf(hdr, sizeof hdr, ">snarl:%llu-%llu|",
+                             (unsigned long long)a,
+                             (unsigned long long)b);
+                    fasta += hdr;
+                    fasta += ref_coord;
+                    fasta += '|';
+                    fasta += pheno_names[size_t(ix.path_sample[p])];
+                    snprintf(hdr, sizeof hdr, ":%ld-%ld\n", so,
+                             poffs[p][size_t(j)]);
                     fasta += hdr;
                     for (size_t q = 0; q < seq.size(); q += 80) {
                         fasta.append(seq, q, 80);

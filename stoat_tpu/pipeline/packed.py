@@ -237,6 +237,17 @@ def _unpack_bool_bits(u8, n: int):
     return bits.reshape(-1)[:n] != 0
 
 
+def gather_dedup(uniq_dev, flags_np: np.ndarray, n: int):
+    """Rebuild [n, W] rows from consecutive-dedup unique rows + host
+    bool "new row" flags: the flags ride as packed bits and the inverse
+    index is a device cumsum (the one shared implementation behind the
+    streamed and whole-matrix dedup uploads)."""
+    fu8 = jnp.asarray(np.packbits(flags_np, bitorder="little"))
+    new = _unpack_bool_bits(fu8, n)
+    inv = jnp.cumsum(new.astype(jnp.int32)) - 1
+    return jnp.take(uniq_dev, inv, axis=0)
+
+
 def upload_bool_bits(mask: np.ndarray):
     """Upload a bool [N] mask as packed bits (8x fewer bytes than the
     1-byte-per-bool jnp.asarray ship); returns a device bool [N]."""

@@ -220,17 +220,14 @@ def assemble_words_device(matrix):
             stale = np.flatnonzero(np.any(host != want, axis=1))
             if stale.size:
                 fix_rows.append(stale + lo)
+        from stoat_tpu.pipeline.packed import gather_dedup
         W = int(final.shape[1])
         flags = (np.concatenate(flag_parts) if len(flag_parts) > 1
                  else flag_parts[0])
         n = int(flags.shape[0])           # == E rows (excl. identity)
         uniq = (jnp.concatenate(uniq_parts, axis=0)
                 if len(uniq_parts) > 1 else uniq_parts[0])
-        fu8 = jnp.asarray(np.packbits(flags, bitorder="little"))
-        bits = (fu8[:, None] >> jnp.arange(8, dtype=jnp.uint8)) \
-            & jnp.uint8(1)
-        inv = jnp.cumsum(bits.reshape(-1)[:n].astype(jnp.int32)) - 1
-        body = jnp.take(uniq, inv, axis=0)
+        body = gather_dedup(uniq, flags, n)
         ident = jnp.full((1, W), 0xFFFFFFFF, jnp.uint32)
         words = jnp.concatenate([body, ident], axis=0)
         if fix_rows:
@@ -247,6 +244,8 @@ def upload_words_dedup(words_np: np.ndarray):
     ``jnp.asarray(words_np)`` but ~2x fewer bytes on the wire for
     VCF-shaped matrices (runs of identical rows per allele path)."""
     import jax.numpy as jnp
+
+    from stoat_tpu.pipeline.packed import gather_dedup
     n = int(words_np.shape[0])
     if n < 16:
         return jnp.asarray(words_np)
@@ -256,11 +255,7 @@ def upload_words_dedup(words_np: np.ndarray):
     n_uniq = int(np.count_nonzero(new))
     if n_uniq > 0.85 * n:                 # incompressible; ship raw
         return jnp.asarray(words_np)
-    uniq = jnp.asarray(words_np[new])
-    fu8 = jnp.asarray(np.packbits(new, bitorder="little"))
-    bits = (fu8[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & jnp.uint8(1)
-    inv = jnp.cumsum(bits.reshape(-1)[:n].astype(jnp.int32)) - 1
-    return jnp.take(uniq, inv, axis=0)
+    return gather_dedup(jnp.asarray(words_np[new]), new, n)
 
 
 def _prefetched(gen, depth: int = 1):

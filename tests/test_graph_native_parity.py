@@ -202,3 +202,46 @@ def test_gbz_native_assoc_matches_python(parity_graph, fmt, monkeypatch):
     name = ("binary_table_graph.tsv" if fmt == "tsv"
             else "binary_output.fasta")
     assert filecmp.cmp(out_n / name, out_p / name, shallow=False)
+
+
+def test_fasta_long_names_not_truncated(tmp_path, monkeypatch):
+    """Round-5 review: FASTA headers must not truncate when reference
+    path + sample names are long (PanSN accession-style names exceed
+    the old fixed snprintf buffer)."""
+    from stoat_tpu.graph.association import run_graph_association
+    from stoat_tpu.native import get_graph_lib
+
+    if get_graph_lib() is None:
+        pytest.skip("native graph core unavailable")
+    long_ref = "GRCh38.chr1_KI270766v1_alt." + "x" * 120
+    samp = ["SAMEA" + str(7000000 + i) + ".haplotype." + "y" * 90
+            for i in range(4)]
+    gfa = tmp_path / "long.gfa"
+    with open(gfa, "w") as fh:
+        fh.write("H\tVN:Z:1.0\n")
+        fh.write("S\t1\tAAAA\nS\t2\tC\nS\t3\tGG\nS\t4\tTTTT\n")
+        fh.write("L\t1\t+\t2\t+\t0M\nL\t1\t+\t3\t+\t0M\n")
+        fh.write("L\t2\t+\t4\t+\t0M\nL\t3\t+\t4\t+\t0M\n")
+        fh.write(f"P\t{long_ref}\t1+,2+,4+\t*\n")
+        for i, s in enumerate(samp):
+            mid = "2+" if i % 2 == 0 else "3+"
+            fh.write(f"P\t{s}#0#chr\t1+,{mid},4+\t*\n")
+    pheno = tmp_path / "p.tsv"
+    with open(pheno, "w") as fh:
+        fh.write("FID\tIID\tPHENO\n")
+        for i, s in enumerate(samp):
+            fh.write(f"{s}\t{s}\t{1 + i % 2}\n")
+    out_n = tmp_path / "n"
+    out_p = tmp_path / "p"
+    out_n.mkdir()
+    out_p.mkdir()
+    rc = run_graph_association(str(gfa), "", str(pheno), "chi2", "fasta",
+                               0, long_ref, str(out_n))
+    assert rc == 0
+    monkeypatch.setenv("STOAT_GRAPH_PYTHON", "1")
+    rc = run_graph_association(str(gfa), "", str(pheno), "chi2", "fasta",
+                               0, long_ref, str(out_p))
+    assert rc == 0
+    native = (out_n / "binary_output.fasta").read_text()
+    assert long_ref in native and samp[0] in native
+    assert native == (out_p / "binary_output.fasta").read_text()

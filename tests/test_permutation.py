@@ -333,6 +333,24 @@ def test_mesh_sharded_matches_single_device(data, tmp_path):
                          output_tsv_quant=q2, use_mesh=True)
     assert filecmp.cmp(b1, b2, shallow=False)
     assert filecmp.cmp(q1, q2, shallow=False)
+    # the quantitative COVARIATE arm (Freedman-Lane + with_covar design
+    # inside the shard) must also match byte for byte
+    rng = np.random.default_rng(0)
+    covar = rng.standard_normal((len(samples), 2))
+    qc1 = str(tmp_path / "qc_single.tsv")
+    qc2 = str(tmp_path / "qc_mesh.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=qc1, covariate=covar,
+                         n_perms=N_PERMS, seed=SEED, use_mesh=False)
+    run_permutation_test(paths["vcf"], snarls_chr,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=qc2, covariate=covar,
+                         n_perms=N_PERMS, seed=SEED, use_mesh=True)
+    assert filecmp.cmp(qc1, qc2, shallow=False)
+    # and the covariate run differs from the unadjusted one (the
+    # covariate branch is actually exercised, not a no-op)
+    assert not filecmp.cmp(q1, qc1, shallow=False)
 
 
 def _confounded_cohort(tmp_path, n_samples=120, n_snarls=60, seed=5,
