@@ -571,7 +571,7 @@ def make_graph_workload(outdir, rng):
             np.array(offsets, np.int64), start_handles, pheno_paths)
 
 
-def run_graph_bench(tmpdir, rng, repeats=2):
+def run_graph_bench(tmpdir, rng, repeats=3):
     """`stoat graph` end-to-end (GFA -> finished TSV) vs the single-core
     C++ per-snarl baseline (walk-set partition + chi2,
     partitioner.cpp:36-268 + graph_path_association_finder.cpp:119-156).
@@ -589,16 +589,19 @@ def run_graph_bench(tmpdir, rng, repeats=2):
     os.makedirs(out, exist_ok=True)
     run_graph_association(gfa, "", pheno_path, "chi2", "tsv", 0, "ref",
                           out)                       # warm (jit, caches)
+    # both sides best-of-N with a long settle between reps: the 2-vCPU
+    # host's background load swings either side ±15% run to run
+    # (measured), and the RATIO is the number of record
     t_best = float("inf")
     for _ in range(repeats):
-        _settle()
+        _settle(0.6)
         t0 = time.perf_counter()
         run_graph_association(gfa, "", pheno_path, "chi2", "tsv", 0,
                               "ref", out)
         t_best = min(t_best, time.perf_counter() - t0)
     t_base = float("inf")
-    for _ in range(2):                # best-of-2, like our side
-        _settle()
+    for _ in range(repeats):          # best-of-N, like our side
+        _settle(0.6)
         t0 = time.perf_counter()
         n_base = run_baseline_graph_cpp(steps, offsets, starts, pheno)
         t_base = min(t_base, time.perf_counter() - t0)
