@@ -697,6 +697,10 @@ def main():
         "n_snarls": int(packed.n_snarls),
         "n_chroms": N_CHROMS,
         "n_samples": N_SAMPLES,
+        "baseline_note": "r5 correction: a 79MB rig copy sat inside the "
+                         "baseline timer in r1-r4, understating it ~2.9x; "
+                         "vs_baseline ratios are not comparable across "
+                         "rounds (BASELINE.md 'Baseline correction')",
     }))
 
 
