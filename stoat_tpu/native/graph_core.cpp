@@ -1267,6 +1267,7 @@ static DecomposeOutput decompose(const Graph& g,
                                  long cycle_threshold) {
     DecomposeOutput out;
     Graph& gm = const_cast<Graph&>(g);
+    gm.build_index();    // CSR adjacency for the snarl-finding hot loops
     Forest forest = find_snarls(g);
     Decomposer d(g, forest);
 
