@@ -12,7 +12,8 @@ from stoat_tpu.parallel.mesh import (
     shard_packed_chromosome,
     ShardedChromosome,
 )
-from stoat_tpu.parallel.sharded import (binary_analyze_sharded,
+from stoat_tpu.parallel.sharded import (ShardedPermState,
+                                        binary_analyze_sharded,
                                         binary_covar_analyze_sharded,
                                         binary_perm_pvalues_sharded,
                                         dual_analyze_sharded,
@@ -35,4 +36,5 @@ __all__ = [
     "binary_perm_pvalues_sharded",
     "quant_perm_pvalues_sharded",
     "logistic_score_perm_sharded",
+    "ShardedPermState",
 ]

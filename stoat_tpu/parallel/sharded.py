@@ -38,7 +38,7 @@ __all__ = ["binary_analyze_sharded", "quantitative_analyze_sharded",
            "lmm_analyze_sharded", "binary_covar_analyze_sharded",
            "eqtl_regress_pairs_sharded", "dual_analyze_sharded",
            "binary_perm_pvalues_sharded", "quant_perm_pvalues_sharded",
-           "logistic_score_perm_sharded"]
+           "logistic_score_perm_sharded", "ShardedPermState"]
 
 # Design outputs forwarded to the writer when -T table dumps are on.
 _TABLE_KEYS = ("norm", "used", "kept")
@@ -382,76 +382,114 @@ def binary_covar_analyze_sharded(sharded: ShardedChromosome,
     return _unshard(out, sharded.shard_sizes)
 
 
-def binary_perm_pvalues_sharded(sharded: ShardedChromosome,
-                                masks: np.ndarray, mesh: Mesh,
-                                min_individuals: int, min_haplotypes: int,
-                                maf_threshold: float,
-                                perm_chunk: int = 16) -> np.ndarray:
-    """[K, S] asymptotic chi² p-values for K packed phenotype masks with
-    SNARLS sharded over ``mesh`` — the multi-chip twin of
-    permutation._perm_binary_pvalues.  Each shard computes its packed
-    membership ONCE, every mask block rides it (masks replicated, the
-    production layout); the igammac chi² tail finishes OUTSIDE the shard
-    on gathered arrays (see module docstring).  Value parity with the
-    single-device path is pinned by tests."""
-    from stoat_tpu.pipeline.binary import _binary_from_path_counts
-    from stoat_tpu.stats.special import chi2_sf
+class ShardedPermState:
+    """Per-chromosome-block device state for the sharded permutation
+    kernels: replicated words + sharded path tables uploaded ONCE and
+    shared by every job/block, plus lazily-computed permutation-
+    invariant stages (per-shard packed membership for the binary
+    kernel, the quantitative design, the score-test D/V⁻¹) — each one
+    shard_map pass whose outputs stay device-resident and sharded, so
+    per-permutation blocks run only the cheap varying math (the
+    single-device _ChunkDevice discipline, on the mesh)."""
 
-    W = sharded.words.shape[1]
-    tail = _pk.tail_mask_words(sharded.n_haps, W)
-    shard = NamedSharding(mesh, P("snarls"))
-    repl = NamedSharding(mesh, P())
+    def __init__(self, sharded: ShardedChromosome, mesh: Mesh):
+        self.sharded = sharded
+        self.mesh = mesh
+        self.shard = NamedSharding(mesh, P("snarls"))
+        self.repl = NamedSharding(mesh, P())
+        W = sharded.words.shape[1]
+        self.words = jax.device_put(jnp.asarray(sharded.words),
+                                    self.repl)
+        self.path_idx = jax.device_put(jnp.asarray(sharded.path_idx),
+                                       self.shard)
+        self.valid = jax.device_put(jnp.asarray(sharded.path_valid),
+                                    self.shard)
+        self.sidx = jax.device_put(
+            jnp.asarray(sharded.snarl_path_idx), self.shard)
+        self.tail = jax.device_put(
+            jnp.asarray(_pk.tail_mask_words(sharded.n_haps, W)),
+            self.repl)
+        self._mem = None
+        self._design = {}     # (th, covar-key) -> design dict
+        self._score = {}      # (th, zw-key) -> (D, used, Vinv, df, bad)
 
-    def local_fn(words, path_idx, valid, idx, tail_a, masks_a,
-                 min_ind, min_hap, maf):
-        mem = _pk.membership_words_body(words, path_idx[0])
+    def membership(self):
+        """[D, P_local, W] per-shard packed membership (computed once)."""
+        if self._mem is None:
+            def local_fn(words, path_idx):
+                return _pk.membership_words_body(words, path_idx[0])[None]
 
-        def one(mask):
-            g0p, g1p = _pk.packed_binary_counts.__wrapped__(
-                mem, valid[0], tail_a, mask)
-            out = _binary_from_path_counts(
-                g0p, g1p, idx[0], min_ind, min_hap, maf, tails=False)
-            bad = (out["filtered"] | out["chi2_invalid"]
-                   | out["chi2_zexp"])
-            return out["chi2_stat"], out["chi2_df"], bad
+            fn = jax.jit(jax.shard_map(
+                local_fn, mesh=self.mesh,
+                in_specs=(P(), P("snarls")), out_specs=P("snarls")))
+            self._mem = fn(self.words, self.path_idx)
+        return self._mem
 
-        stat, df, bad = jax.vmap(one)(masks_a)
-        return {"stat": stat[None], "df": df[None], "bad": bad[None]}
+    def design(self, covar, th, with_covar: bool):
+        """Per-shard quantitative design (X/used/ncols/bad), once per
+        (thresholds, covariates)."""
+        key = (th, None if covar is None
+               else (covar.shape, covar.tobytes()))
+        got = self._design.get(key)
+        if got is not None:
+            return got
+        n_haps = self.sharded.n_haps
+        n_samples = n_haps // 2
+        covar_in = (np.zeros((n_samples, 0))
+                    if covar is None else np.asarray(covar, np.float64))
+        covar_d = jax.device_put(jnp.asarray(covar_in, jnp.float64),
+                                 self.repl)
 
-    fn = jax.jit(jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P(), P(),
-                  P(), P(), P()),
-        out_specs=P("snarls"),
-    ))
+        def local_fn(words, path_idx, valid, idx, covar_a,
+                     min_ind, min_hap, maf):
+            d = quantitative_design_packed(
+                words, path_idx[0], valid[0], idx[0], covar_a, min_ind,
+                min_hap, maf, n_haplotypes=n_haps,
+                with_covar=with_covar)
+            out = {"X": d["X"], "used": d["used"], "ncols": d["ncols"],
+                   "bad": d["filtered"] | d["degenerate"]}
+            return {k: v[None] for k, v in out.items()}
 
-    words_d = jax.device_put(jnp.asarray(sharded.words), repl)
-    args = (
-        jax.device_put(jnp.asarray(sharded.path_idx), shard),
-        jax.device_put(jnp.asarray(sharded.path_valid), shard),
-        jax.device_put(jnp.asarray(sharded.snarl_path_idx), shard),
-        jax.device_put(jnp.asarray(tail), repl),
-    )
-    th = (jnp.float64(min_individuals), jnp.float64(min_haplotypes),
-          jnp.float64(maf_threshold))
-    K = masks.shape[0]
-    blocks = []
-    for lo in range(0, K, perm_chunk):
-        hi = min(K, lo + perm_chunk)
-        block = masks[lo:hi]
-        if hi - lo < perm_chunk:
-            block = np.concatenate(
-                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
-                                  axis=0)], axis=0)
-        out = fn(words_d, *args,
-                 jax.device_put(jnp.asarray(block), repl), *th)
-        got = _unshard_perm(out, sharded.shard_sizes)
-        p = np.asarray(chi2_sf(jnp.asarray(got["stat"]),
-                               jnp.asarray(got["df"])))
-        p = np.clip(p, 0.0, 1.0)
-        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
-        blocks.append(p)
-    return np.concatenate(blocks, axis=0)[:K]
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P("snarls"), P("snarls"), P("snarls"), P(),
+                      P(), P(), P()),
+            out_specs=P("snarls")))
+        got = fn(self.words, self.path_idx, self.valid, self.sidx,
+                 covar_d, jnp.float64(th[0]), jnp.float64(th[1]),
+                 jnp.float64(th[2]))
+        self._design[key] = got
+        return got
+
+    def score_pieces(self, Z, w, th):
+        """Per-shard covariate-adjusted score-test invariants
+        (D, used, V⁻¹, df, allbad), once per (thresholds, reduced fit)."""
+        key = (th, Z.shape, Z.tobytes(), w.tobytes())
+        got = self._score.get(key)
+        if got is not None:
+            return got
+        from stoat_tpu.pipeline.permutation import _score_test_precompute
+
+        d = self.design(None, th, with_covar=False)
+        Zd = jax.device_put(jnp.asarray(Z, jnp.float64), self.repl)
+        wd = jax.device_put(jnp.asarray(w, jnp.float64), self.repl)
+
+        def local_fn(X, used, ncols, bad, Z_a, w_a):
+            D, Vinv, df, extra_bad = _score_test_precompute(
+                X[0], used[0], ncols[0], Z_a, w_a)
+            out = {"D": D, "used": used[0], "Vinv": Vinv,
+                   "df": jnp.maximum(df, 1.0),
+                   "allbad": bad[0] | extra_bad | (df < 1)}
+            return {k: v[None] for k, v in out.items()}
+
+        fn = jax.jit(jax.shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P("snarls"), P("snarls"), P("snarls"),
+                      P("snarls"), P(), P()),
+            out_specs=P("snarls")))
+        got = fn(d["X"], d["used"], d["ncols"], d["bad"], Zd, wd)
+        self._score[key] = got
+        return got
 
 
 def _unshard_perm(out: Dict[str, jnp.ndarray], sizes) -> Dict[str,
@@ -470,66 +508,126 @@ def _unshard_perm(out: Dict[str, jnp.ndarray], sizes) -> Dict[str,
     return result
 
 
+def _sanitize_host(p: np.ndarray, bad: np.ndarray) -> np.ndarray:
+    """Host twin of permutation._sanitize_p (clip, bad/non-finite → inf)."""
+    p = np.clip(p, 0.0, 1.0)
+    p[bad.astype(bool) | ~np.isfinite(p)] = np.inf
+    return p
+
+
+def _perm_blocks(fn, items: np.ndarray, perm_chunk: int,
+                 S: int) -> np.ndarray:
+    """Shared fixed-size block runner (permutation._batched twin for
+    the sharded kernels: pad the last block, trim, concatenate)."""
+    from stoat_tpu.pipeline.permutation import _batched
+
+    return _batched(fn, items, perm_chunk, S)
+
+
+def binary_perm_pvalues_sharded(sharded: ShardedChromosome,
+                                masks: np.ndarray, mesh: Mesh,
+                                min_individuals: int, min_haplotypes: int,
+                                maf_threshold: float,
+                                perm_chunk: int = 16,
+                                state: "ShardedPermState" = None
+                                ) -> np.ndarray:
+    """[K, S] asymptotic chi² p-values for K packed phenotype masks with
+    SNARLS sharded over ``mesh`` — the multi-chip twin of
+    permutation._perm_binary_pvalues.  The per-shard packed membership
+    computes ONCE (ShardedPermState, shared across jobs/blocks); every
+    mask block rides it replicated, and the igammac chi² tail finishes
+    OUTSIDE the shard on gathered arrays (see module docstring).  Value
+    parity with the single-device path is pinned by tests."""
+    from stoat_tpu.pipeline.binary import _binary_from_path_counts
+    from stoat_tpu.stats.special import chi2_sf
+
+    st = state if state is not None else ShardedPermState(sharded, mesh)
+    mem = st.membership()
+    th = (jnp.float64(min_individuals), jnp.float64(min_haplotypes),
+          jnp.float64(maf_threshold))
+
+    def local_fn(mem_a, valid, idx, tail_a, masks_a,
+                 min_ind, min_hap, maf):
+        def one(mask):
+            g0p, g1p = _pk.packed_binary_counts.__wrapped__(
+                mem_a[0], valid[0], tail_a, mask)
+            out = _binary_from_path_counts(
+                g0p, g1p, idx[0], min_ind, min_hap, maf, tails=False)
+            bad = (out["filtered"] | out["chi2_invalid"]
+                   | out["chi2_zexp"])
+            return out["chi2_stat"], out["chi2_df"], bad
+
+        stat, df, bad = jax.vmap(one)(masks_a)
+        return {"stat": stat[None], "df": df[None], "bad": bad[None]}
+
+    fn = jax.jit(jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P("snarls"), P("snarls"), P("snarls"), P(), P(),
+                  P(), P(), P()),
+        out_specs=P("snarls"),
+    ))
+
+    def run_block(block):
+        out = fn(mem, st.valid, st.sidx, st.tail,
+                 jax.device_put(jnp.asarray(block), st.repl), *th)
+        got = _unshard_perm(out, sharded.shard_sizes)
+        p = np.asarray(chi2_sf(jnp.asarray(got["stat"]),
+                               jnp.asarray(got["df"])))
+        return _sanitize_host(p, got["bad"])
+
+    return _perm_blocks(run_block, masks, perm_chunk,
+                        sum(sharded.shard_sizes))
+
+
 def quant_perm_pvalues_sharded(sharded: ShardedChromosome,
                                phenos: np.ndarray, covar, mesh: Mesh,
                                min_individuals: int, min_haplotypes: int,
                                maf_threshold: float,
-                               perm_chunk: int = 8) -> np.ndarray:
+                               perm_chunk: int = 8,
+                               state: "ShardedPermState" = None
+                               ) -> np.ndarray:
     """[K, S] asymptotic OLS-t p-values for K (Freedman–Lane) permuted
     phenotypes with snarls sharded over ``mesh`` — the multi-chip twin
     of permutation._perm_quant_pvalues.  The phenotype-independent
-    design assembles ONCE per shard; the betainc t-tail finishes outside
-    the shard on gathered arrays."""
-    n_haps = sharded.n_haps
+    design assembles ONCE per shard (ShardedPermState) and stays
+    device-resident; the betainc t-tail finishes outside the shard on
+    gathered arrays."""
     with_covar = covar is not None and np.asarray(covar).shape[1] > 0
-    args, specs, _ = _design_inputs(sharded, covar, mesh)
-    repl = NamedSharding(mesh, P())
+    st = state if state is not None else ShardedPermState(sharded, mesh)
+    th = (float(min_individuals), float(min_haplotypes),
+          float(maf_threshold))
+    d = st.design(covar, th, with_covar)
 
-    def local_fn(words, path_idx, valid, idx, covar_d, phenos_a,
-                 min_ind, min_hap, maf):
-        d = quantitative_design_packed(
-            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
-            min_hap, maf, n_haplotypes=n_haps, with_covar=with_covar)
-        X, used, ncols = d["X"], d["used"], d["ncols"]
-        bad = d["filtered"] | d["degenerate"]
-
+    def local_fn(X, used, ncols, bad, phenos_a):
         def one(ph):
-            y = ph[None, :] * used
+            y = ph[None, :] * used[0]
             t1, df_res, _b, _se, _r2 = linear_regression_stats_batch(
-                X, y, used, ncols)
+                X[0], y, used[0], ncols[0])
             return t1, df_res
 
         t1, df_res = jax.vmap(one)(phenos_a)
         K_, S_ = t1.shape
         return {"t1": t1[None], "df_res": df_res[None],
-                "bad": jnp.broadcast_to(bad[None, None], (1, K_, S_))}
+                "bad": jnp.broadcast_to(bad[0][None, None], (1, K_, S_))}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(*specs, P(), P(), P(), P()),
+        in_specs=(P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+                  P()),
         out_specs=P("snarls"),
     ))
 
-    K = phenos.shape[0]
-    outs = []
-    for lo in range(0, K, perm_chunk):
-        hi = min(K, lo + perm_chunk)
-        block = np.asarray(phenos[lo:hi], np.float64)
-        if hi - lo < perm_chunk:
-            block = np.concatenate(
-                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
-                                  axis=0)], axis=0)
-        out = fn(*args, jax.device_put(jnp.asarray(block), repl),
-                 jnp.float64(min_individuals),
-                 jnp.float64(min_haplotypes),
-                 jnp.float64(maf_threshold))
+    def run_block(block):
+        out = fn(d["X"], d["used"], d["ncols"], d["bad"],
+                 jax.device_put(jnp.asarray(block, jnp.float64),
+                                st.repl))
         got = _unshard_perm(out, sharded.shard_sizes)
         p = np.asarray(finish_linear_pvalues(jnp.asarray(got["t1"]),
                                              jnp.asarray(got["df_res"])))
-        p = np.clip(p, 0.0, 1.0)
-        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
-        outs.append(p)
-    return np.concatenate(outs, axis=0)[:K]
+        return _sanitize_host(p, got["bad"])
+
+    return _perm_blocks(run_block, np.asarray(phenos, np.float64),
+                        perm_chunk, sum(sharded.shard_sizes))
 
 
 def logistic_score_perm_sharded(sharded: ShardedChromosome,
@@ -537,67 +635,51 @@ def logistic_score_perm_sharded(sharded: ShardedChromosome,
                                 e_batch: np.ndarray, mesh: Mesh,
                                 min_individuals: int, min_haplotypes: int,
                                 maf_threshold: float,
-                                perm_chunk: int = 8) -> np.ndarray:
+                                perm_chunk: int = 8,
+                                state: "ShardedPermState" = None
+                                ) -> np.ndarray:
     """[K, S] covariate-adjusted logistic score-test p-values with
     snarls sharded over ``mesh`` — the multi-chip twin of
-    permutation._perm_logistic_score_pvalues (reduced-model residual
-    permutation; Z/w/e replicated, V⁻¹ built once per shard, the chi²
-    tail finished outside the shard)."""
-    from stoat_tpu.pipeline.permutation import _score_test_precompute
+    permutation._perm_score_pvalues (reduced-model residual
+    permutation).  The invariants (design, D, V⁻¹) compute once per
+    shard via ShardedPermState; per block only the U matmul and the
+    chi² tail (outside the shard) run."""
     from stoat_tpu.stats.special import chi2_sf
 
-    n_haps = sharded.n_haps
-    args, specs, _ = _design_inputs(sharded, None, mesh)
-    repl = NamedSharding(mesh, P())
+    st = state if state is not None else ShardedPermState(sharded, mesh)
+    th = (float(min_individuals), float(min_haplotypes),
+          float(maf_threshold))
+    sp = st.score_pieces(np.asarray(Z, np.float64),
+                         np.asarray(w, np.float64), th)
 
-    def local_fn(words, path_idx, valid, idx, covar_d, Z_a, w_a,
-                 e_a, min_ind, min_hap, maf):
-        d = quantitative_design_packed(
-            words, path_idx[0], valid[0], idx[0], covar_d, min_ind,
-            min_hap, maf, n_haplotypes=n_haps, with_covar=False)
-        X, used, ncols = d["X"], d["used"], d["ncols"]
-        bad = d["filtered"] | d["degenerate"]
-        D, Vinv, df, extra_bad = _score_test_precompute(X, used, ncols,
-                                                        Z_a, w_a)
-        allbad = bad | extra_bad | (df < 1)
-
+    def local_fn(D, used, Vinv, df, allbad, e_a):
         def one(e):
-            U = jnp.einsum("snp,sn->sp", D, used * e[None, :])
-            T = jnp.einsum("sp,spq,sq->s", U, Vinv, U)
-            return T, jnp.maximum(df, 1.0), allbad | ~jnp.isfinite(T)
+            U = jnp.einsum("snp,sn->sp", D[0], used[0] * e[None, :])
+            T = jnp.einsum("sp,spq,sq->s", U, Vinv[0], U)
+            return T, df[0], allbad[0] | ~jnp.isfinite(T)
 
         T, dfk, badk = jax.vmap(one)(e_a)
         return {"T": T[None], "df": dfk[None], "bad": badk[None]}
 
     fn = jax.jit(jax.shard_map(
         local_fn, mesh=mesh,
-        in_specs=(*specs, P(), P(), P(), P(), P(), P()),
+        in_specs=(P("snarls"), P("snarls"), P("snarls"), P("snarls"),
+                  P("snarls"), P()),
         out_specs=P("snarls"),
     ))
 
-    K = e_batch.shape[0]
-    Zd = jax.device_put(jnp.asarray(Z, jnp.float64), repl)
-    wd = jax.device_put(jnp.asarray(w, jnp.float64), repl)
-    outs = []
-    for lo in range(0, K, perm_chunk):
-        hi = min(K, lo + perm_chunk)
-        block = np.asarray(e_batch[lo:hi], np.float64)
-        if hi - lo < perm_chunk:
-            block = np.concatenate(
-                [block, np.repeat(block[-1:], perm_chunk - (hi - lo),
-                                  axis=0)], axis=0)
-        out = fn(*args, Zd, wd,
-                 jax.device_put(jnp.asarray(block), repl),
-                 jnp.float64(min_individuals),
-                 jnp.float64(min_haplotypes),
-                 jnp.float64(maf_threshold))
+    def run_block(block):
+        out = fn(sp["D"], sp["used"], sp["Vinv"], sp["df"], sp["allbad"],
+                 jax.device_put(jnp.asarray(block, jnp.float64),
+                                st.repl))
         got = _unshard_perm(out, sharded.shard_sizes)
         p = np.asarray(chi2_sf(jnp.asarray(np.maximum(got["T"], 0.0)),
                                jnp.asarray(got["df"])))
-        p = np.clip(p, 0.0, 1.0)
-        p[got["bad"].astype(bool) | ~np.isfinite(p)] = np.inf
-        outs.append(p)
-    return np.concatenate(outs, axis=0)[:K]
+        return _sanitize_host(p, got["bad"])
+
+    return _perm_blocks(run_block, np.asarray(e_batch, np.float64),
+                        perm_chunk, sum(sharded.shard_sizes))
+
 
 
 def eqtl_regress_pairs_sharded(design, pair_snarl: np.ndarray,

@@ -141,14 +141,28 @@ def logistic_null_context(pheno_bin: np.ndarray, covar):
     return Z, w, y - p
 
 
+def _ldlt_ill(Dpiv):
+    """Per-batch flag: any LDLT pivot tiny relative to the largest —
+    the factorization substitutes safe pivots (D==0 → 1), so garbage
+    inverses come out FINITE; conditioning must be judged from the
+    pivots themselves, never from isfinite on the result."""
+    a = jnp.abs(Dpiv)
+    amax = jnp.maximum(jnp.max(a, axis=1), 1e-300)
+    return jnp.min(a, axis=1) <= 1e-10 * amax
+
+
 def _score_test_precompute(X, used, ncols, Z, w):
     """Permutation-invariant pieces of the covariate-adjusted logistic
     score test, per snarl: the variant-column design D (slots 1..ncols-1
     of the with_covar=False quantitative design) and the inverse
     efficient information V⁻¹ = (DᵀWD − DᵀWZ (ZᵀWZ)⁻¹ ZᵀWD)⁻¹ with W
     restricted to each snarl's used samples.  Returns (D, Vinv, df,
-    extra_bad)."""
-    from stoat_tpu.stats.linalg import ldlt_inverse, ldlt_solve
+    extra_bad); ``extra_bad`` flags snarls whose ZᵀWZ or efficient
+    information is ill-conditioned (pivot test — one such snarl would
+    otherwise get a garbage astronomical T and poison the genome-wide
+    min-P null)."""
+    from stoat_tpu.stats.linalg import ldlt_factor, ldlt_inverse, \
+        ldlt_solve
 
     S, N, PT = X.shape
     t = jnp.arange(PT)
@@ -159,33 +173,41 @@ def _score_test_precompute(X, used, ncols, Z, w):
     Vfull = jnp.einsum("snp,snq->spq", DW, D)
     A = jnp.einsum("snp,nc->spc", DW, Z)                     # DᵀWZ
     G = jnp.einsum("sn,nc,nd->scd", wt, Z, Z)                # ZᵀWZ
+    _Lg, Dg = ldlt_factor(G)
+    bad_g = _ldlt_ill(Dg)
     GinvAt = ldlt_solve(G, jnp.swapaxes(A, 1, 2))            # [S, C, P]
     V = Vfull - jnp.einsum("spc,scq->spq", A, GinvAt)
     # pad non-variant diagonal with 1 so the LDLT stays regular; the
     # padded block inverts to I and never touches T (U is 0 there)
     pad = (~varmask).astype(jnp.float64)
     Vp = V + jnp.einsum("sp,pq->spq", pad, jnp.eye(PT))
+    _Lv, Dv = ldlt_factor(Vp)
     Vinv = ldlt_inverse(Vp)
-    extra_bad = ~jnp.isfinite(jnp.sum(Vinv, axis=(1, 2)))
+    extra_bad = (bad_g | _ldlt_ill(Dv)
+                 | ~jnp.isfinite(jnp.sum(Vinv, axis=(1, 2))))
     df = (ncols - 1).astype(jnp.float64)
     return D, Vinv, df, extra_bad
 
 
 @jax.jit
-def _perm_logistic_score_pvalues(X, used, ncols, bad, Z, w, e_batch):
-    """[K, S] covariate-adjusted score-test p-values: T = Uᵀ V⁻¹ U with
-    U = Dᵀ(used ⊙ e_k), df = variant columns, p from the chi² tail.
-    The reduced-model pieces (Z, w) and V⁻¹ are permutation-invariant —
-    only the cheap U matmul runs per permutation."""
-    from stoat_tpu.stats.special import chi2_sf
-
+def _score_precompute_jit(X, used, ncols, bad, Z, w):
+    """One device pass for the permutation-invariant score pieces."""
     D, Vinv, df, extra_bad = _score_test_precompute(X, used, ncols, Z, w)
-    allbad = bad | extra_bad | (df < 1)
+    return D, Vinv, jnp.maximum(df, 1.0), bad | extra_bad | (df < 1)
+
+
+@jax.jit
+def _perm_score_pvalues(D, used, Vinv, df, allbad, e_batch):
+    """[K, S] covariate-adjusted score-test p-values: T = Uᵀ V⁻¹ U with
+    U = Dᵀ(used ⊙ e_k) — the invariants (D, V⁻¹) come precomputed from
+    _score_precompute_jit, so only the cheap U matmul and the chi² tail
+    run per permutation block."""
+    from stoat_tpu.stats.special import chi2_sf
 
     def one(e):
         U = jnp.einsum("snp,sn->sp", D, used * e[None, :])
         T = jnp.einsum("sp,spq,sq->s", U, Vinv, U)
-        p = chi2_sf(jnp.maximum(T, 0.0), jnp.maximum(df, 1.0))
+        p = chi2_sf(jnp.maximum(T, 0.0), df)
         return _sanitize_p(p, allbad | ~jnp.isfinite(T))
 
     return jax.vmap(one)(e_batch)
@@ -276,10 +298,13 @@ def freedman_lane_phenos(pheno_q: np.ndarray, covar,
 
 
 def _logistic_chunk(dev: "_ChunkDevice", ctx, perm_idx, th,
-                    perm_chunk: int = 16):
+                    perm_chunk: int = 16, e_perm=None):
     """(obs p, perm p) for the covariate-adjusted binary mode: the
     score test with reduced-model (``y ~ [1|covariates]``) residual
-    permutation.  ``ctx`` = logistic_null_context output."""
+    permutation.  ``ctx`` = logistic_null_context output; the
+    permutation-invariant D/V⁻¹ compute once per chunk and only the U
+    matmul runs per block.  ``e_perm`` ([K, N] permuted residuals) is
+    chunk-invariant: callers hoist it when looping."""
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.quantitative import _design_from_membership
 
@@ -290,16 +315,18 @@ def _logistic_chunk(dev: "_ChunkDevice", ctx, perm_idx, th,
     covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
     d = _design_from_membership(membership, dev.sidx, covar0, *th,
                                 with_covar=False, all_rows=False)
-    X, used, ncols = d["X"], d["used"], d["ncols"]
     bad = d["filtered"] | d["degenerate"]
-    Zd = jnp.asarray(Z, jnp.float64)
-    wd = jnp.asarray(w, jnp.float64)
-    obs = np.asarray(_perm_logistic_score_pvalues(
-        X, used, ncols, bad, Zd, wd,
+    D, Vinv, df, allbad = _score_precompute_jit(
+        d["X"], d["used"], d["ncols"], bad,
+        jnp.asarray(Z, jnp.float64), jnp.asarray(w, jnp.float64))
+    used = d["used"]
+    obs = np.asarray(_perm_score_pvalues(
+        D, used, Vinv, df, allbad,
         jnp.asarray(e[None, :], jnp.float64)))[0]
-    e_perm = e[perm_idx]                                   # [K, N]
-    return obs, _batched(lambda block: _perm_logistic_score_pvalues(
-        X, used, ncols, bad, Zd, wd, jnp.asarray(block, jnp.float64)),
+    if e_perm is None:
+        e_perm = e[perm_idx]                               # [K, N]
+    return obs, _batched(lambda block: _perm_score_pvalues(
+        D, used, Vinv, df, allbad, jnp.asarray(block, jnp.float64)),
         e_perm, perm_chunk, obs.shape[0])
 
 
@@ -438,11 +465,24 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
     masks = None
     fl_phenos = None      # [K, N] Freedman-Lane matrix, computed once
     score_ctx = None      # (Z, w, e) reduced logistic fit, computed once
+    score_eperm = None    # [K, N] permuted residuals, computed once
     th = (min_individuals, min_haplotypes, maf_threshold)
 
     # per job: rows (chrom, snarl, obs p, exceed count), null min [K]
     state = {kind: {"rows": [], "null_min": np.full(n_perms, np.inf)}
              for kind, _o, _p in jobs}
+
+    def _accumulate(kind, chrom, snarls_sub, obs, perm):
+        """The one Westfall–Young accounting path (min-P) shared by the
+        mesh and single-device branches (byte parity between them is
+        pinned by tests)."""
+        st = state[kind]
+        exc = np.sum(perm <= obs[None, :], axis=0)
+        if obs.shape[0]:
+            st["null_min"] = np.minimum(
+                st["null_min"], perm.min(axis=1, initial=np.inf))
+        st["rows"].extend((chrom, sn, float(obs[i]), int(exc[i]))
+                          for i, sn in enumerate(snarls_sub))
 
     matrices = iter_chromosome_matrices(vcf_path, n_hap, snarls_chr,
                                         stream_device_words=mesh is None)
@@ -450,55 +490,71 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
         if chrom not in snarls_chr:
             continue
         if mesh is not None:
-            # mesh path: the snarl axis shards over devices; the
-            # observed phenotype rides as batch row 0 so every value
-            # (incl. P_ASY) comes from the same sharded program
-            from stoat_tpu.parallel import (binary_perm_pvalues_sharded,
+            # mesh path: the snarl axis shards over devices in blocks of
+            # snarl_chunk_size per device (the same working-set bound as
+            # the single-device path — an unchunked chromosome would
+            # blow device memory on the [S_local, N, P] quant design);
+            # the observed phenotype rides as batch row 0 so every
+            # value (incl. P_ASY) comes from the same sharded program,
+            # and one ShardedPermState per block serves every job (one
+            # upload of the words/tables, invariants computed once).
+            from stoat_tpu.parallel import (ShardedPermState,
+                                            binary_perm_pvalues_sharded,
+                                            logistic_score_perm_sharded,
                                             quant_perm_pvalues_sharded,
                                             shard_packed_chromosome)
             import jax as _jx
-            sharded = shard_packed_chromosome(
-                snarls_chr[chrom], matrix, _jx.device_count())
-            Wm = sharded.words.shape[1]
-            for kind, _out, pheno in jobs:
-                if kind == "binary":
-                    if masks is None:
-                        masks = permutation_masks(pheno, n_perms, seed,
-                                                  Wm, perm_idx)
-                    from stoat_tpu.pipeline import packed as _pk
-                    obs_mask = _pk.pack_hap_mask_words(
-                        np.repeat(np.asarray(pheno).astype(bool), 2), Wm)
-                    all_p = binary_perm_pvalues_sharded(
-                        sharded, np.concatenate([obs_mask[None, :],
-                                                 masks]), mesh, *th)
-                elif kind == "binary_score":
-                    from stoat_tpu.parallel import \
-                        logistic_score_perm_sharded
-                    if score_ctx is None:
-                        score_ctx = logistic_null_context(pheno,
-                                                          covariate)
-                    Zc, wc, ec = score_ctx
-                    all_p = logistic_score_perm_sharded(
-                        sharded, Zc, wc,
-                        np.concatenate([ec[None, :], ec[perm_idx]]),
-                        mesh, *th)
-                else:
-                    if fl_phenos is None:
-                        fl_phenos = freedman_lane_phenos(
-                            pheno, covariate, perm_idx)
-                    all_p = quant_perm_pvalues_sharded(
-                        sharded, np.concatenate(
-                            [np.asarray(pheno, np.float64)[None, :],
-                             fl_phenos]), covariate, mesh, *th)
-                obs, perm = all_p[0], all_p[1:]
-                st = state[kind]
-                exc = np.sum(perm <= obs[None, :], axis=0)
-                if obs.shape[0]:
-                    st["null_min"] = np.minimum(
-                        st["null_min"], perm.min(axis=1, initial=np.inf))
-                st["rows"].extend(
-                    (chrom, sn, float(obs[i]), int(exc[i]))
-                    for i, sn in enumerate(sharded.snarls))
+            n_dev = _jx.device_count()
+            snarls_all = snarls_chr[chrom]
+            batches = {}    # per-kind hoisted [1+K, ...] perm batches
+            for blo in range(0, max(len(snarls_all), 1),
+                             snarl_chunk_size * n_dev):
+                sub = snarls_all[blo:blo + snarl_chunk_size * n_dev]
+                if not sub:
+                    break
+                sharded = shard_packed_chromosome(sub, matrix, n_dev)
+                pstate = ShardedPermState(sharded, mesh)
+                Wm = sharded.words.shape[1]
+                for kind, _out, pheno in jobs:
+                    if kind == "binary":
+                        if masks is None:
+                            masks = permutation_masks(
+                                pheno, n_perms, seed, Wm, perm_idx)
+                        if "binary" not in batches:
+                            from stoat_tpu.pipeline import packed as _pk
+                            obs_mask = _pk.pack_hap_mask_words(
+                                np.repeat(
+                                    np.asarray(pheno).astype(bool), 2),
+                                Wm)
+                            batches["binary"] = np.concatenate(
+                                [obs_mask[None, :], masks])
+                        all_p = binary_perm_pvalues_sharded(
+                            sharded, batches["binary"], mesh, *th,
+                            state=pstate)
+                    elif kind == "binary_score":
+                        if score_ctx is None:
+                            score_ctx = logistic_null_context(pheno,
+                                                              covariate)
+                        Zc, wc, ec = score_ctx
+                        if "binary_score" not in batches:
+                            batches["binary_score"] = np.concatenate(
+                                [ec[None, :], ec[perm_idx]])
+                        all_p = logistic_score_perm_sharded(
+                            sharded, Zc, wc, batches["binary_score"],
+                            mesh, *th, state=pstate)
+                    else:
+                        if fl_phenos is None:
+                            fl_phenos = freedman_lane_phenos(
+                                pheno, covariate, perm_idx)
+                        if "quantitative" not in batches:
+                            batches["quantitative"] = np.concatenate(
+                                [np.asarray(pheno, np.float64)[None, :],
+                                 fl_phenos])
+                        all_p = quant_perm_pvalues_sharded(
+                            sharded, batches["quantitative"], covariate,
+                            mesh, *th, state=pstate)
+                    _accumulate(kind, chrom, sharded.snarls,
+                                all_p[0], all_p[1:])
             continue
         device_matrix = assemble_words_device(matrix)
         for packed in pack_chromosome_chunks(snarls_chr[chrom], matrix,
@@ -516,8 +572,10 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                     if score_ctx is None:
                         score_ctx = logistic_null_context(pheno,
                                                           covariate)
+                        score_eperm = score_ctx[2][perm_idx]
                     obs, perm = _logistic_chunk(dev, score_ctx,
-                                                perm_idx, thj)
+                                                perm_idx, thj,
+                                                e_perm=score_eperm)
                 else:
                     if fl_phenos is None:
                         fl_phenos = freedman_lane_phenos(
@@ -526,16 +584,8 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                                              covar=covariate,
                                              phenos=fl_phenos)
                 S = len(packed.snarls)
-                obs = obs[:S]
-                perm = perm[:, :S]
-                st = state[kind]
-                exc = np.sum(perm <= obs[None, :], axis=0)
-                if S:
-                    st["null_min"] = np.minimum(
-                        st["null_min"], perm.min(axis=1, initial=np.inf))
-                st["rows"].extend(
-                    (chrom, sn, float(obs[i]), int(exc[i]))
-                    for i, sn in enumerate(packed.snarls))
+                _accumulate(kind, chrom, packed.snarls, obs[:S],
+                            perm[:, :S])
 
     n_tested = 0
     for kind, out_path, _pheno in jobs:

@@ -469,3 +469,31 @@ def test_logistic_score_mesh_matches_single(tmp_path):
                          n_perms=20, seed=2,
                          covariate=c.reshape(-1, 1), use_mesh=True)
     assert filecmp.cmp(o1, o2, shallow=False)
+
+
+def test_mesh_chunked_matches_unchunked(data, tmp_path):
+    """The mesh branch bounds device memory by sharding in blocks of
+    snarl_chunk_size per device (round-5 review item); a tiny chunk
+    size forcing MANY blocks must still write byte-identical output."""
+    import filecmp
+
+    from stoat_tpu.io.phenotype import parse_quantitative_pheno
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    paths, snarls_chr, pheno, samples, _tmp = data
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    a_b = str(tmp_path / "a_b.tsv")
+    a_q = str(tmp_path / "a_q.tsv")
+    c_b = str(tmp_path / "c_b.tsv")
+    c_q = str(tmp_path / "c_q.tsv")
+    run_permutation_test(paths["vcf"], snarls_chr, a_b, pheno_bin=pheno,
+                         n_perms=N_PERMS, seed=SEED,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=a_q, use_mesh=True)
+    run_permutation_test(paths["vcf"], snarls_chr, c_b, pheno_bin=pheno,
+                         n_perms=N_PERMS, seed=SEED,
+                         quantitative_phenotype=pheno_q,
+                         output_tsv_quant=c_q, use_mesh=True,
+                         snarl_chunk_size=1)       # 8 snarls per block
+    assert filecmp.cmp(a_b, c_b, shallow=False)
+    assert filecmp.cmp(a_q, c_q, shallow=False)
