@@ -70,11 +70,13 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-k", "--kinship", metavar="FILE")
     ap.add_argument("--permutations", type=int, default=0,
                     metavar="N",
-                    help="run an N-permutation test after the GWAS "
-                         "(empirical + max-T FWER p-values into "
+                    help="run an N-permutation Westfall-Young min-P test "
+                         "after the GWAS (empirical + FWER p-values into "
                          "{binary,quantitative}_permutation_vcf.tsv; "
-                         "chi2 statistic for -b, |t| for -q — a "
-                         "TPU-native extension the reference lacks)")
+                         "chi2 for -b, OLS t for -q, and with -c a "
+                         "covariate-ADJUSTED score test for -b / "
+                         "Freedman-Lane for -q — a TPU-native extension "
+                         "the reference lacks)")
     ap.add_argument("--perm-seed", type=int, default=0)
     ap.add_argument("--resume", action="store_true",
                     help="resume an interrupted run: chromosomes already "
