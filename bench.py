@@ -294,7 +294,7 @@ class _Tokenizer:
         return self._results[chrom]
 
 
-def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=6,
+def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=8,
                    chunk=8192):
     """Wall clock of the full pipelined flow, results on host at stop
     (compile already warm).  This is the runner's production
