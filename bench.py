@@ -494,24 +494,28 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=3):
 
     bin_run()
     quant_run()                      # warm (jit compiles, page cache)
-    times = []
+    tb_times = []
+    tq_times = []
     dual_times = []
     for _ in range(repeats):
         _settle()
         t0 = time.perf_counter()
         bin_run()
-        tb = time.perf_counter() - t0
+        tb_times.append(time.perf_counter() - t0)
         _settle()
         t0 = time.perf_counter()
         quant_run()
-        tq = time.perf_counter() - t0
-        times.append(tb + tq)
+        tq_times.append(time.perf_counter() - t0)
         _settle()
         t0 = time.perf_counter()
         dual_run()
         dual_times.append(time.perf_counter() - t0)
+    # independent best-of per run type (the same best-of semantics as
+    # every other metric): a slow tunnel window during one run must not
+    # charge the other
+    t_full = min(tb_times) + min(tq_times)
     n_total = sum(len(s) for s in snarls_chr.values())
-    return (2 * n_total / min(times), min(times),
+    return (2 * n_total / t_full, t_full,
             2 * n_total / min(dual_times), min(dual_times))
 
 
