@@ -57,23 +57,18 @@ __all__ = [
 _WORD = 32
 
 
-def _n_words(n_haplotypes: int, lane_multiple: int = 1) -> int:
-    w = (n_haplotypes + _WORD - 1) // _WORD
-    if lane_multiple > 1:
-        w = ((w + lane_multiple - 1) // lane_multiple) * lane_multiple
-    return max(w, lane_multiple)
+def _n_words(n_haplotypes: int) -> int:
+    return max((n_haplotypes + _WORD - 1) // _WORD, 1)
 
 
-def pack_matrix_words(matrix: np.ndarray,
-                      lane_multiple: int = 1) -> np.ndarray:
+def pack_matrix_words(matrix: np.ndarray) -> np.ndarray:
     """Pack a bool [E, H] edge matrix into uint32 [E+1, W] words.
 
     The appended final row is all-ones: the AND identity used as the
-    padding target by ``pack_path_edge_idx``.  ``lane_multiple`` pads W
-    up (e.g. to 128 for the Pallas kernel's lane dimension).
+    padding target by ``pack_path_edge_idx``.
     """
     E, H = matrix.shape
-    W = _n_words(H, lane_multiple)
+    W = _n_words(H)
     u8 = np.packbits(np.asarray(matrix, bool), axis=1, bitorder="little")
     buf = np.zeros((E + 1, W * 4), np.uint8)
     buf[:E, : u8.shape[1]] = u8

@@ -557,7 +557,9 @@ def run_permutation_test(vcf_path: str, snarls_chr: Dict[str, List],
                     _accumulate(kind, chrom, sharded.snarls,
                                 all_p[0], all_p[1:])
             continue
-        device_matrix = assemble_words_device(matrix)
+        device_matrix = (assemble_words_device(matrix)
+                         if getattr(matrix, "words", None) is not None
+                         else None)  # Python-reader fallback: dense
         for packed in pack_chromosome_chunks(snarls_chr[chrom], matrix,
                                              snarl_chunk_size):
             dev = _ChunkDevice(packed, device_matrix)

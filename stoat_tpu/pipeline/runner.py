@@ -32,7 +32,6 @@ from stoat_tpu.pipeline.quantitative import (
     eqtl_regress_pairs,
     quantitative_analyze_chromosome,
 )
-from stoat_tpu.tables import pack_chromosome
 from stoat_tpu import writer as W
 
 logger = logging.getLogger("stoat")
@@ -59,6 +58,7 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
     for assemble_words_device.
     """
     if use_native:
+        yielded_any = False
         try:
             from stoat_tpu.native import NativeVcfMatrixReader
             from stoat_tpu.matrix import PackedEdgeMatrix
@@ -105,6 +105,7 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
             try:
                 for chrom, words, n_haps, edges in reader.chunks_packed(
                         on_rows=on_rows):
+                    yielded_any = True
                     matrix = PackedEdgeMatrix(words, n_haps, edges)
                     matrix.n_records, matrix.n_with_at = \
                         getattr(reader, "last_counts", (-1, -1))
@@ -120,6 +121,11 @@ def iter_chromosome_matrices(vcf_path: str, n_haplotypes: int,
                 reader.close()
             return
         except (RuntimeError, OSError) as e:
+            if yielded_any:
+                # chromosomes already went downstream: falling back to
+                # the Python reader would RE-YIELD them from the top of
+                # the VCF and duplicate output rows — fail instead
+                raise
             logger.warning("native VCF core unavailable (%s); using the "
                            "Python reader", e)
 
@@ -204,6 +210,23 @@ def assemble_words_device(matrix):
     parts = getattr(matrix, "words_device_parts", None)
     if parts:
         final = matrix.words              # [E+1, W], identity row last
+        # Coverage check: on_rows runs inside a ctypes callback, where a
+        # raised exception (e.g. a transient tunnel error during the
+        # slice upload) is printed and SWALLOWED — a dropped slice would
+        # silently shift every later row index.  Any gap → full upload.
+        expect = 0
+        ok = True
+        for _d, _f, _h, lo, hi in parts:
+            if lo != expect:
+                ok = False
+                break
+            expect = hi
+        if not ok or expect != final.shape[0] - 1:
+            logger.warning(
+                "streamed word slices do not cover the chromosome "
+                "(%d/%d rows) — falling back to a whole-matrix upload",
+                expect, final.shape[0] - 1)
+            return upload_words_dedup(final)
         fix_rows = []
         uniq_parts = []
         flag_parts = []
@@ -426,9 +449,11 @@ def run_vcf_analysis(
     # The dual-phenotype pass shards over the mesh only for its fused
     # combination (binary + quantitative, no -T tables); other secondary
     # shapes run the single-device pipelined path.
+    # the fused dual programs run the quantitative side WITHOUT
+    # covariates (covar0) — a covariate run must take the non-fused path
     dual_mesh_ok = (secondary is not None and mode == "binary"
                     and secondary.get("mode") == "quantitative"
-                    and table_threshold == -1)
+                    and table_threshold == -1 and covariate is None)
     if use_mesh is None:
         use_mesh = _jax.device_count() > 1
         if secondary is not None and use_mesh and not dual_mesh_ok:
@@ -605,8 +630,10 @@ def run_vcf_analysis(
                     # function of the cohort) — upload once
                     from stoat_tpu.pipeline import packed as _pkmod
                     Ww = max((n_hap + 31) // 32, 1)
+                    from stoat_tpu.pipeline.binary import \
+                        PACKED_HAPLOTYPE_THRESHOLD as _PHT
                     if packed.words is not None or \
-                            packed.n_haplotypes >= 8192:
+                            packed.n_haplotypes >= _PHT:
                         pheno_device = (
                             jnp.asarray(_pkmod.pack_hap_mask_words(
                                 np.repeat(binary_phenotype.astype(bool),
@@ -668,7 +695,7 @@ def run_vcf_analysis(
                         device_matrix, mesh=chunk_mesh)
                 elif (sec_fh is not None and mode == "binary"
                       and secondary["mode"] == "quantitative"
-                      and table_threshold == -1
+                      and table_threshold == -1 and covariate is None
                       and _dual_fused_args(packed, device_matrix)
                       is not None):
                     # Fused dual dispatch: ONE device program computes
@@ -948,10 +975,14 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
 
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.fetch import flatten_result
-    from stoat_tpu.pipeline.quantitative import _fused_dual_analysis
+    from stoat_tpu.pipeline.quantitative import (_fused_dual_analysis,
+                                                 _packed_args)
 
-    words = (device_matrix if device_matrix is not None
-             else jnp.asarray(packed.packed_words()))
+    # one shared upload-arg assembly with the quantitative fused path
+    # (quantitative._packed_args); the caller's gating guarantees the
+    # packed layout, so args is never None here
+    words, idx, valid, sidx, _covar0 = _packed_args(packed, None,
+                                                    device_matrix)
     W = int(words.shape[1])
     if pheno_device is not None:
         g1_words, tail = pheno_device
@@ -959,14 +990,8 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
         tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
         g1_words = jnp.asarray(_pk.pack_hap_mask_words(
             np.repeat(binary_phenotype.astype(bool), 2), W))
-    covar0 = jnp.zeros((packed.n_haplotypes // 2, 0), jnp.float64)
     out = _fused_dual_analysis(
-        words,
-        _pk.upload_path_idx(packed.path_edge_idx(),
-                            int(words.shape[0]) - 1),
-        _pk.upload_bool_bits(packed.path_valid),
-        _pk.upload_snarl_path_idx(packed.snarl_path_idx), tail, g1_words,
-        covar0,
+        words, idx, valid, sidx, tail, g1_words, _covar0,
         jnp.asarray(quantitative_phenotype, jnp.float64),
         jnp.float64(min_individuals), jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),

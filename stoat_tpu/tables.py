@@ -259,6 +259,14 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
     Pmax = max(p.snarl_path_idx.shape[1] for p in packs)
     P = max(p.n_edges_per_path.shape[0] for p in packs)
     nnz = max(p.coo_path.shape[0] for p in packs)
+    # COO padding targets slot P-1, which must be an INVALID path slot:
+    # if any chunk's real path count fills the common P exactly (its own
+    # pow2 padding added no scratch) while the common nnz adds padding
+    # entries, grow P so the pads cannot be attributed to a real path
+    # (they would AND edge row 0 into its membership — silently wrong
+    # p-values; regression-pinned).
+    if any(p.n_paths >= P and nnz > p.coo_path.shape[0] for p in packs):
+        P = next_pow2(P + 1)
 
     out = []
     for p in packs:

@@ -149,3 +149,90 @@ def test_at_less_vcf_warns(tmp_path, caplog):
     assert "All 4 snarls" in warnings
     with open(out) as fh:
         assert len(fh.readlines()) == 1  # header only
+
+
+def test_chunk_padding_cannot_target_real_path(tmp_path):
+    """Round-5 review (reproduced bug): when a chunk's real path count
+    fills the common padded P exactly while another chunk forces a
+    larger common nnz, the COO padding entries used to be attributed to
+    the chunk's LAST REAL PATH (ANDing edge row 0 into its membership).
+    Chunked and unchunked runs must agree byte for byte."""
+    import filecmp
+
+    import numpy as np
+
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+
+    n_samples = 12
+    samples = [f"s{i}" for i in range(n_samples)]
+    vcf = tmp_path / "pad.vcf"
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n##contig=<ID=c1>\n")
+        fh.write('##INFO=<ID=AT,Number=R,Type=String,Description="x">\n')
+        fh.write('##INFO=<ID=LV,Number=1,Type=Integer,Description="x">\n')
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\t" + "\t".join(samples) + "\n")
+        rng = np.random.default_rng(6)
+
+        def rec(pos, at):
+            gts = ["%d/%d" % (rng.random() < 0.5, rng.random() < 0.5)
+                   for _ in samples]
+            fh.write(f"c1\t{pos}\tv{pos}\tA\tT\t99\tPASS\tAT={at};LV=0"
+                     "\tGT\t" + "\t".join(gts) + "\n")
+        # chunk A: 2 snarls x 2 one-edge paths  -> flat=4 (pow2), nnz=4
+        rec(100, ">1>3,>1>4")
+        rec(200, ">5>7,>5>8")
+        # chunk B: 3 flat paths (so its own pow2 padding leaves the
+        # common P at chunk A's exact real count) x 3 edges -> nnz 9,
+        # pow2-padded to 16 > chunk A's 4
+        rec(300, ">9>10>11>12,>9>13>14>12")
+        rec(400, ">15>16>17>18")
+    snarl = tmp_path / "pad_snarl.tsv"
+    with open(snarl, "w") as fh:
+        fh.write("CHR\tSTART_POS\tEND_POS\tSNARL_HANDLEGRAPH\tSNARL\t"
+                 "PATHS\tTYPE\tREF\tDEPTH\n")
+        fh.write("c1\t100\t110\t1\t1_2\t>1>3,>1>4\t1,1\t1\t1\n")
+        fh.write("c1\t200\t210\t2\t5_6\t>5>7,>5>8\t1,1\t1\t1\n")
+        fh.write("c1\t300\t310\t3\t9_12\t>9>10>11>12,>9>13>14>12\t"
+                 "2,2\t1\t1\n")
+        fh.write("c1\t400\t410\t4\t15_18\t>15>16>17>18\t2\t1\t1\n")
+    snarls_chr = parse_snarl_path(str(snarl))
+    pheno = np.arange(n_samples) % 2 == 0
+    a = str(tmp_path / "chunked.tsv")
+    b = str(tmp_path / "whole.tsv")
+    run_vcf_analysis(str(vcf), snarls_chr, a, "binary",
+                     binary_phenotype=pheno, sample_names=samples,
+                     use_mesh=False, snarl_chunk_size=2)
+    run_vcf_analysis(str(vcf), snarls_chr, b, "binary",
+                     binary_phenotype=pheno, sample_names=samples,
+                     use_mesh=False, snarl_chunk_size=100)
+    assert filecmp.cmp(a, b, shallow=False)
+
+    # the bug's actual surface is the PYTHON-resolve path (the native
+    # resolver precomputes path_idx and never consumes the padded COO):
+    # chunk A's per-path edge-row index must reference ONLY that path's
+    # true rows (plus the AND-identity row E)
+    from stoat_tpu.io.snarl_file import path_to_edges
+    from stoat_tpu.pipeline.runner import iter_chromosome_matrices
+    from stoat_tpu.tables import pack_chromosome_chunks
+
+    gen = iter_chromosome_matrices(str(vcf), 2 * n_samples, snarls_chr,
+                                   use_native=False)
+    chrom, matrix = next(gen)
+    gen.close()
+    packs = pack_chromosome_chunks(snarls_chr["c1"], matrix, 2)
+    pA = packs[0]
+    E = matrix.n_rows
+    idx = pA.path_edge_idx()
+    flat = 0
+    for s_i, sn in enumerate(pA.snarls):
+        for path in sn.paths:
+            want = set()
+            for e in path_to_edges(path):
+                r = matrix.find_edge(e)
+                if r >= 0:
+                    want.add(r)
+            got = {int(r) for r in idx[flat] if r != E}
+            assert got <= want, (s_i, path, got, want)
+            flat += 1

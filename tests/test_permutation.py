@@ -497,3 +497,24 @@ def test_mesh_chunked_matches_unchunked(data, tmp_path):
                          snarl_chunk_size=1)       # 8 snarls per block
     assert filecmp.cmp(a_b, c_b, shallow=False)
     assert filecmp.cmp(a_q, c_q, shallow=False)
+
+
+def test_python_reader_fallback(data, tmp_path, monkeypatch):
+    """Round-5 review: with the native toolchain unavailable the
+    permutation pass must run on the Python reader's wordless matrices
+    (assemble_words_device used to crash on the missing .words)."""
+    import stoat_tpu.native as native
+
+    class Boom:
+        def __init__(self, *_a, **_k):
+            raise RuntimeError("native core disabled for test")
+
+    monkeypatch.setattr(native, "NativeVcfMatrixReader", Boom)
+    from stoat_tpu.pipeline.permutation import run_permutation_test
+
+    paths, snarls_chr, pheno, samples, _tmp = data
+    out = str(tmp_path / "fallback.tsv")
+    n = run_permutation_test(paths["vcf"], snarls_chr, out,
+                             pheno_bin=pheno, n_perms=8, seed=SEED,
+                             use_mesh=False)
+    assert n > 0
