@@ -64,6 +64,9 @@ def main_vcf(argv: List[str]) -> int:
     ap.add_argument("-b", "--binary", metavar="FILE")
     ap.add_argument("-q", "--quantitative", metavar="FILE")
     ap.add_argument("-e", "--eqtl", metavar="FILE")
+    # parsed-but-unused, mirroring the reference: vcf.cpp:89,120 parses
+    # --make-bed and never reads it anywhere (a dead flag kept for
+    # command-line parity)
     ap.add_argument("-m", "--make-bed", action="store_true")
     ap.add_argument("-c", "--covariate", metavar="FILE")
     ap.add_argument("-C", "--covar-name", metavar="NAME")
@@ -296,8 +299,11 @@ def main_vcf(argv: List[str]) -> int:
         resume=args.resume,
     )
 
-    if args.permutations > 0 and (binary_phenotype is not None
-                                  or quantitative_phenotype is not None):
+    if args.permutations > 0 and mode == "eqtl":
+        logger.warning("--permutations: eQTL mode has no eligible "
+                       "phenotype (binary/quantitative only); skipping.")
+    elif args.permutations > 0 and (binary_phenotype is not None
+                                    or quantitative_phenotype is not None):
         from stoat_tpu.pipeline.permutation import run_permutation_test
         if covariate is not None and binary_phenotype is not None:
             logger.info(
@@ -313,35 +319,36 @@ def main_vcf(argv: List[str]) -> int:
                 "kinship is NOT modeled, so the permutation P_ASY will "
                 "differ from the LMM table's p-values and the FWER "
                 "applies to the unrelated-sample analysis only.")
-        quant_for_perm = (quantitative_phenotype
-                          if mode != "eqtl" else None)
-        if binary_phenotype is None and quant_for_perm is None:
-            logger.warning("--permutations: no eligible phenotype "
-                           "(eQTL mode is not supported); skipping.")
-        else:
-            run_permutation_test(
-                args.vcf, snarls_chr,
-                output_tsv=(os.path.join(args.output,
-                                         "binary_permutation_vcf.tsv")
-                            if binary_phenotype is not None else None),
-                pheno_bin=binary_phenotype,
-                quantitative_phenotype=quant_for_perm,
-                output_tsv_quant=(os.path.join(
-                    args.output, "quantitative_permutation_vcf.tsv")
-                    if quant_for_perm is not None else None),
-                n_perms=args.permutations, seed=args.perm_seed,
-                min_individuals=args.min_individuals,
-                min_haplotypes=args.min_haplotypes,
-                maf_threshold=args.maf, covariate=covariate)
+        run_permutation_test(
+            args.vcf, snarls_chr,
+            output_tsv=(os.path.join(args.output,
+                                     "binary_permutation_vcf.tsv")
+                        if binary_phenotype is not None else None),
+            pheno_bin=binary_phenotype,
+            quantitative_phenotype=quantitative_phenotype,
+            output_tsv_quant=(os.path.join(
+                args.output, "quantitative_permutation_vcf.tsv")
+                if quantitative_phenotype is not None else None),
+            n_perms=args.permutations, seed=args.perm_seed,
+            min_individuals=args.min_individuals,
+            min_haplotypes=args.min_haplotypes,
+            maf_threshold=args.maf, covariate=covariate)
 
-    if mode == "binary" and args.gaf:
+    if args.gaf and mode == "binary":
         from stoat_tpu.gaf import gaf_creation
-        from stoat_tpu.graph.gfa import load_gfa
+        # magic-dispatched load: -p may be GFA or any vg binary
+        # container (.hg/.pg/.gbz), like every other graph input
+        from stoat_tpu.graph.formats import load_graph
         output_gaf = os.path.join(args.output, "binary_table_vcf.gaf")
-        gfa = load_gfa(args.graph, ref_chr or None)
+        gfa = load_graph(args.graph, ref_chr or None)
         node_lengths = {nid: gfa.node_length(nid)
                         for nid in gfa.node_ids()}
         gaf_creation(output_tsv, snarls_chr, node_lengths, output_gaf)
+    elif args.gaf:
+        logger.warning(
+            "-g/--gaf: GAF emission needs the pure binary mode (it "
+            "consumes the GROUP_PATHS column, absent from the %s "
+            "layout); skipping.", mode)
 
     t_end = time.time()
     logger.info("GWAS time analysis : %.3f s", t_end - t_gwas)

@@ -14,8 +14,12 @@ column-offset bugs against its own writer):
   - the ``*`` placeholder is detected as the node id 0 element, not via
     ``path.find("0")`` (which also matches node ids like 10;
     gaf_creator.cpp:167);
-  - GROUP_PATHS columns align with the *kept* path set, so paths are
-    matched by membership rather than blind position.
+  - when GROUP_PATHS has fewer pairs than the snarl has paths (empty
+    columns were dropped before writing), the pairing falls back to a
+    positional prefix — the SAME blind-positional semantics as the
+    reference's own zip (gaf_creator.cpp:167-183); the TSV does not
+    record which paths were kept, so exact membership cannot be
+    reconstructed here.
 """
 
 from __future__ import annotations

@@ -144,6 +144,10 @@ def parse_covariates(file_path: str, covar_names: List[str],
                                   for n in covar_names]
             except ValueError:
                 raise ValueError(f"Individual {iid} got an non-numeric value\n")
+            except IndexError:
+                raise ValueError(
+                    f"Individual {iid}: line has fewer columns than "
+                    "the header\n")
     _check_match_samples(covar_map, list_samples)
     rows = []
     for sample in list_samples:

@@ -26,11 +26,17 @@ SIGNIFICANCE_THRESHOLD = 1e-5  # post_processing.cpp:138
 
 
 def adjusted_column_for_mode(mode: str) -> int:
-    """0-indexed adjusted-p column per phenotype mode."""
+    """0-indexed adjusted-p column per phenotype mode.
+
+    The reference's map (post_processing.cpp:41-56) is 1-indexed:
+    column 7 for BINARY (P_CHI2) / EQTL (P), column 6 for QUANT /
+    BINARY_COVAR (P); converted here to the 0-indexed convention this
+    module uses (binary layout: ...5 P_FISHER, 6 P_CHI2...; quant:
+    ...5 P...)."""
     if mode in ("binary", "eqtl"):
-        return 7
-    if mode in ("quantitative", "binary_covar"):
         return 6
+    if mode in ("quantitative", "binary_covar"):
+        return 5
     raise ValueError(f"unknown mode {mode}")
 
 
@@ -45,7 +51,9 @@ def add_bh_adjusted_column(input_file: str, output_dir: str,
     pvals = np.array([string_to_pvalue(r[p_col_index]) for r in rows])
     adjusted = adjust_pvalues_bh(pvals) if len(pvals) else pvals
 
-    tmp = os.path.join(output_dir, "temp_output.tsv")
+    # temp file NEXT TO the input: os.replace across filesystems (a -o
+    # dir on another mount) raises EXDEV after the rewrite completed
+    tmp = input_file + ".bh_tmp"
     with open(tmp, "w") as out, open(output_file_significant, "w") as sig:
         out.write(header_line + "\n")
         sig.write(header_line + "\n")

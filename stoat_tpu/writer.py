@@ -178,30 +178,34 @@ def write_binary_rows_batch(fh, chrom: str, snarls, res) -> int:
     if blob is not None:
         _write_blob(fh, blob)
         return n_filtered
+    # hoist the array conversions: per-row np.asarray over the whole
+    # result arrays was O(S) conversions (and O(S) wire fetches for
+    # lazy results) per chunk
+    keep_arr = np.asarray(res["keep"])
+    g0_arr = np.asarray(res["g0"])
+    g1_arr = np.asarray(res["g1"])
+    pf_arr = np.asarray(res["p_fisher"])
+    pc_arr = np.asarray(res["p_chi2"])
     for s, snarl in enumerate(snarls):
         if filtered_arr[s]:
             continue
-        keep = np.asarray(res["keep"])[s]
-        g0 = np.asarray(res["g0"])[s][keep].astype(np.int64)
-        g1 = np.asarray(res["g1"])[s][keep].astype(np.int64)
+        keep = keep_arr[s]
         write_binary_row(fh, chrom, snarl, snarl.type_var_str,
-                         format_p(float(np.asarray(res["p_fisher"])[s])),
-                         format_p(float(np.asarray(res["p_chi2"])[s])),
-                         format_group_paths(g0, g1))
+                         format_p(float(pf_arr[s])),
+                         format_p(float(pc_arr[s])),
+                         format_group_paths(
+                             g0_arr[s][keep].astype(np.int64),
+                             g1_arr[s][keep].astype(np.int64)))
     return n_filtered
 
 
 def write_quant_rows_batch(fh, chrom: str, snarls, res,
-                           has_r2: bool = True,
-                           skip=None) -> int:
-    """Write a chunk's quantitative/covar rows; returns filtered count.
-
-    ``skip`` (bool [S]) rows are written by the caller instead (the -T
-    significant-table path needs per-row handling)."""
+                           has_r2: bool = True) -> int:
+    """Write a chunk's quantitative/covar rows; returns filtered count."""
     S = len(snarls)
     filtered_arr = np.asarray(res["filtered"])[:S]
     n_filtered = int(np.sum(filtered_arr))
-    drop = filtered_arr if skip is None else (filtered_arr | skip[:S])
+    drop = filtered_arr
     try:
         from stoat_tpu import native
         prefixes, depths, n_paths = _chunk_meta(snarls)
@@ -218,20 +222,24 @@ def write_quant_rows_batch(fh, chrom: str, snarls, res,
         _write_blob(fh, blob)
         return n_filtered
     allele_arr = np.asarray(res["allele_paths"])
+    p_arr = np.asarray(res["p"])
+    r2_arr = np.asarray(res["r2"]) if has_r2 else None
+    beta_arr = np.asarray(res["beta"])
+    se_arr = np.asarray(res["se"])
     for s, snarl in enumerate(snarls):
         if drop[s]:
             continue
-        p_str = format_p(float(np.asarray(res["p"])[s]))
+        p_str = format_p(float(p_arr[s]))
         ap = allele_arr[s][: snarl.n_paths]
         if has_r2:
             write_quantitative_row(
                 fh, chrom, snarl, snarl.type_var_str, p_str,
-                format_p(float(np.asarray(res["r2"])[s])),
-                format_p(float(np.asarray(res["beta"])[s])),
-                format_p(float(np.asarray(res["se"])[s])), ap)
+                format_p(float(r2_arr[s])),
+                format_p(float(beta_arr[s])),
+                format_p(float(se_arr[s])), ap)
         else:
             write_binary_covar_row(
                 fh, chrom, snarl, snarl.type_var_str, p_str,
-                format_p(float(np.asarray(res["beta"])[s])),
-                format_p(float(np.asarray(res["se"])[s])), ap)
+                format_p(float(beta_arr[s])),
+                format_p(float(se_arr[s])), ap)
     return n_filtered

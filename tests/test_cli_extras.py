@@ -179,3 +179,54 @@ def test_plot_histogram_scatter_report(tmp_path):
     made = sorted(p.name for p in rep.iterdir())
     assert made == ["report_manhattan.png", "report_pvalue_hist.png",
                     "report_qq.png"]
+
+
+def test_adjusted_column_for_mode_matches_layouts():
+    """The mode->adjusted-column map must point at each layout's P
+    column (reference post_processing.cpp:41-56, 1-indexed there:
+    7 binary/eqtl, 6 quant/covar)."""
+    from stoat_tpu.post import adjusted_column_for_mode
+
+    # binary: #CHR START END SNARL PATH_LENGTHS P_FISHER P_CHI2 ...
+    assert adjusted_column_for_mode("binary") == 6          # P_CHI2
+    # eqtl: #CHR START END SNARL PATH_LENGTHS GENE P ...
+    assert adjusted_column_for_mode("eqtl") == 6            # P
+    # quant/covar: #CHR START END SNARL PATH_LENGTHS P ...
+    assert adjusted_column_for_mode("quantitative") == 5    # P
+    assert adjusted_column_for_mode("binary_covar") == 5
+
+
+def test_gaf_from_binary_container(tmp_path):
+    """-g with a .gbz graph: GAF emission loads via the magic
+    dispatcher (round-5 review: load_gfa used to crash on binary
+    containers AFTER the whole GWAS finished)."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from fixtures import make_fixture
+    from stoat_tpu.graph.gbz_write import save_gbz
+    from stoat_tpu.graph.gfa import GfaGraph, GfaPath
+
+    paths = make_fixture(str(tmp_path), n_samples=12, n_snarls=12,
+                         seed=17, n_chroms=1)
+    # a tiny graph whose node ids cover the snarl file's path nodes
+    g = GfaGraph()
+    max_node = 3 * 12 + 40
+    for nid in range(1, max_node):
+        g.add_node(nid, "ACG")
+    g.add_path(GfaPath(name="ref", sample="ref", haplotype=0,
+                       steps=[(1, False)], is_reference=True))
+    gbz = tmp_path / "g.gbz"
+    save_gbz(g, str(gbz))
+    out = tmp_path / "gafout"
+    rc = subprocess.run(
+        [sys.executable, "-m", "stoat_tpu", "vcf",
+         "-s", paths["snarl"], "-v", paths["vcf"],
+         "-b", paths["binary"], "-p", str(gbz), "-g",
+         "-o", str(out)],
+        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr[-800:]
+    gafs = list(out.glob("*.gaf*"))
+    assert gafs, list(out.iterdir())
