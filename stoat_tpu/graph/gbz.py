@@ -397,25 +397,37 @@ class GbzIndex:
         idx = np.arange(0, stride * n_paths, stride, dtype=np.int64)
         node = succ_flat[idx]
         off = lf_flat[idx]
-        step_nodes, step_alive = [], []
-        alive = node != _ENDMARKER
-        while alive.any():
-            step_nodes.append(node.copy())
-            step_alive.append(alive.copy())
+        # lockstep LF-mapping walk with FINISHED LANES COMPACTED each
+        # step: the former dense [longest_path, n_paths] matrices cost
+        # O(max_len x n_paths) memory (tens of GB for one chromosome-
+        # length reference path among thousands of short fragments);
+        # this keeps O(total steps).
+        lanes = np.arange(n_paths, dtype=np.int64)
+        keep = node != _ENDMARKER
+        lanes, node, off = lanes[keep], node[keep], off[keep]
+        lane_parts: List[np.ndarray] = []
+        node_parts: List[np.ndarray] = []
+        while lanes.size:
+            lane_parts.append(lanes.copy())
+            node_parts.append(node.copy())
             pos = start_arr[node] + off
             nxt = succ_flat[pos]
-            off = np.where(alive, lf_flat[pos], off)
-            node = np.where(alive, nxt, node)
-            alive = alive & (node != _ENDMARKER)
-        if not step_nodes:
+            off = lf_flat[pos]
+            node = nxt
+            keep = node != _ENDMARKER
+            lanes, node, off = lanes[keep], node[keep], off[keep]
+        if not lane_parts:
             return [[] for _ in range(n_paths)]
-        nodes_m = np.stack(step_nodes)           # [steps, n_paths]
-        alive_m = np.stack(step_alive)
-        paths: List[List[Tuple[int, bool]]] = []
-        for p in range(n_paths):
-            col = nodes_m[alive_m[:, p], p]
-            paths.append([(int(v) >> 1, bool(v & 1)) for v in col])
-        return paths
+        all_lanes = np.concatenate(lane_parts)
+        all_nodes = np.concatenate(node_parts)
+        # stable sort by lane keeps each path's iteration (= step) order
+        order = np.argsort(all_lanes, kind="stable")
+        sl = all_lanes[order]
+        sn = all_nodes[order]
+        bounds = np.searchsorted(sl, np.arange(n_paths + 1))
+        return [[(int(v) >> 1, bool(v & 1))
+                 for v in sn[bounds[p]:bounds[p + 1]]]
+                for p in range(n_paths)]
 
     @property
     def n_paths(self) -> int:

@@ -99,16 +99,11 @@ class _Reader:
         self.o += nwords * 8
         if width == 0:
             return []
-        n = bits // width
-        mask = (1 << width) - 1
-        vals = []
-        for i in range(n):
-            w, off = divmod(i * width, 64)
-            v = words[w] >> off
-            if off + width > 64:
-                v |= words[w + 1] << (64 - off)
-            vals.append(v & mask)
-        return vals
+        # one shared bit-unpacking primitive with the GBZ reader (the
+        # former per-element divmod/shift loop was the .pg load wall at
+        # chromosome scale)
+        from stoat_tpu.graph.gbz import _unpack_ints
+        return _unpack_ints(words, width, bits // width)
 
     def packed_vector(self) -> List[int]:
         filled = self.u64()

@@ -66,10 +66,21 @@ def _fisher_single(m11, m12, m21, m22):
         c11, c12, c21, c22, prob, cprob, tprob, status = s
         c11n = c11 + 1.0
         c22n = c22 + 1.0
-        probn = prob * (c12 * c21) / (c11n * c22n)
+        # ratio FIRST, then multiply — the reference's exact FP op
+        # order (cur_prob *= (cur12*cur21)/(cur11*cur22)); the other
+        # grouping rounds differently and overflows ~6 decimal orders
+        # earlier on extreme tables
+        probn = prob * ((c12 * c21) / (c11n * c22n))
         c12n = c12 - 1.0
         c21n = c21 - 1.0
-        overflow = probn > _DBL_MAX
+        # NOT "> DBL_MAX": the emulated-f64 TPU backend evaluates
+        # inf > DBL_MAX as False, and its double-double multiply can
+        # produce NaN directly at the overflow step (inf - inf in the
+        # error term; both measured) — so the robust equivalent of the
+        # reference's `cur_prob > DBL_MAX` is "no longer finite"
+        # (inputs here are positive finite, so NaN can only mean
+        # overflow)
+        overflow = ~jnp.isfinite(probn) | (probn > _DBL_MAX)
         under = probn < _BIAS
         tprobn = jnp.where(under, tprob + probn, tprob)
         cprobn = jnp.where(under | overflow, cprob, cprob + probn)
@@ -94,13 +105,12 @@ def _fisher_single(m11, m12, m21, m22):
         c11, c12, c21, c22, prob, cprob, tprob, status = s
         c11n = c11 + 1.0
         c22n = c22 + 1.0
-        probn = prob * (c12 * c21) / (c11n * c22n)
+        probn = prob * ((c12 * c21) / (c11n * c22n))
         c12n = c12 - 1.0
         c21n = c21 - 1.0
         tprobn = tprob + probn
         stalled = tprobn <= tprob
-        return (c11n, c12n, c21n, c22n, probn, cprob,
-                jnp.where(stalled, tprobn, tprobn),
+        return (c11n, c12n, c21n, c22n, probn, cprob, tprobn,
                 jnp.where(stalled, jnp.int32(1), status))
 
     # Phase 2 only runs if phase 1 exited via the underflow break (the
@@ -122,7 +132,7 @@ def _fisher_single(m11, m12, m21, m22):
         c11, c12, c21, c22, prob, tprob, done, first, preaddp = s
         c12n = c12 + 1.0
         c21n = c21 + 1.0
-        probn = prob * (c11 * c22) / (c12n * c21n)
+        probn = prob * ((c11 * c22) / (c12n * c21n))
         c11n = c11 - 1.0
         c22n = c22 - 1.0
         pre = tprob

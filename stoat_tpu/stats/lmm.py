@@ -72,6 +72,17 @@ class LmmContext:
         return 1.0 / (1.0 + self.delta)
 
 
+def _solve_spd(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Solve with a pseudo-inverse fallback for singular designs
+    (collinear/constant covariate columns) — the OLS path survives
+    exactly this via its LDLT tolerance + SVD fallback
+    (stats_test.cpp:398-421); the LMM null fit must not crash either."""
+    try:
+        return np.linalg.solve(A, b)
+    except np.linalg.LinAlgError:
+        return np.linalg.pinv(A) @ b
+
+
 def reml_loglik(delta: float, S: np.ndarray, yt: np.ndarray,
                 X0t: np.ndarray, logdet_XtX: float) -> float:
     """REML profile log-likelihood at ``delta`` (rotated inputs)."""
@@ -79,7 +90,7 @@ def reml_loglik(delta: float, S: np.ndarray, yt: np.ndarray,
     q = X0t.shape[1]
     w = 1.0 / (S + delta)
     XtWX = X0t.T @ (w[:, None] * X0t)
-    beta = np.linalg.solve(XtWX, X0t.T @ (w * yt))
+    beta = _solve_spd(XtWX, X0t.T @ (w * yt))
     r = yt - X0t @ beta
     R = float(np.sum(w * r * r))
     _sign, logdet_XtWX = np.linalg.slogdet(XtWX)
@@ -138,7 +149,7 @@ def fit_null_reml(phenotype: np.ndarray, kinship: np.ndarray,
 
     w = 1.0 / (S + delta)
     XtWX = X0t.T @ (w[:, None] * X0t)
-    beta = np.linalg.solve(XtWX, X0t.T @ (w * yt))
+    beta = _solve_spd(XtWX, X0t.T @ (w * yt))
     r = yt - X0t @ beta
     R = float(np.sum(w * r * r))
     sigma_g2 = R / (n - X0.shape[1])

@@ -60,3 +60,21 @@ def test_double_branch_last_representable_tail():
     exact = mp_chi2_sf(84.0, 7)
     # quantized to multiples of 2^-52 by the 1-(1-q) rounding
     assert abs(ours - exact) <= 2 ** -52
+
+
+def test_fisher_overflow_tables_return_zero():
+    """Round-5 review (platform-real bug): tables whose relative-
+    probability scan overflows must return the reference's "0" — the
+    emulated-f64 backend evaluates inf > DBL_MAX as False and can
+    produce NaN directly at the overflow step, so the guard is
+    ~isfinite (stats_test.cpp:312-314 returns "0")."""
+    import numpy as np
+
+    from stoat_tpu.formatting import set_precision
+    from stoat_tpu.stats.fisher import fisher_exact_2x2
+
+    for t in [(1000, 2, 3, 1500), (2000, 1, 1, 3000),
+              (5000, 10, 4, 8000)]:
+        p = float(np.asarray(fisher_exact_2x2(*map(float, t))))
+        assert np.isfinite(p), t
+        assert set_precision(p) == "0", (t, p)

@@ -242,3 +242,20 @@ def test_cli_lmm_end_to_end(tmp_path):
                    "-o", out2])
     assert not rc
     assert os.path.exists(os.path.join(out2, "quantitative_table_vcf.tsv"))
+
+
+def test_null_fit_survives_collinear_covariates():
+    """Round-5 review: constant/duplicated covariate columns must not
+    crash the REML null fit (the OLS path survives the same via its
+    pseudo-inverse fallback, stats_test.cpp:398-421)."""
+    import numpy as np
+
+    from stoat_tpu.stats.lmm import fit_null_reml
+
+    rng = np.random.default_rng(0)
+    n = 30
+    A = rng.standard_normal((n, 3))
+    K = A @ A.T / 3 + np.eye(n)
+    y = rng.standard_normal(n)
+    ctx = fit_null_reml(y, K, np.ones((n, 2)))
+    assert np.isfinite(ctx.delta)
