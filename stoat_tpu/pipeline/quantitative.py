@@ -362,7 +362,8 @@ def _fused_packed_analysis(words, path_idx, path_valid, snarl_path_idx,
 def _fused_dual_body(words, path_idx, path_valid, snarl_path_idx,
                      tail, g1_words, covar, pheno_q, min_individuals,
                      min_haplotypes, maf_threshold,
-                     n_haplotypes: int, tails: bool = True):
+                     n_haplotypes: int, tails: bool = True,
+                     with_covar: bool = False):
     """Shared body of the fused dual program (see _fused_dual_analysis).
 
     ``tails=False`` defers BOTH special-function tails — the chi²
@@ -386,7 +387,8 @@ def _fused_dual_body(words, path_idx, path_valid, snarl_path_idx,
                                             n_haplotypes)
     d = _design_from_membership(
         membership, snarl_path_idx, covar, min_individuals,
-        min_haplotypes, maf_threshold, with_covar=False, all_rows=False)
+        min_haplotypes, maf_threshold, with_covar=with_covar,
+        all_rows=False)
     used = d["used"]
     y = pheno_q[None, :] * used
     t1, df_res, beta, se, r2 = linear_regression_stats_batch.__wrapped__(
@@ -410,11 +412,11 @@ def _fused_dual_body(words, path_idx, path_valid, snarl_path_idx,
     return out
 
 
-@partial(jax.jit, static_argnames=("n_haplotypes",))
+@partial(jax.jit, static_argnames=("n_haplotypes", "with_covar"))
 def _fused_dual_analysis(words, path_idx, path_valid, snarl_path_idx,
                          tail, g1_words, covar, pheno_q, min_individuals,
                          min_haplotypes, maf_threshold,
-                         n_haplotypes: int):
+                         n_haplotypes: int, with_covar: bool = False):
     """Binary chi²/Fisher AND quantitative OLS in ONE dispatch.
 
     The dual-phenotype run's device program: the packed membership
@@ -425,7 +427,7 @@ def _fused_dual_analysis(words, path_idx, path_valid, snarl_path_idx,
     return _fused_dual_body(
         words, path_idx, path_valid, snarl_path_idx, tail, g1_words,
         covar, pheno_q, min_individuals, min_haplotypes, maf_threshold,
-        n_haplotypes=n_haplotypes, tails=True)
+        n_haplotypes=n_haplotypes, tails=True, with_covar=with_covar)
 
 
 class PrefixView:

@@ -449,8 +449,6 @@ def run_vcf_analysis(
     # The dual-phenotype pass shards over the mesh only for its fused
     # combination (binary + quantitative, no -T tables); other secondary
     # shapes run the single-device pipelined path.
-    # the fused dual programs run the quantitative side WITHOUT
-    # covariates (covar0) — a covariate run must take the non-fused path
     dual_mesh_ok = (secondary is not None and mode == "binary"
                     and secondary.get("mode") == "quantitative"
                     and table_threshold == -1 and covariate is None)
@@ -695,7 +693,7 @@ def run_vcf_analysis(
                         device_matrix, mesh=chunk_mesh)
                 elif (sec_fh is not None and mode == "binary"
                       and secondary["mode"] == "quantitative"
-                      and table_threshold == -1 and covariate is None
+                      and table_threshold == -1
                       and _dual_fused_args(packed, device_matrix)
                       is not None):
                     # Fused dual dispatch: ONE device program computes
@@ -709,7 +707,8 @@ def run_vcf_analysis(
                         packed, binary_phenotype,
                         secondary["quantitative_phenotype"],
                         min_individuals, min_haplotypes, maf_threshold,
-                        device_matrix, pheno_device)
+                        device_matrix, pheno_device,
+                        covariate=covariate)
                     writer.submit(partial(
                         _write_chunk, outf, chrom, packed, res, "binary",
                         table_threshold, regression_dir, samples))
@@ -968,7 +967,7 @@ def _dual_fused_args(packed, device_matrix):
 
 def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
                         min_individuals, min_haplotypes, maf_threshold,
-                        device_matrix, pheno_device):
+                        device_matrix, pheno_device, covariate=None):
     """One-dispatch binary+quantitative chunk analysis (shared packed
     membership); returns a FlatResult carrying both result sets."""
     import jax.numpy as jnp
@@ -981,8 +980,9 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
     # one shared upload-arg assembly with the quantitative fused path
     # (quantitative._packed_args); the caller's gating guarantees the
     # packed layout, so args is never None here
-    words, idx, valid, sidx, _covar0 = _packed_args(packed, None,
+    words, idx, valid, sidx, covar_d = _packed_args(packed, covariate,
                                                     device_matrix)
+    with_covar = covariate is not None and covariate.shape[1] > 0
     W = int(words.shape[1])
     if pheno_device is not None:
         g1_words, tail = pheno_device
@@ -991,11 +991,11 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
         g1_words = jnp.asarray(_pk.pack_hap_mask_words(
             np.repeat(binary_phenotype.astype(bool), 2), W))
     out = _fused_dual_analysis(
-        words, idx, valid, sidx, tail, g1_words, _covar0,
+        words, idx, valid, sidx, tail, g1_words, covar_d,
         jnp.asarray(quantitative_phenotype, jnp.float64),
         jnp.float64(min_individuals), jnp.float64(min_haplotypes),
         jnp.float64(maf_threshold),
-        n_haplotypes=packed.n_haplotypes)
+        n_haplotypes=packed.n_haplotypes, with_covar=with_covar)
     return flatten_result(out, wide=packed.n_haplotypes >= (1 << 16))
 
 

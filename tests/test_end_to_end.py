@@ -362,3 +362,47 @@ def test_secondary_dict_validation(tmp_path):
                 paths["vcf"], snarls_chr,
                 str(tmp_path / "o.tsv"), "binary",
                 binary_phenotype=pheno, secondary=bad)
+
+
+def test_dual_fused_with_covariates_matches_separate(tmp_path):
+    """Round-5: the fused dual program carries covariates through to the
+    quantitative side (with_covar design inside the fused kernel);
+    outputs must equal the separate covariate-adjusted quantitative run
+    byte for byte."""
+    import filecmp
+
+    import numpy as np
+
+    from fixtures import make_fixture
+    from stoat_tpu.io.phenotype import (parse_binary_pheno,
+                                        parse_quantitative_pheno)
+    from stoat_tpu.io.snarl_file import parse_snarl_path
+    from stoat_tpu.pipeline.runner import run_vcf_analysis
+
+    paths = make_fixture(str(tmp_path), n_samples=30, n_snarls=40,
+                         seed=23, n_chroms=1)
+    snarls_chr = parse_snarl_path(paths["snarl"])
+    pheno, samples = parse_binary_pheno(paths["binary"],
+                                        list(paths["samples"]))
+    pheno_q = parse_quantitative_pheno(paths["quantitative"], samples)
+    rng = np.random.default_rng(2)
+    covar = rng.standard_normal((len(samples), 2))
+
+    b1 = str(tmp_path / "dual_b.tsv")
+    q1 = str(tmp_path / "dual_q.tsv")
+    run_vcf_analysis(paths["vcf"], snarls_chr, b1, "binary",
+                     binary_phenotype=pheno, covariate=covar,
+                     sample_names=samples, use_mesh=False,
+                     secondary={"mode": "quantitative",
+                                "output_tsv": q1,
+                                "quantitative_phenotype": pheno_q})
+    b2 = str(tmp_path / "solo_b.tsv")
+    q2 = str(tmp_path / "solo_q.tsv")
+    run_vcf_analysis(paths["vcf"], snarls_chr, b2, "binary",
+                     binary_phenotype=pheno, sample_names=samples,
+                     use_mesh=False)
+    run_vcf_analysis(paths["vcf"], snarls_chr, q2, "quantitative",
+                     quantitative_phenotype=pheno_q, covariate=covar,
+                     sample_names=samples, use_mesh=False)
+    assert filecmp.cmp(b1, b2, shallow=False)
+    assert filecmp.cmp(q1, q2, shallow=False)
