@@ -80,6 +80,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     lib.stoat_vcf_open.restype = ctypes.c_void_p
     lib.stoat_vcf_open.argtypes = [ctypes.c_char_p]
+    lib.stoat_vcf_read_error.restype = ctypes.c_int
+    lib.stoat_vcf_read_error.argtypes = [ctypes.c_void_p]
     lib.stoat_vcf_n_samples.restype = ctypes.c_int64
     lib.stoat_vcf_n_samples.argtypes = [ctypes.c_void_p]
     lib.stoat_vcf_sample.restype = ctypes.c_char_p
@@ -867,6 +869,11 @@ class NativeVcfMatrixReader:
             else:
                 cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
             if not cp:
+                if lib.stoat_vcf_read_error(self._handle):
+                    raise RuntimeError(
+                        "VCF stream read error mid-file (truncated or "
+                        "corrupt gzip?) — results would be silently "
+                        "partial")
                 return
             rows = int(lib.stoat_chunk_rows(cp))
             cols = int(lib.stoat_chunk_cols(cp))
@@ -899,6 +906,11 @@ class NativeVcfMatrixReader:
         while True:
             cp = lib.stoat_vcf_next_chunk(self._handle, initial_rows)
             if not cp:
+                if lib.stoat_vcf_read_error(self._handle):
+                    raise RuntimeError(
+                        "VCF stream read error mid-file (truncated or "
+                        "corrupt gzip?) — results would be silently "
+                        "partial")
                 return
             rows = int(lib.stoat_chunk_rows(cp))
             cols = int(lib.stoat_chunk_cols(cp))

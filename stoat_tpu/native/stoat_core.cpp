@@ -124,11 +124,29 @@ struct BlockSource {
         f = probe;
         return true;
     }
-    // Returns bytes read (0 at EOF).
+    // Returns bytes read (0 at EOF); a stream ERROR (corrupt/truncated
+    // gzip, I/O failure) sets ``err`` instead of masquerading as EOF —
+    // a silently partial matrix means silently wrong p-values.
+    bool err = false;
     size_t read(char* dst, size_t n) {
-        if (f) return fread(dst, 1, n, f);
+        if (f) {
+            size_t got = fread(dst, 1, n, f);
+            if (got < n && ferror(f)) err = true;
+            return got;
+        }
         int got = gzread(gz, dst, unsigned(n));
-        return got > 0 ? size_t(got) : 0;
+        if (got < 0) {
+            err = true;
+            return 0;
+        }
+        if (got == 0) {
+            // a truncated stream surfaces as got==0 with Z_BUF_ERROR
+            // (-5, "unexpected end of file") rather than -1 (measured)
+            int errnum = 0;
+            gzerror(gz, &errnum);
+            if (errnum != Z_OK && errnum != Z_STREAM_END) err = true;
+        }
+        return size_t(got);
     }
     void close() {
         if (f) fclose(f);
@@ -211,15 +229,19 @@ struct BatchQueue {
         return b;
     }
     void shutdown() {
-        stop.store(true);
-        cv_push.notify_all();
         {
+            // stop must flip UNDER the mutex: a producer that has just
+            // evaluated push()'s wait predicate but not yet blocked
+            // would otherwise miss the notify forever (lost wakeup ->
+            // stoat_vcf_close hangs in producer.join())
             std::lock_guard<std::mutex> lk(mu);
+            stop.store(true);
             for (Batch* b : q) delete b;
             q.clear();
             for (Batch* b : freelist) delete b;
             freelist.clear();
         }
+        cv_push.notify_all();
         cv_pop.notify_all();
     }
 };
@@ -547,6 +569,7 @@ static void intern_and_fill(MatrixBuilder& mb, const Arena& ar) {
 
 struct Reader {
     BlockSource src;
+    std::atomic<bool> read_error{false};
     std::vector<std::string> samples;
     BatchQueue queue;
     std::thread producer;
@@ -592,6 +615,7 @@ struct Reader {
                 uint64_t tr0 = profile_enabled() ? now_ns() : 0;
                 size_t got = src.read(b->text + rest.size(),
                                       kBlockBytes);
+                if (src.err) read_error.store(true);
                 if (tr0) g_ns_read.fetch_add(now_ns() - tr0);
                 size_t total = rest.size() + got;
                 rest.clear();
@@ -725,6 +749,27 @@ void* stoat_vcf_open(const char* path) {
         }
         if (found) break;
     }
+    if (!found && pos < buf.size()) {
+        // the header line may be the file's final line with no
+        // trailing newline (the data path already handles unterminated
+        // final lines; the header scan must too)
+        std::string line(buf.data() + pos, buf.size() - pos);
+        if (!line.empty() && line.back() == '\r') line.pop_back();
+        if (line.rfind("#CHROM", 0) == 0) {
+            size_t col = 0, p = 0;
+            while (p <= line.size()) {
+                size_t t = line.find('\t', p);
+                if (t == std::string::npos) t = line.size();
+                if (col >= 9)
+                    r->samples.emplace_back(line.substr(p, t - p));
+                p = t + 1;
+                ++col;
+                if (t == line.size()) break;
+            }
+            pos = buf.size();
+            found = true;
+        }
+    }
     if (!found) {
         delete r;
         return nullptr;
@@ -732,6 +777,10 @@ void* stoat_vcf_open(const char* path) {
     r->carry.assign(buf.begin() + pos, buf.end());
     r->start();
     return r;
+}
+
+int stoat_vcf_read_error(void* rp) {
+    return static_cast<Reader*>(rp)->read_error.load() ? 1 : 0;
 }
 
 int64_t stoat_vcf_n_samples(void* rp) {

@@ -108,7 +108,8 @@ def dual_analyze_sharded(sharded: ShardedChromosome,
                          quantitative_phenotype: np.ndarray,
                          mesh: Mesh,
                          min_individuals: int, min_haplotypes: int,
-                         maf_threshold: float) -> Dict[str, np.ndarray]:
+                         maf_threshold: float,
+                         covariate=None) -> Dict[str, np.ndarray]:
     """Fused dual-phenotype (binary chi²/Fisher + quantitative OLS)
     with snarls sharded over ``mesh`` — the multi-chip extension of the
     runner's `-b -q` single-pass program (_fused_dual_analysis): one
@@ -123,7 +124,9 @@ def dual_analyze_sharded(sharded: ShardedChromosome,
     g1_words = _pk.pack_hap_mask_words(
         np.repeat(binary_phenotype.astype(bool), 2), W)
     n_samples = sharded.n_haps // 2
-    covar0 = np.zeros((n_samples, 0))
+    covar0 = (np.zeros((n_samples, 0)) if covariate is None
+              else np.asarray(covariate, np.float64))
+    with_covar = covar0.shape[1] > 0
 
     shard = NamedSharding(mesh, P("snarls"))
     repl = NamedSharding(mesh, P())
@@ -133,7 +136,8 @@ def dual_analyze_sharded(sharded: ShardedChromosome,
         out = _fused_dual_body(
             words, path_idx[0], valid[0], idx[0], tail_a, g1_a, covar,
             pheno_q, min_ind, min_hap, maf,
-            n_haplotypes=sharded.n_haps, tails=False)
+            n_haplotypes=sharded.n_haps, tails=False,
+            with_covar=with_covar)
         return {k: v[None] for k, v in out.items()}
 
     fn = jax.jit(jax.shard_map(

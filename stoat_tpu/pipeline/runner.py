@@ -451,7 +451,7 @@ def run_vcf_analysis(
     # shapes run the single-device pipelined path.
     dual_mesh_ok = (secondary is not None and mode == "binary"
                     and secondary.get("mode") == "quantitative"
-                    and table_threshold == -1 and covariate is None)
+                    and table_threshold == -1)
     if use_mesh is None:
         use_mesh = _jax.device_count() > 1
         if secondary is not None and use_mesh and not dual_mesh_ok:
@@ -842,7 +842,8 @@ def _analyze_sharded(mesh, packed, mode, binary_phenotype,
     if mode == "dual":
         res = dual_analyze_sharded(
             sharded, binary_phenotype, quantitative_phenotype, mesh,
-            min_individuals, min_haplotypes, maf_threshold)
+            min_individuals, min_haplotypes, maf_threshold,
+            covariate=covariate)
     elif mode == "binary":
         res = binary_analyze_sharded(
             sharded, binary_phenotype, mesh, min_individuals,

@@ -406,3 +406,15 @@ def test_dual_fused_with_covariates_matches_separate(tmp_path):
                      sample_names=samples, use_mesh=False)
     assert filecmp.cmp(b1, b2, shallow=False)
     assert filecmp.cmp(q1, q2, shallow=False)
+    # and the MESH dual with covariates matches byte for byte too
+    # (topology must not change published statistics)
+    b3 = str(tmp_path / "mesh_b.tsv")
+    q3 = str(tmp_path / "mesh_q.tsv")
+    run_vcf_analysis(paths["vcf"], snarls_chr, b3, "binary",
+                     binary_phenotype=pheno, covariate=covar,
+                     sample_names=samples, use_mesh=True,
+                     secondary={"mode": "quantitative",
+                                "output_tsv": q3,
+                                "quantitative_phenotype": pheno_q})
+    assert filecmp.cmp(b1, b3, shallow=False)
+    assert filecmp.cmp(q1, q3, shallow=False)

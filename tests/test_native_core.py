@@ -384,3 +384,50 @@ def test_streamed_words_shared_edge_across_batches(lib_available,
         "mutated row (update it if batch sizes changed)"
     assembled = np.asarray(assemble_words_device(matrix))
     np.testing.assert_array_equal(assembled, np.asarray(matrix.words))
+
+
+def test_truncated_gzip_raises(lib_available, tmp_path):
+    """Round-5 review: a mid-file gzip error must raise, not masquerade
+    as EOF (a silently partial matrix means silently wrong p-values)."""
+    import gzip as _gzip
+
+    import numpy as np
+    import pytest
+
+    from stoat_tpu.native import NativeVcfMatrixReader
+
+    samples = [f"s{i}" for i in range(4)]
+    body = ["##fileformat=VCFv4.2",
+            '##INFO=<ID=AT,Number=R,Type=String,Description="x">',
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(samples)]
+    for k in range(5000):
+        a = 1 + 3 * k
+        body.append(f"c1\t{100+k}\tv{k}\tA\tT\t99\tPASS\t"
+                    f"AT=>{a}>{a+2},>{a}>{a+1}>{a+2};LV=0\tGT\t"
+                    + "\t".join(["0/1"] * 4))
+    raw = ("\n".join(body) + "\n").encode()
+    gz = _gzip.compress(raw)
+    trunc = tmp_path / "trunc.vcf.gz"
+    trunc.write_bytes(gz[: len(gz) // 2])    # cut mid-stream
+    reader = NativeVcfMatrixReader(str(trunc))
+    with pytest.raises(RuntimeError, match="read error"):
+        for _chrom, _w, _n, _e in reader.chunks_packed():
+            pass
+    reader.close()
+
+
+def test_header_without_trailing_newline(lib_available, tmp_path):
+    """A zero-record VCF whose #CHROM line is the unterminated final
+    line must still open (the data path handles unterminated final
+    lines; the header scan must too)."""
+    from stoat_tpu.native import NativeVcfMatrixReader
+
+    vcf = tmp_path / "nonewline.vcf"
+    with open(vcf, "w") as fh:
+        fh.write("##fileformat=VCFv4.2\n")
+        fh.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                 "\tsampleA\tsampleB")      # no trailing newline
+    reader = NativeVcfMatrixReader(str(vcf))
+    assert reader.samples == ["sampleA", "sampleB"]
+    reader.close()
