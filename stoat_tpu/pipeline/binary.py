@@ -203,9 +203,8 @@ def binary_analyze_chromosome(packed: PackedChromosome,
         if pheno_device is not None:
             g1_words, tail = pheno_device
         else:
-            tail = jnp.asarray(_pk.tail_mask_words(H, W))
-            g1_words = jnp.asarray(_pk.pack_hap_mask_words(
-                np.repeat(binary_phenotype.astype(bool), 2), W))
+            g1_words, tail = _pk.upload_pheno_mask_words(
+                binary_phenotype, H, W)
         out = binary_tables_device_packed(
             device_matrix,
             _pk.upload_path_idx(path_idx, int(device_matrix.shape[0]) - 1),

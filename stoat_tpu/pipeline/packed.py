@@ -89,6 +89,17 @@ def tail_mask_words(n_haplotypes: int, n_words: int) -> np.ndarray:
     return pack_hap_mask_words(np.ones(n_haplotypes, bool), n_words)
 
 
+def upload_pheno_mask_words(binary_phenotype: np.ndarray,
+                            n_haplotypes: int, n_words: int):
+    """(g1_words, tail) device pair for a per-sample binary phenotype
+    expanded to diploid haplotype pairs — the ONE place the haplotype-
+    expansion convention lives for the packed binary kernels."""
+    g1 = jnp.asarray(pack_hap_mask_words(
+        np.repeat(np.asarray(binary_phenotype).astype(bool), 2), n_words))
+    tail = jnp.asarray(tail_mask_words(n_haplotypes, n_words))
+    return g1, tail
+
+
 def pack_path_edge_idx(coo_path: np.ndarray, coo_row: np.ndarray,
                        path_valid: np.ndarray, n_rows: int,
                        min_k: int = 1) -> np.ndarray:

@@ -268,22 +268,13 @@ def _design_for(packed: PackedChromosome, covar: Optional[np.ndarray],
                 if covar is None else covar)
     # Packed-words path when the chromosome arrived bit-packed from the
     # native core (or the caller cached uint32 words on device); dense f32
-    # otherwise.  Value-identical (pinned by tests).
-    if device_matrix is not None:
-        use_packed = device_matrix.dtype == jnp.uint32
-    else:
-        use_packed = packed.words is not None
-    if use_packed:
-        from stoat_tpu.pipeline import packed as _pk
-        words = (device_matrix if device_matrix is not None
-                 else jnp.asarray(packed.packed_words()))
-        path_idx = packed.path_edge_idx()
+    # otherwise.  Value-identical (pinned by tests).  The upload-arg
+    # assembly lives in ONE place (_packed_args).
+    args = _packed_args(packed, covar, device_matrix)
+    if args is not None:
+        words, idx, valid, sidx, covar_d = args
         return quantitative_design_packed(
-            words,
-            _pk.upload_path_idx(path_idx, int(words.shape[0]) - 1),
-            _upload_bool_bits(packed.path_valid),
-            _pk.upload_snarl_path_idx(packed.snarl_path_idx),
-            jnp.asarray(covar_in, jnp.float64),
+            words, idx, valid, sidx, covar_d,
             jnp.float64(min_individuals),
             jnp.float64(min_haplotypes),
             jnp.float64(maf_threshold),

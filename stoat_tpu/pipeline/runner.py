@@ -632,12 +632,8 @@ def run_vcf_analysis(
                         PACKED_HAPLOTYPE_THRESHOLD as _PHT
                     if packed.words is not None or \
                             packed.n_haplotypes >= _PHT:
-                        pheno_device = (
-                            jnp.asarray(_pkmod.pack_hap_mask_words(
-                                np.repeat(binary_phenotype.astype(bool),
-                                          2), Ww)),
-                            jnp.asarray(_pkmod.tail_mask_words(n_hap,
-                                                               Ww)))
+                        pheno_device = _pkmod.upload_pheno_mask_words(
+                            binary_phenotype, n_hap, Ww)
                 if device_matrix is None and (chunk_mesh is None
                                               or mode == "eqtl"):
                     # upload the (possibly empty-padded) chromosome matrix
@@ -988,9 +984,8 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
     if pheno_device is not None:
         g1_words, tail = pheno_device
     else:
-        tail = jnp.asarray(_pk.tail_mask_words(packed.n_haplotypes, W))
-        g1_words = jnp.asarray(_pk.pack_hap_mask_words(
-            np.repeat(binary_phenotype.astype(bool), 2), W))
+        g1_words, tail = _pk.upload_pheno_mask_words(
+            binary_phenotype, packed.n_haplotypes, W)
     out = _fused_dual_analysis(
         words, idx, valid, sidx, tail, g1_words, covar_d,
         jnp.asarray(quantitative_phenotype, jnp.float64),
