@@ -209,7 +209,8 @@ class _NetView:
             return cache[si]
         paths, _types, lens = enumerate_snarl_paths(
             self.g, self.forest, si, children_threshold=10**9,
-            path_length_threshold=10**6, cycle_threshold=1)
+            path_length_threshold=10**6,
+            cycle_threshold=getattr(self, "cycle_threshold", 1))
         if not lens:
             result = (0, 0)
         else:
@@ -240,6 +241,10 @@ def enumerate_snarl_paths(g: GfaGraph, forest: SnarlForest, snarl_idx: int,
     lens: list[(min,max)]) or raises _SnarlReject.
     """
     view = _NetView(g, forest, snarl_idx)
+    # child min/max enumeration honors the caller's -y/--cycle setting
+    # (was hardcoded 1, making nested TYPE values inconsistent with the
+    # parent's own path enumeration at cycle_threshold > 1)
+    view.cycle_threshold = cycle_threshold
     snarl = view.snarl
     start = snarl.start
     end = snarl.end
@@ -399,11 +404,17 @@ def decompose_graph(g: GfaGraph, ref_chr: Optional[Set[str]] = None,
                 return chrom, pos + g.node_length(nid), pos + 1
         return None
 
-    # tree order: top-level snarls by reference position, DFS pre-order
+    # tree order: top-level snarls grouped BY CHROMOSOME then reference
+    # position, DFS pre-order.  Position-only ordering interleaved
+    # chromosome blocks in the TSV, and parse_snarl_path keeps only the
+    # last contiguous block per chromosome (deliberate reference
+    # parity), silently dropping snarls on re-read.
     def snarl_sort_key(i: int):
         s = forest.snarls[i]
         p1 = node_position(s.start_node)
-        return p1[1] if p1 else 1 << 60
+        if p1 is None:
+            return (1, "", 1 << 60)
+        return (0, p1[0], p1[1])
 
     chr_map: Dict[str, List[SnarlData]] = {}
     n_fail = 0
@@ -426,8 +437,11 @@ def decompose_graph(g: GfaGraph, ref_chr: Optional[Set[str]] = None,
             else:
                 res = ("", 0, 0, False)
         elif p1 is None or p2 is None:
+            # one bound off-reference: only one coordinate pair is
+            # known; order it (the raw pair is (pos+len, pos+1), which
+            # printed inverted intervals START_POS > END_POS)
             p = p1 or p2
-            res = (p[0], p[1], p[2], True)
+            res = (p[0], min(p[1], p[2]), max(p[1], p[2]), True)
         else:
             if p1[1] < p2[1]:
                 res = (p1[0], p1[1], p2[2], True)

@@ -152,7 +152,13 @@ def load_gfa(path: str,
     ``ref``."""
     g = GfaGraph()
     reference_names = reference_names or set()
-    with open(path) as fh:
+    # transparent gzip: sniff_graph_format routes .gfa.gz here, but a
+    # text-mode open on gzip bytes died with UnicodeDecodeError
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    opener = (lambda p_: __import__("gzip").open(p_, "rt")) \
+        if magic == b"\x1f\x8b" else (lambda p_: open(p_))
+    with opener(path) as fh:
         for line in fh:
             if not line or line[0] in "#\n":
                 continue

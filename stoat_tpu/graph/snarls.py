@@ -311,7 +311,11 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
             h = (nid, o)
             succs = g.successors(h)
             if len(succs) >= 2:
-                candidates.append((h, _MAX_EXIT_TRIES))
+                # the true exit of a P-branch bubble appears after P
+                # BFS candidates: a fixed 64 cap made >64-allele sites
+                # vanish silently (in neither output file)
+                candidates.append(
+                    (h, max(_MAX_EXIT_TRIES, 2 * len(succs) + 16)))
             elif len(succs) == 1:
                 v = succs[0]
                 entered = _entry_side(v)
@@ -319,15 +323,21 @@ def find_snarls(g: GfaGraph) -> SnarlForest:
                         len(_side_endpoints(g, entered)) >= 2:
                     candidates.append((h, 8))
 
+    # ranks over EVERY reference path (offset per path so ranks stay
+    # unique): stopping at the first path left every later chromosome's
+    # snarls without reference orientation (reversed ids on chr2+)
     ref_order: Dict[int, int] = {}
+    base = 0
     for path in g.paths:
         if path.is_reference:
             for rank, step in enumerate(path.steps):
-                ref_order.setdefault(step[0], rank)
-            break
+                ref_order.setdefault(step[0], base + rank)
+            base += len(path.steps)
     if not ref_order and g.paths:
-        for rank, step in enumerate(g.paths[0].steps):
-            ref_order.setdefault(step[0], rank)
+        for path in g.paths:
+            for rank, step in enumerate(path.steps):
+                ref_order.setdefault(step[0], base + rank)
+            base += len(path.steps)
 
     # Reference-path termini root the decomposition (see
     # _find_snarl_from).  Sample paths may legitimately end mid-graph, so

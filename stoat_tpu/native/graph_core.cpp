@@ -661,7 +661,11 @@ static Forest find_snarls(const Graph& g) {
             Handle h = make_handle(nid, o);
             const auto& succs = g.successors(h);
             if (succs.size() >= 2) {
-                candidates.push_back({h, kMaxExitTries});
+                // the true exit of a P-branch bubble appears after P
+                // BFS candidates (mirrors snarls.py)
+                candidates.push_back(
+                    {h, std::max(kMaxExitTries,
+                                 2 * int(succs.size()) + 16)});
             } else if (succs.size() == 1) {
                 Handle entered = entry_side(succs[0]);
                 if (cyclic.count(node_of(succs[0])) &&
@@ -671,19 +675,27 @@ static Forest find_snarls(const Graph& g) {
         }
     }
 
+    // ranks over EVERY reference path (offset per path): stopping at
+    // the first left later chromosomes' snarls without reference
+    // orientation (mirrors snarls.py)
     std::unordered_map<uint64_t, int> ref_order;
-    for (const auto& p : g.paths) {
-        if (p.is_ref) {
+    {
+        int base = 0;
+        for (const auto& p : g.paths) {
+            if (!p.is_ref) continue;
             int rank = 0;
             for (Handle st : p.steps)
-                ref_order.emplace(node_of(st), rank++);
-            break;
+                ref_order.emplace(node_of(st), base + rank++);
+            base += int(p.steps.size());
         }
-    }
-    if (ref_order.empty() && !g.paths.empty()) {
-        int rank = 0;
-        for (Handle st : g.paths[0].steps)
-            ref_order.emplace(node_of(st), rank++);
+        if (ref_order.empty()) {
+            for (const auto& p : g.paths) {
+                int rank = 0;
+                for (Handle st : p.steps)
+                    ref_order.emplace(node_of(st), base + rank++);
+                base += int(p.steps.size());
+            }
+        }
     }
 
     // reference-path termini only (sample paths may end mid-graph)
@@ -900,6 +912,7 @@ struct EnumResult {
 struct Decomposer {
     const Graph& g;
     Forest& forest;
+    long cycle_threshold = 1;   // caller's -y/--cycle (mirrors decompose.py)
     std::unordered_map<int, std::pair<long, long>> min_max_cache;
 
     Decomposer(const Graph& g_, Forest& f_) : g(g_), forest(f_) {}
@@ -1060,7 +1073,7 @@ struct NetView {
 std::pair<long, long> Decomposer::snarl_min_max(int si) {
     auto it = min_max_cache.find(si);
     if (it != min_max_cache.end()) return it->second;
-    auto res = enumerate_paths(si, 1L << 40, 1000000, 1);
+    auto res = enumerate_paths(si, 1L << 40, 1000000, cycle_threshold);
     std::pair<long, long> out{0, 0};
     if (!res.rejected && !res.lens.empty()) {
         long mn = res.lens[0].first, mx = res.lens[0].second;
@@ -1270,6 +1283,7 @@ static DecomposeOutput decompose(const Graph& g,
     gm.build_index();    // CSR adjacency for the snarl-finding hot loops
     Forest forest = find_snarls(g);
     Decomposer d(g, forest);
+    d.cycle_threshold = cycle_threshold;
 
     // reference offsets per ref path (first visit)
     std::vector<std::pair<std::string, std::unordered_map<uint64_t, long>>>
@@ -1301,9 +1315,13 @@ static DecomposeOutput decompose(const Graph& g,
         return std::nullopt;
     };
 
-    auto sort_key = [&](int i) -> long {
+    // group BY CHROMOSOME then position (mirrors decompose.py: an
+    // interleaved TSV loses snarls through parse_snarl_path's
+    // last-block-per-chromosome reference-parity quirk)
+    auto sort_key = [&](int i) -> std::tuple<int, std::string, long> {
         auto p = node_position(node_of(forest.snarls[i].start));
-        return p ? std::get<1>(*p) : (1L << 60);
+        if (!p) return {1, std::string(), 1L << 60};
+        return {0, std::get<0>(*p), std::get<1>(*p)};
     };
 
     // resolve positions with parent inheritance (memoized)
@@ -1324,8 +1342,13 @@ static DecomposeOutput decompose(const Graph& g,
                 res = {"", 0, 0, false};
             }
         } else if (!p1 || !p2) {
+            // one bound off-reference: order the single known pair
+            // (mirrors decompose.py; raw order printed inverted
+            // START_POS > END_POS intervals)
             auto& p = p1 ? p1 : p2;
-            res = {std::get<0>(*p), std::get<1>(*p), std::get<2>(*p), true};
+            long a = std::get<1>(*p), b = std::get<2>(*p);
+            res = {std::get<0>(*p), std::min(a, b), std::max(a, b),
+                   true};
         } else {
             if (std::get<1>(*p1) < std::get<1>(*p2))
                 res = {std::get<0>(*p1), std::get<1>(*p1), std::get<2>(*p2),
@@ -1373,6 +1396,7 @@ static DecomposeOutput decompose(const Graph& g,
         std::atomic<size_t> next{0};
         auto work = [&] {
             Decomposer dl(g, forest);
+            dl.cycle_threshold = cycle_threshold;
             size_t k;
             while ((k = next.fetch_add(1)) < order.size())
                 results[k] = dl.enumerate_paths(
