@@ -164,11 +164,16 @@ def parse_snarl_path(file_path: str) -> Dict[str, List[SnarlData]]:
                 f" > Expected: {chr(9).join(EXPECTED_HEADER)}\n"
                 f" > Got:      {chr(9).join(header)}"
             )
-        for line in fh:
+        for lineno, line in enumerate(fh, start=2):
             line = line.rstrip("\n")
             if not line:
                 continue
             cols = line.split("\t")
+            if len(cols) < 9:
+                raise RuntimeError(
+                    f"Error: malformed snarl file {file_path}: line "
+                    f"{lineno} has {len(cols)} columns (expected 9): "
+                    f"{line[:120]!r}")
             chrom, start_s, end_s, handle_s, snarl_id_s, paths_s, type_s, _ref, depth_s = cols[:9]
 
             if chrom != save_chr and save_chr != "":

@@ -225,8 +225,7 @@ class PackedEdgeMatrix(PrebuiltEdgeMatrix):
 
     def shrink(self) -> np.ndarray:
         if self._dense is None:
-            E = self.n_rows
-            self._dense = np.unpackbits(
-                self.words[:E].view(np.uint8), axis=1,
-                bitorder="little")[:, : self.n_haplotypes].view(bool)
+            from stoat_tpu.pipeline.packed import unpack_words_to_dense
+            self._dense = unpack_words_to_dense(self.words,
+                                                self.n_haplotypes)
         return self._dense

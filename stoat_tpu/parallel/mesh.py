@@ -34,8 +34,8 @@ def make_snarl_mesh(devices: Optional[Sequence] = None,
     """A 1-D mesh over the snarl axis."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+    if n_devices is not None:
+        devices = devices[:n_devices]
     return Mesh(np.array(devices), ("snarls",))
 
 
@@ -76,11 +76,8 @@ class ShardedChromosome:
     def matrix(self) -> np.ndarray:
         """Dense bool [E, H] view (lazy; prefer ``words``)."""
         if self._dense is None:
-            E = self.words.shape[0] - 1
-            self._dense = np.unpackbits(
-                self.words[:E].view(np.uint8).reshape(max(E, 1), -1)
-                if E else np.zeros((1, self.words.shape[1] * 4), np.uint8),
-                axis=1, bitorder="little")[:, : self.n_haps].astype(bool)
+            from stoat_tpu.pipeline.packed import unpack_words_to_dense
+            self._dense = unpack_words_to_dense(self.words, self.n_haps)
         return self._dense
 
 

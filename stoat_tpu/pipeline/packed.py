@@ -89,6 +89,19 @@ def tail_mask_words(n_haplotypes: int, n_words: int) -> np.ndarray:
     return pack_hap_mask_words(np.ones(n_haplotypes, bool), n_words)
 
 
+def unpack_words_to_dense(words: np.ndarray,
+                          n_haplotypes: int) -> np.ndarray:
+    """Dense bool [E, H] from uint32 [E+1, W] words (identity row
+    dropped); the one shared host unpack (three hand-rolled copies used
+    to disagree on the E == 0 edge case)."""
+    E = int(words.shape[0]) - 1
+    if E <= 0:
+        return np.zeros((0, n_haplotypes), bool)
+    return np.unpackbits(
+        np.ascontiguousarray(words[:E]).view(np.uint8).reshape(E, -1),
+        axis=1, bitorder="little")[:, :n_haplotypes].astype(bool)
+
+
 def upload_pheno_mask_words(binary_phenotype: np.ndarray,
                             n_haplotypes: int, n_words: int):
     """(g1_words, tail) device pair for a per-sample binary phenotype

@@ -95,10 +95,8 @@ class PackedChromosome:
     def dense_matrix(self) -> np.ndarray:
         """The bool [E, H] matrix, unpacking from words if needed."""
         if self.matrix is None:
-            E = self.words.shape[0] - 1
-            self.matrix = np.unpackbits(
-                self.words[:E].view(np.uint8).reshape(E, -1), axis=1,
-                bitorder="little")[:, : self.n_haps].astype(bool)
+            from stoat_tpu.pipeline.packed import unpack_words_to_dense
+            self.matrix = unpack_words_to_dense(self.words, self.n_haps)
         return self.matrix
 
     def packed_words(self) -> np.ndarray:

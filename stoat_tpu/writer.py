@@ -129,9 +129,13 @@ _META_CACHE: dict = {}
 
 
 def _chunk_meta(snarls):
-    key = (id(snarls[0]), len(snarls)) if snarls else (0, 0)
+    # cache hit requires the SAME LIST OBJECT (the dual-run secondary
+    # and bench re-format the identical chunk list); a (first-element,
+    # length) key could alias a reordered/subset list sharing its head
+    # and silently pair stale coordinates with fresh p-values
+    key = id(snarls)
     got = _META_CACHE.get(key)
-    if got is not None and got[0] is snarls[0]:
+    if got is not None and got[0] is snarls:
         return got[1]
     meta = (_prefix_blob(snarls),
             np.fromiter((s.depth for s in snarls), np.int64, len(snarls)),
@@ -139,8 +143,9 @@ def _chunk_meta(snarls):
                         len(snarls)))
     if len(_META_CACHE) > 256:
         _META_CACHE.clear()
-    if snarls:
-        _META_CACHE[key] = (snarls[0], meta)
+    # the cached strong reference to the list keeps its id from being
+    # recycled, making the identity check sound
+    _META_CACHE[key] = (snarls, meta)
     return meta
 
 
