@@ -437,14 +437,17 @@ class PrefixView:
         return (self._prefix + key) in self._res
 
 
-def _packed_args(packed: PackedChromosome, covar, device_matrix):
-    """Device args for the fused packed path, or None (dense fallback)."""
+def _packed_args(packed: PackedChromosome, covar, device_matrix,
+                 force_pack: bool = False):
+    """Device args for the fused packed path, or None (dense fallback).
+
+    ``force_pack``: pack a dense-source chromosome on host instead of
+    returning None — for callers whose device program exists only in
+    the packed-words form (the fused dual)."""
     from stoat_tpu.pipeline import packed as _pk
-    if device_matrix is not None:
-        if device_matrix.dtype != jnp.uint32:
-            return None
+    if device_matrix is not None and device_matrix.dtype == jnp.uint32:
         words = device_matrix
-    elif packed.words is not None:
+    elif packed.words is not None or force_pack:
         words = jnp.asarray(packed.packed_words())
     else:
         return None

@@ -977,8 +977,8 @@ def _analyze_dual_fused(packed, binary_phenotype, quantitative_phenotype,
     # one shared upload-arg assembly with the quantitative fused path
     # (quantitative._packed_args); the caller's gating guarantees the
     # packed layout, so args is never None here
-    words, idx, valid, sidx, covar_d = _packed_args(packed, covariate,
-                                                    device_matrix)
+    words, idx, valid, sidx, covar_d = _packed_args(
+        packed, covariate, device_matrix, force_pack=True)
     with_covar = covariate is not None and covariate.shape[1] > 0
     W = int(words.shape[1])
     if pheno_device is not None:
