@@ -700,6 +700,63 @@ static std::vector<std::thread> parse_batch_async(
     return threads;
 }
 
+
+// Shared path-blob tokenizer: walks the ','-joined '>id<id' path blob,
+// resolving consecutive traversal pairs through ``lookup(prev, key)``
+// (row index or UINT32_MAX = unknown); node-0 (*) traversals skip, an
+// unknown edge invalidates the path and drops its partial rows
+// (identify_path's early abort, snarl_analyzer.cpp:334-336).  The ONE
+// copy behind stoat_resolve_paths and stoat_chunk_resolve_idx.
+template <typename Lookup>
+static void tokenize_path_blob(const char* blob, int64_t blob_len,
+                               Lookup&& lookup,
+                               std::vector<uint32_t>& rows,
+                               std::vector<uint64_t>& offs,
+                               std::vector<uint8_t>& valid) {
+    rows.reserve(size_t(blob_len) / 4 + 1);
+    offs.push_back(0);
+    const char* p = blob;
+    const char* end = blob + blob_len;
+    uint64_t prev_key = 0;
+    bool have_prev = false;
+    bool ok = true;
+    size_t path_row_start = 0;
+    while (true) {
+        if (p >= end || *p == ',') {
+            if (!ok) rows.resize(path_row_start);   // drop partial rows
+            offs.push_back(rows.size());
+            valid.push_back(ok ? 1 : 0);
+            if (p >= end) break;
+            ++p;
+            prev_key = 0;
+            have_prev = false;
+            ok = true;
+            path_row_start = rows.size();
+            continue;
+        }
+        char c = *p;
+        if (c == '>' || c == '<') {
+            uint64_t rev = (c == '<');
+            ++p;
+            uint64_t id = 0;
+            while (p < end && *p >= '0' && *p <= '9') {
+                id = id * 10 + uint64_t(*p - '0');
+                ++p;
+            }
+            uint64_t key = (id << 1) | rev;
+            if (have_prev && ok && (prev_key >> 1) != 0 && id != 0) {
+                uint32_t row = lookup(prev_key, key);
+                if (row != UINT32_MAX) rows.push_back(row);
+                else ok = false;      // identify_path's early abort
+            }
+            prev_key = key;
+            have_prev = true;
+        } else {
+            ++p;   // stray characters: skip (parity with the tokenizer)
+        }
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -1048,53 +1105,16 @@ int64_t stoat_resolve_paths(const uint64_t* edges, uint64_t n_edge_rows,
     std::vector<uint32_t> rows;
     std::vector<uint64_t> offs;
     std::vector<uint8_t> valid;
-    rows.reserve(size_t(blob_len) / 4 + 1);
-    offs.push_back(0);
-
-    const char* p = blob;
-    const char* end = blob + blob_len;
-    uint64_t prev_key = 0;
-    bool have_prev = false;
-    bool ok = true;
-    size_t path_row_start = 0;
-    while (true) {
-        if (p >= end || *p == ',') {
-            if (!ok) rows.resize(path_row_start);   // drop partial rows
-            offs.push_back(rows.size());
-            valid.push_back(ok ? 1 : 0);
-            if (p >= end) break;
-            ++p;
-            prev_key = 0;
-            have_prev = false;
-            ok = true;
-            path_row_start = rows.size();
-            continue;
-        }
-        char c = *p;
-        if (c == '>' || c == '<') {
-            uint64_t rev = (c == '<');
-            ++p;
-            uint64_t id = 0;
-            while (p < end && *p >= '0' && *p <= '9') {
-                id = id * 10 + uint64_t(*p - '0');
-                ++p;
-            }
-            uint64_t key = (id << 1) | rev;
-            if (have_prev && ok && (prev_key >> 1) != 0 && id != 0) {
-                bool added = false;
-                uint32_t row = table.get_or_add(prev_key, key, added);
-                // Unknown edges intern like any other (keeping the load
-                // factor honest) but land at rows >= n_edge_rows: the
-                // path is invalid (identify_path's early abort).
-                if (row < n_edge_rows) rows.push_back(row);
-                else ok = false;
-            }
-            prev_key = key;
-            have_prev = true;
-        } else {
-            ++p;   // stray characters: skip (parity with the tokenizer)
-        }
-    }
+    // Unknown edges intern like any other (keeping the load factor
+    // honest) but land at rows >= n_edge_rows -> invalid path.
+    tokenize_path_blob(
+        blob, blob_len,
+        [&](uint64_t a, uint64_t b) -> uint32_t {
+            bool added = false;
+            uint32_t row = table.get_or_add(a, b, added);
+            return row < n_edge_rows ? row : UINT32_MAX;
+        },
+        rows, offs, valid);
 
     int64_t P = int64_t(valid.size());
     *rows_out = (uint32_t*)malloc(rows.size() * sizeof(uint32_t) + 1);
@@ -1133,49 +1153,10 @@ int64_t stoat_chunk_resolve_idx(void* cp, const char* blob,
     std::vector<uint32_t> rows;
     std::vector<uint64_t> offs;
     std::vector<uint8_t> valid;
-    rows.reserve(size_t(blob_len) / 4 + 1);
-    offs.push_back(0);
-
-    const char* p = blob;
-    const char* end = blob + blob_len;
-    uint64_t prev_key = 0;
-    bool have_prev = false;
-    bool ok = true;
-    size_t path_row_start = 0;
-    while (true) {
-        if (p >= end || *p == ',') {
-            if (!ok) rows.resize(path_row_start);   // drop partial rows
-            offs.push_back(rows.size());
-            valid.push_back(ok ? 1 : 0);
-            if (p >= end) break;
-            ++p;
-            prev_key = 0;
-            have_prev = false;
-            ok = true;
-            path_row_start = rows.size();
-            continue;
-        }
-        char ch = *p;
-        if (ch == '>' || ch == '<') {
-            uint64_t rev = (ch == '<');
-            ++p;
-            uint64_t id = 0;
-            while (p < end && *p >= '0' && *p <= '9') {
-                id = id * 10 + uint64_t(*p - '0');
-                ++p;
-            }
-            uint64_t key = (id << 1) | rev;
-            if (have_prev && ok && (prev_key >> 1) != 0 && id != 0) {
-                uint32_t row = table.find(prev_key, key);
-                if (row != UINT32_MAX) rows.push_back(row);
-                else ok = false;      // identify_path's early abort
-            }
-            prev_key = key;
-            have_prev = true;
-        } else {
-            ++p;   // stray characters: skip (parity with the tokenizer)
-        }
-    }
+    tokenize_path_blob(
+        blob, blob_len,
+        [&](uint64_t a, uint64_t b) { return table.find(a, b); },
+        rows, offs, valid);
 
     const int64_t P = int64_t(valid.size());
     uint64_t max_k = 0;
