@@ -273,25 +273,10 @@ def run_device(packed, pheno_bin, pheno_q, repeats=4):
     return min(times), min(perm_times) / PERM_BATCH
 
 
-class _Tokenizer:
-    """Background chromosome tokenizer (the runner's _QuadTokenizer)."""
-
-    def __init__(self, snarls_chr):
-        from stoat_tpu.tables import tokenize_chromosome
-        self._fn = tokenize_chromosome
-        self._results = {}
-        self._events = {c: threading.Event() for c in snarls_chr}
-        self._snarls_chr = snarls_chr
-        threading.Thread(target=self._run, daemon=True).start()
-
-    def _run(self):
-        for chrom, snarls in self._snarls_chr.items():
-            self._results[chrom] = self._fn(snarls)
-            self._events[chrom].set()
-
-    def get(self, chrom):
-        self._events[chrom].wait()
-        return self._results[chrom]
+def _Tokenizer(snarls_chr):
+    """The runner's production background tokenizer (no bench twin)."""
+    from stoat_tpu.pipeline.runner import _QuadTokenizer
+    return _QuadTokenizer(snarls_chr)
 
 
 def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=8,
@@ -317,7 +302,7 @@ def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=8,
     covar0 = jnp.zeros((N_SAMPLES, 0), jnp.float64)
     pheno_qd = jnp.asarray(pheno_q, jnp.float64)
     times = []
-    for _ in range(repeats):
+    for rep in range(repeats + 1):           # rep 0 = untimed warm
         _settle()
         t0 = time.perf_counter()
         tok = _Tokenizer(snarls_chr)         # overlaps the native ingest
@@ -344,8 +329,13 @@ def run_end_to_end(paths, snarls_chr, pheno_bin, pheno_q, repeats=8,
                 g1_words, covar0, pheno_qd, *th, n_haplotypes=n_hap)
             results.append(flatten_result(out))
         for fr in results:
-            fr["p_chi2"], fr["q_p"]          # materialize each wire pack
-        times.append(time.perf_counter() - t0)
+            # materialize BOTH wire arrays: the f64 stats AND the u32
+            # counts pack (g0 lives there) — the production writer needs
+            # every byte, so the timer must not stop before the u32
+            # transfer lands
+            fr["p_chi2"], fr["q_p"], fr["g0"]
+        if rep > 0:                           # rep 0 absorbs compiles
+            times.append(time.perf_counter() - t0)
     return min(times)
 
 
@@ -390,20 +380,30 @@ def run_perm(packed, pheno_bin, pheno_q, repeats=2):
     return 2 * PERMS * S / best
 
 
-def _pack_for_baseline(packed, edge_matrix):
-    """Per-path edge-row lists + per-snarl path offsets for the C++ loop."""
+def _pack_for_baseline(packed, edge_matrix, zero_row: int):
+    """Per-path edge-row lists + per-snarl path offsets for the C++ loop.
+
+    A path with an edge missing from the matrix gets the all-zero
+    ``zero_row``: the reference's identify_path ABORTS such paths (no
+    carriers, snarl_analyzer.cpp:334-336), and silently skipping the
+    edge instead (the pre-round-5 behavior) made the baseline measure a
+    cheaper, different computation."""
     from stoat_tpu.io.snarl_file import path_to_edges
     path_rows = []
     row_offsets = [0]
     snarl_offsets = [0]
     for snarl in packed.snarls:
         for path in snarl.paths:
+            start = len(path_rows)
             for e in path_to_edges(path):
                 if e[0][0] == 0 or e[1][0] == 0:
                     continue
                 r = edge_matrix.find_edge(e)
-                if r >= 0:
-                    path_rows.append(r)
+                if r < 0:
+                    del path_rows[start:]
+                    path_rows.append(zero_row)   # no carriers
+                    break
+                path_rows.append(r)
             row_offsets.append(len(path_rows))
         snarl_offsets.append(snarl_offsets[-1] + len(snarl.paths))
     return (np.array(path_rows, np.int32),
@@ -416,15 +416,19 @@ def run_baseline(packed, edge_matrix, pheno_bin, pheno_q,
     """Single-core C++ per-snarl loop (the reference's algorithm shape,
     dependency-free C++17; see native/baseline_core.cpp).  Falls back to
     the Python scalar oracle when the toolchain is missing."""
-    path_rows, row_offsets, snarl_offsets = _pack_for_baseline(
-        packed, edge_matrix)
     sample = min(sample, packed.n_snarls)
     # ROUND-5 CORRECTION: the bool->uint8 matrix conversion (a 79 MB
     # numpy copy at bench scale) used to run INSIDE the timed region,
     # understating the baseline ~2.9x (measured: 27k/s with the copy,
     # 78k/s without).  Rounds 1-4 vs_baseline ratios carried that
     # inflation; every input is now prepared before the timer starts.
-    dense = np.ascontiguousarray(packed.dense_matrix(), np.uint8)
+    # The appended all-zero row is the no-carriers target for paths
+    # with unresolved edges (see _pack_for_baseline).
+    dense = np.ascontiguousarray(
+        np.vstack([packed.dense_matrix(),
+                   np.zeros((1, packed.n_haplotypes), bool)]), np.uint8)
+    path_rows, row_offsets, snarl_offsets = _pack_for_baseline(
+        packed, edge_matrix, dense.shape[0] - 1)
     pheno_u8 = pheno_bin.astype(np.uint8)
     try:
         from stoat_tpu.native import run_baseline_cpp
@@ -494,6 +498,7 @@ def run_full(paths, snarls_chr, pheno_bin, pheno_q, tmpdir, repeats=3):
 
     bin_run()
     quant_run()                      # warm (jit compiles, page cache)
+    dual_run()                       # the fused dual shape too
     tb_times = []
     tq_times = []
     dual_times = []
@@ -569,7 +574,8 @@ def make_graph_workload(outdir, rng):
         for s in range(GRAPH_SAMPLES):
             fh.write(f"s{s}\ts{s}\t{1 + s % 2}\n")
     start_handles = np.array([a << 1 for a, _m1, _m2 in chain], np.uint64)
-    pheno_paths = np.array([1 - (s % 2) for s in range(GRAPH_SAMPLES)],
+    # 1 = case, matching the TSV (sample s is case when 1 + s % 2 == 2)
+    pheno_paths = np.array([s % 2 for s in range(GRAPH_SAMPLES)],
                            np.uint8)
     return (gfa, pheno_path, np.array(steps_flat, np.uint64),
             np.array(offsets, np.int64), start_handles, pheno_paths)

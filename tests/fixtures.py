@@ -130,7 +130,13 @@ def make_fixture(tmpdir: str, n_samples: int = 40, n_snarls: int = 12,
         fh.write("gene_name\tchr\tstart\tend\n")
         for g in range(n_genes):
             lo = 100 + g * 300
-            fh.write(f"gene{g}\t{chrom}\t{lo}\t{lo + 200}\n")
+            # genes must reference chromosomes that EXIST in the
+            # generated set ('ref0..refN-1' when n_chroms > 1, not the
+            # base name): cycle them so multi-chromosome eQTL fixtures
+            # actually pair genes with snarls
+            gene_chrom = (chrom if n_chroms <= 1
+                          else f"{chrom}{g % n_chroms}")
+            fh.write(f"gene{g}\t{gene_chrom}\t{lo}\t{lo + 200}\n")
     qtl_path = os.path.join(tmpdir, "qtl.tsv")
     expr = rng.standard_normal((n_genes, n_samples)) + 1.0
     with open(qtl_path, "w") as fh:
