@@ -31,10 +31,12 @@ def test_baseline_counts_match_oracle(tmp_path):
     pq = parse_quantitative_pheno(fx["quantitative"], list(fx["samples"]))
 
     import bench
+    dense = np.vstack([packed.matrix,
+                       np.zeros((1, packed.n_haplotypes), bool)])
     path_rows, row_offsets, snarl_offsets = bench._pack_for_baseline(
-        packed, m)
+        packed, m, dense.shape[0] - 1)
     analyzed = native.run_baseline_cpp(
-        packed.matrix.astype(np.uint8), path_rows, row_offsets,
+        dense.astype(np.uint8), path_rows, row_offsets,
         snarl_offsets, pb.astype(np.uint8), pq, 3, 5, 0.05)
 
     expected = 0
