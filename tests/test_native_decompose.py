@@ -148,3 +148,20 @@ def test_zoo_wide_native_python_parity(graph_lib, tmp_path):
             # graphs without a flagged ref path raise "paths = 0" in both
             assert "0" in str(e) or "paths" in str(e), (name, e)
     assert checked >= 15
+
+
+def test_random_graph_fuzz_parity(graph_lib, tmp_path):
+    """Round-5: randomized differential decomposition — the same random
+    graphs the association fuzz drives (mixed arities, deletion edges,
+    dangling branches) must decompose identically through the C++ and
+    Python twins, keyed per snarl with identical reject sets."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_graph_fuzz import _random_graph
+
+    for seed in range(10):
+        d = tmp_path / f"s{seed}"
+        d.mkdir()
+        gfa, _pheno = _random_graph(d, seed)
+        assert_parity(gfa, refs={"ref"})
