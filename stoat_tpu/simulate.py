@@ -83,9 +83,13 @@ def generate_dataset(outdir: str, n_samples: int = 200, n_snarls: int = 100,
         if has_effect:
             quant += quant_effect * (dosage0 - dosage0.mean())
 
-        for group in (0, 1):
-            total = hap_counts[group].sum()
-            for a, mid in enumerate(mids):
+        # the reference's freq file pairs each (start, next)'s group-0
+        # and group-1 rows ADJACENT (its verify script reads pairwise):
+        # allele outer, group inner
+        totals = {g: hap_counts[g].sum() for g in (0, 1)}
+        for a, mid in enumerate(mids):
+            for group in (0, 1):
+                total = totals[group]
                 freq = hap_counts[group][a] / total if total else 0.0
                 truth_rows.append(
                     f"{start}\t{mid}\t{group}\t{freq:.4f}")
@@ -160,6 +164,7 @@ def verify_truth(results_tsv: str, truth_tsv: str,
         max_diff[start] = max(max_diff.get(start, 0.0), diff)
 
     tp = fp = fn = tn = 0
+    seen_starts = set()
     with open(results_tsv) as fh:
         header = fh.readline().rstrip("\n").lstrip("#").split("\t")
         p_idx = header.index("P") if "P" in header else header.index(
@@ -167,6 +172,7 @@ def verify_truth(results_tsv: str, truth_tsv: str,
         for line in fh:
             cols = line.rstrip("\n").split("\t")
             snarl_start = cols[3].split("_")[0]
+            seen_starts.add(snarl_start)
             truth_assoc = max_diff.get(snarl_start, 0.0) > freq_threshold
             p_str = cols[p_idx]
             called = p_str not in ("NA", "") and float(p_str) < p_threshold
@@ -178,6 +184,12 @@ def verify_truth(results_tsv: str, truth_tsv: str,
                 fn += 1
             else:
                 tn += 1
+    # truth-associated snarls with NO results row (filtered before any
+    # test) are false negatives of the END-TO-END pipeline — skipping
+    # them inflated recall
+    for start, diff in max_diff.items():
+        if diff > freq_threshold and start not in seen_starts:
+            fn += 1
     precision = tp / (tp + fp) if tp + fp else 0.0
     recall = tp / (tp + fn) if tp + fn else 0.0
     f1 = (2 * precision * recall / (precision + recall)

@@ -325,6 +325,16 @@ def _quads_from_blob(blob: str, n_per: np.ndarray):
     is_open = (b == 62) | (b == 60)                      # '>' / '<'
     if not bool(np.all(digit | is_open | (b == 44))):    # stray chars
         return None
+    # every digit RUN must start immediately after '<'/'>' — a bare
+    # digit at a path start (e.g. ',67>8') would otherwise splice into
+    # the previous token's decode and corrupt its node id (the scalar
+    # walk handles such malformed strings; fall back to it)
+    run_start = digit.copy()
+    run_start[1:] &= ~digit[:-1]
+    bad = run_start.copy()
+    bad[1:] &= ~is_open[:-1]
+    if bool(bad[0]) or bool(np.any(bad)):
+        return None
     starts = np.flatnonzero(is_open)
     if starts.size == 0:
         return empty
