@@ -66,8 +66,12 @@ def _add_suffix(filename: str, suffix: str) -> str:
     return filename[:dot] + suffix + filename[dot:]
 
 
-def _split_on_star(path_str: str) -> List[str]:
-    """Split an oriented walk at node-0 (*) elements."""
+def _split_on_star(path_str: str):
+    """Split an oriented walk at node-0 (*) elements.
+
+    Yields (rendered sub-path string, node tuples) pairs — the tuples
+    feed the length sum directly, avoiding a re-parse of the string the
+    emitter just built."""
     nodes = parse_path_string(path_str)
     parts: List[List] = [[]]
     for node in nodes:
@@ -75,7 +79,8 @@ def _split_on_star(path_str: str) -> List[str]:
             parts.append([])
         else:
             parts[-1].append(node)
-    return ["".join(("<" if rev else ">") + str(nid) for nid, rev in part)
+    return [("".join(("<" if rev else ">") + str(nid)
+                     for nid, rev in part), part)
             for part in parts if part]
 
 
@@ -128,7 +133,8 @@ def gaf_creation(input_tsv: str,
                 name0 = (f"{snarl_id}_G0_{g0}_F{pfisher:.6f}_C{pchi:.6f}")
                 name1 = (f"{snarl_id}_G1_{g1}_F{pfisher:.6f}_C{pchi:.6f}")
                 prop0, prop1 = calcul_proportion_signi(g0, g1, pfisher)
-                for sub in _split_on_star(path_str):
-                    length = _path_length(node_lengths, sub)
+                for sub, sub_nodes in _split_on_star(path_str):
+                    length = sum(node_lengths.get(nid, 0)
+                                 for nid, _rev in sub_nodes)
                     f0.write(f"{name0}\t{sub}\t{length}\t{prop0:g}\n")
                     f1.write(f"{name1}\t{sub}\t{length}\t{prop1:g}\n")

@@ -51,12 +51,13 @@ def read_pvalues(tsv_path: str, p_column: Optional[str] = None
 
 
 def qq_plot(tsv_path: str, output_png: str,
-            p_column: Optional[str] = None) -> None:
+            p_column: Optional[str] = None, data=None) -> None:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    p, _, _ = read_pvalues(tsv_path, p_column)
+    p, _, _ = data if data is not None else read_pvalues(tsv_path,
+                                                         p_column)
     p = np.clip(np.sort(p), 1e-300, 1.0)
     n = len(p)
     expected = -np.log10((np.arange(n) + 0.5) / n)
@@ -75,25 +76,29 @@ def qq_plot(tsv_path: str, output_png: str,
 
 def manhattan_plot(tsv_path: str, output_png: str,
                    p_column: Optional[str] = None,
-                   sign_threshold: float = 1e-6) -> None:
+                   sign_threshold: float = 1e-6, data=None) -> None:
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    p, chroms, positions = read_pvalues(tsv_path, p_column)
+    p, chroms, positions = (data if data is not None
+                            else read_pvalues(tsv_path, p_column))
     p = np.clip(p, 1e-300, 1.0)
     logp = -np.log10(p)
 
-    chrom_order = sorted(set(chroms))
-    offsets = {}
-    cum = 0
-    for c in chrom_order:
-        cpos = positions[[i for i, x in enumerate(chroms) if x == c]]
-        offsets[c] = cum
+    # vectorized chromosome grouping: the per-row .index()/list scans
+    # were O(rows x chroms) — seconds-to-minutes at GWAS scale
+    chrom_arr = np.asarray(chroms)
+    chrom_order, codes = np.unique(chrom_arr, return_inverse=True)
+    offsets_arr = np.zeros(len(chrom_order))
+    cum = 0.0
+    for ci in range(len(chrom_order)):
+        cpos = positions[codes == ci]
+        offsets_arr[ci] = cum
         cum += (cpos.max() if len(cpos) else 0) + 1
 
-    x = np.array([offsets[c] + pos for c, pos in zip(chroms, positions)])
-    colors = np.array([chrom_order.index(c) % 2 for c in chroms])
+    x = offsets_arr[codes] + positions
+    colors = codes % 2
 
     fig, ax = plt.subplots(figsize=(12, 4), facecolor="w", edgecolor="k")
     for parity, color in ((0, "#4C72B0"), (1, "#55A868")):
@@ -290,13 +295,15 @@ def report_plots(results_tsv: str, output_dir: str,
 
     os.makedirs(output_dir, exist_ok=True)
     written = []
+    # parse the TSV ONCE for all three plots (it was parsed three times)
+    data = read_pvalues(results_tsv, p_column)
     qq = os.path.join(output_dir, "report_qq.png")
-    qq_plot(results_tsv, qq, p_column=p_column)
+    qq_plot(results_tsv, qq, p_column=p_column, data=data)
     written.append(qq)
     man = os.path.join(output_dir, "report_manhattan.png")
-    manhattan_plot(results_tsv, man, p_column=p_column)
+    manhattan_plot(results_tsv, man, p_column=p_column, data=data)
     written.append(man)
-    pvals, _chroms, _pos = read_pvalues(results_tsv, p_column)
+    pvals = data[0]
     hist = os.path.join(output_dir, "report_pvalue_hist.png")
     import matplotlib
     matplotlib.use("Agg")

@@ -29,10 +29,10 @@ def test_proportion_zero_total():
 
 
 def test_split_on_star():
-    assert _split_on_star(">1>2>4") == [">1>2>4"]
-    assert _split_on_star(">1>2>0>6>7") == [">1>2", ">6>7"]
+    assert [x[0] for x in _split_on_star(">1>2>4")] == [">1>2>4"]
+    assert [x[0] for x in _split_on_star(">1>2>0>6>7")] == [">1>2", ">6>7"]
     # node ids containing the digit 0 are NOT stars (reference bug fixed)
-    assert _split_on_star(">10>20") == [">10>20"]
+    assert [x[0] for x in _split_on_star(">10>20")] == [">10>20"]
 
 
 def test_gaf_end_to_end(tmp_path):
