@@ -620,8 +620,12 @@ def run_graph_bench(tmpdir, rng, repeats=3):
 
 
 def main():
+    import atexit
+    import shutil
+
     rng = np.random.default_rng(SEED)
     tmpdir = tempfile.mkdtemp(prefix="stoat_bench_")
+    atexit.register(shutil.rmtree, tmpdir, True)   # ~60 MB per run
     # Two workloads: a single-chromosome VCF for the device/e2e phase
     # metrics (comparable with earlier rounds; no cross-chromosome
     # readahead in the measurement) and a 4-chromosome VCF for the
