@@ -132,17 +132,15 @@ def device_args(packed):
 
 
 def make_steps(packed, pheno_bin, pheno_q):
-    """The production chunk dispatches, results MATERIALIZED on host.
+    """Compute-only probes for the device-analysis metric.
 
     ``jax.block_until_ready`` does not actually wait for execution over
     the axon tunnel (measured: sub-ms 'blocks' on 200ms+ kernels), so
-    each step fetches its wire-packed results — exactly what the
-    pipelined runner ships — and timing stops when the bytes are on the
-    host."""
+    each probe fetches one scalar reduction — forcing real execution
+    while keeping bulk transfers out of the pure device timing."""
     from stoat_tpu.pipeline import packed as _pk
     from stoat_tpu.pipeline.binary import binary_tables_device_packed
     from stoat_tpu.pipeline.quantitative import _fused_packed_analysis
-    from stoat_tpu.pipeline.fetch import flatten_result
 
     words, path_idx, valid, sidx, tail, W = device_args(packed)
     g1_words = jnp.asarray(_pk.pack_hap_mask_words(
@@ -151,31 +149,6 @@ def make_steps(packed, pheno_bin, pheno_q):
     covar0 = jnp.zeros((N_SAMPLES, 0), jnp.float64)
     pheno_qd = jnp.asarray(pheno_q, jnp.float64)
     n_haps = packed.n_haplotypes
-
-    def step_binary():
-        out = binary_tables_device_packed(
-            words, path_idx, valid, tail, g1_words, sidx, *th)
-        fr = flatten_result(out)
-        return fr["p_fisher"], fr["p_chi2"], fr["g0"]   # materialized
-
-    def step_quant():
-        out = _fused_packed_analysis(
-            words, path_idx, valid, sidx, covar0, pheno_qd, *th,
-            n_haplotypes=n_haps, with_covar=False,
-            return_tables=False, kind="linear")
-        fr = flatten_result(out)
-        return fr["p"], fr["beta"], fr["se"]            # materialized
-
-    def step_dual():
-        # the production dual-phenotype program: shared packed
-        # membership, both result sets in ONE dispatch + ONE wire fetch
-        # (runner._analyze_dual_fused)
-        from stoat_tpu.pipeline.quantitative import _fused_dual_analysis
-        out = _fused_dual_analysis(
-            words, path_idx, valid, sidx, tail, g1_words, covar0,
-            pheno_qd, *th, n_haplotypes=n_haps)
-        fr = flatten_result(out)
-        return fr["p_chi2"], fr["p_fisher"], fr["q_p"]  # materialized
 
     # compute-only probes: one scalar reduction per pipeline, fetched —
     # forces real execution (block_until_ready does not) while keeping
@@ -228,8 +201,7 @@ def make_steps(packed, pheno_bin, pheno_q):
     def probe_perm():
         return float(np.asarray(_probe_perm()))
 
-    return (step_binary, step_quant, probe_binary, probe_quant,
-            step_dual, probe_perm)
+    return probe_binary, probe_quant, probe_perm
 
 
 def _settle(seconds=0.3):
@@ -252,8 +224,8 @@ def run_device(packed, pheno_bin, pheno_q, repeats=4):
     PERM_BATCH-permutation dual probe (one round trip amortized over
     PERM_BATCH complete binary+quantitative analyses — the honest
     steady-state device rate)."""
-    steps = make_steps(packed, pheno_bin, pheno_q)
-    _sb, _sq, probe_binary, probe_quant, _sd, probe_perm = steps
+    probe_binary, probe_quant, probe_perm = make_steps(
+        packed, pheno_bin, pheno_q)
     probe_binary()                         # compile + warm
     probe_quant()
     probe_perm()

@@ -24,7 +24,8 @@ from jax.sharding import Mesh
 
 from stoat_tpu.io.snarl_file import SnarlData
 from stoat_tpu.matrix import EdgeHaplotypeMatrix
-from stoat_tpu.tables import PackedChromosome, next_pow2, pack_chromosome
+from stoat_tpu.tables import (PackedChromosome, next_pow2, pack_chromosome,
+                              repad_for_coo_collision)
 
 __all__ = ["make_snarl_mesh", "shard_packed_chromosome", "ShardedChromosome"]
 
@@ -100,12 +101,7 @@ def shard_packed_chromosome(snarls: Sequence[SnarlData],
                        if p is not None), default=1))
     nnz = next_pow2(max((p.coo_path.shape[0] for p in packs
                          if p is not None), default=1))
-    # The COO padding slot P-1 must be INVALID on every shard (see
-    # pack_chromosome_chunks: a shard whose real path count fills P
-    # exactly would otherwise have pads attributed to its last path).
-    if any(p is not None and p.n_paths >= P
-           and nnz > p.coo_path.shape[0] for p in packs):
-        P = next_pow2(P + 1)
+    P = repad_for_coo_collision(P, nnz, packs)
 
     def pad_shard(p: Optional[PackedChromosome]):
         coo_p = np.full(nnz, P - 1, np.int32)

@@ -29,7 +29,7 @@ from stoat_tpu.io.snarl_file import SnarlData, path_to_edges
 from stoat_tpu.matrix import EdgeHaplotypeMatrix
 
 __all__ = ["PackedChromosome", "pack_chromosome", "pack_chromosome_chunks",
-           "tokenize_chromosome", "next_pow2"]
+           "tokenize_chromosome", "next_pow2", "repad_for_coo_collision"]
 
 
 def next_pow2(n: int) -> int:
@@ -37,6 +37,23 @@ def next_pow2(n: int) -> int:
     while p < n:
         p *= 2
     return p
+
+
+def repad_for_coo_collision(P: int, nnz: int, packs) -> int:
+    """Grow the common path dimension if COO padding would collide.
+
+    COO padding entries target slot ``P - 1``, which must be an INVALID
+    path slot on every chunk/shard: if any pack's real path count fills
+    the common ``P`` exactly (its own pow2 padding added no scratch)
+    while the common ``nnz`` adds padding entries, those pads would be
+    attributed to a real path and AND edge row 0 into its membership —
+    silently wrong p-values (regression-pinned in
+    tests/test_edge_cases.py).  ``packs`` may contain ``None`` entries
+    (empty shards)."""
+    if any(p is not None and p.n_paths >= P
+           and nnz > p.coo_path.shape[0] for p in packs):
+        return next_pow2(P + 1)
+    return P
 
 
 @dataclass
@@ -257,14 +274,7 @@ def pack_chromosome_chunks(snarls: Sequence[SnarlData], edge_matrix,
     Pmax = max(p.snarl_path_idx.shape[1] for p in packs)
     P = max(p.n_edges_per_path.shape[0] for p in packs)
     nnz = max(p.coo_path.shape[0] for p in packs)
-    # COO padding targets slot P-1, which must be an INVALID path slot:
-    # if any chunk's real path count fills the common P exactly (its own
-    # pow2 padding added no scratch) while the common nnz adds padding
-    # entries, grow P so the pads cannot be attributed to a real path
-    # (they would AND edge row 0 into its membership — silently wrong
-    # p-values; regression-pinned).
-    if any(p.n_paths >= P and nnz > p.coo_path.shape[0] for p in packs):
-        P = next_pow2(P + 1)
+    P = repad_for_coo_collision(P, nnz, packs)
 
     out = []
     for p in packs:
