@@ -553,7 +553,7 @@ def make_graph_workload(outdir, rng):
             np.array(offsets, np.int64), start_handles, pheno_paths)
 
 
-def run_graph_bench(tmpdir, rng, repeats=3):
+def run_graph_bench(tmpdir, rng, repeats=5):
     """`stoat graph` end-to-end (GFA -> finished TSV) vs the single-core
     C++ per-snarl baseline (walk-set partition + chi2,
     partitioner.cpp:36-268 + graph_path_association_finder.cpp:119-156).

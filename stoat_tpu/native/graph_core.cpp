@@ -538,12 +538,19 @@ static std::set<uint64_t> cyclic_nodes(const Graph& g) {
     if (!N) return cyclic;
 
     // nodes referenced only by L lines still participate (the hash-map
-    // version indexed successor vertices on demand)
+    // version indexed successor vertices on demand); membership via the
+    // O(1) slot table when the CSR index is built (assoc_run always
+    // builds it first) — the ordered-map lookups were an O(E log N)
+    // sink on pangenome-scale graphs
+    auto has_node = [&](uint64_t n) {
+        return g.fx_ready ? g.fx_slot_of(n) >= 0
+                          : g.node_len.count(n) != 0;
+    };
     std::set<uint64_t> extra;
     for (const auto& [u, vs] : g.succ) {
-        if (!g.node_len.count(node_of(u))) extra.insert(node_of(u));
+        if (!has_node(node_of(u))) extra.insert(node_of(u));
         for (Handle v : vs)
-            if (!g.node_len.count(node_of(v))) extra.insert(node_of(v));
+            if (!has_node(node_of(v))) extra.insert(node_of(v));
     }
 
     // dense node slots (ids are typically contiguous in GFAs)
@@ -659,17 +666,16 @@ static Forest find_snarls(const Graph& g) {
     for (const auto& [nid, _len] : g.node_len) {
         for (int o = 0; o < 2; ++o) {
             Handle h = make_handle(nid, o);
-            const auto& succs = g.successors(h);
-            if (succs.size() >= 2) {
+            auto [sp, sn] = g.succ_span(h);
+            if (sn >= 2) {
                 // the true exit of a P-branch bubble appears after P
                 // BFS candidates (mirrors snarls.py)
                 candidates.push_back(
-                    {h, std::max(kMaxExitTries,
-                                 2 * int(succs.size()) + 16)});
-            } else if (succs.size() == 1) {
-                Handle entered = entry_side(succs[0]);
-                if (cyclic.count(node_of(succs[0])) &&
-                    g.successors(entered).size() >= 2)
+                    {h, std::max(kMaxExitTries, 2 * int(sn) + 16)});
+            } else if (sn == 1) {
+                Handle entered = entry_side(sp[0]);
+                if (cyclic.count(node_of(sp[0])) &&
+                    g.succ_span(entered).second >= 2)
                     candidates.push_back({h, 8});
             }
         }
