@@ -38,9 +38,29 @@ from stoat_tpu.matrix import EdgeHaplotypeMatrix
 from stoat_tpu.parallel.mesh import shard_packed_chromosome
 from stoat_tpu.pipeline.binary import binary_tables_device
 
-# deterministic dataset (same on both hosts)
+# Deterministic dataset (same on both hosts).  Only process 0 writes the
+# shared fixture dir — concurrent writers raced under full-suite load and
+# process 1 could read a half-written VCF.  Process 1 renders the same
+# deterministic fixture into a private scratch dir (to obtain the paths
+# dict) and then points at process 0's files once the sentinel appears.
 fixture_dir = os.path.join(outdir, "data")
-paths = make_fixture(fixture_dir, n_samples=30, n_snarls=16, seed=4)
+sentinel = os.path.join(outdir, "fixture_ready")
+if process_id == 0:
+    paths = make_fixture(fixture_dir, n_samples=30, n_snarls=16, seed=4)
+    with open(sentinel, "w") as fh:
+        fh.write("ok")
+else:
+    import time
+    scratch = os.path.join(outdir, "data_scratch1")
+    paths = make_fixture(scratch, n_samples=30, n_snarls=16, seed=4)
+    paths = {k: (os.path.join(fixture_dir, os.path.basename(v))
+                 if isinstance(v, str) else v)
+             for k, v in paths.items()}
+    deadline = time.time() + 180
+    while not os.path.exists(sentinel):
+        if time.time() > deadline:
+            raise RuntimeError("process 0 never finished the fixture")
+        time.sleep(0.1)
 reader = VcfReader(paths["vcf"])
 _, records = next(iter(reader.chromosome_chunks()))
 matrix = EdgeHaplotypeMatrix(60)
